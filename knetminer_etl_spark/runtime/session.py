@@ -1,0 +1,58 @@
+"""SparkSession factory (reference src/ketl/spark/utils.py:239-262).
+
+Defaults are scale-aware: AQE on (runtime re-plan, skew-join handling,
+shuffle-partition coalescing), UTC session timezone (oracle-comparable
+timestamps), Arrow enabled for the Pandas-UDF paths.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+from pyspark.sql import SparkSession
+
+_DEFAULT_CONF = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.parquet.compression.codec": "zstd",
+}
+
+
+def get_session(
+    app_name: str = "knetminer-etl-spark",
+    master: str | None = None,
+    conf: dict[str, Any] | None = None,
+) -> SparkSession:
+    """Build/get a session. ``master`` defaults to ``local[N]`` with N from
+    ``$SPARK_GRAFT_CPUS`` (fallback: all cores) when no cluster master is
+    configured in the environment."""
+    builder = SparkSession.builder.appName(app_name)
+    if master is None and "SPARK_MASTER" not in os.environ:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+    if master:
+        builder = builder.master(master)
+    merged = dict(_DEFAULT_CONF)
+    if master and master.startswith("local"):
+        n = os.cpu_count() or 8
+        merged.setdefault("spark.sql.shuffle.partitions", str(n))
+        merged.setdefault("spark.driver.memory", "8g")
+        merged.setdefault("spark.ui.enabled", "false")
+    if conf:
+        merged.update(conf)
+    for key, val in merged.items():
+        builder = builder.config(key, str(val))
+    return builder.getOrCreate()
+
+
+def session_from_config(config: dict[str, Any]) -> SparkSession:
+    """Session from a config dict: ``{app_name, master|remote, conf:{...}}``."""
+    return get_session(
+        app_name=config.get("app_name", "knetminer-etl-spark"),
+        master=config.get("master"),
+        conf=config.get("conf"),
+    )

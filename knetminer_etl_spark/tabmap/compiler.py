@@ -1,0 +1,285 @@
+"""The mapping compiler: input rows → triple relation.
+
+Replaces the reference's one custom physical operator — a row-at-a-time
+Python loop inside ``mapInPandas`` (reference src/ketl/tabmap/core.py:301-369)
+— with a **native unpivot**:
+
+    select(explode(array(struct(id, 'k1', v1), struct(id, 'k2', v2), ...)))
+
+which Catalyst sees through end-to-end: column pruning reaches the scan,
+filters can cross the mapping, and the whole stage is codegen'd. Each input
+row yields 0..N triple rows:
+
+* rows whose element ID is NULL/empty emit nothing
+  (reference src/ketl/tabmap/core.py:330-332);
+* triples whose serialized value is NULL are dropped
+  (reference src/ketl/core.py:171-178, tabmap/core.py:110-112).
+
+If any mapper is opaque Python (:class:`RowValueMapper`), the whole mapping
+falls back to an Arrow-vectorized ``mapInPandas`` with the same semantics,
+pruned to the declared input columns.
+
+Scale notes (100 TB): the native path is a narrow map — no shuffle, no
+driver involvement, output partitioning == input partitioning. The explode
+multiplies rows ×N mappers; downstream aggregations should therefore set
+shuffle partitions off the *triple* count, not the source row count (see
+``runtime.checkpoint.save`` partition tuning).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator, Sequence
+from typing import Any
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..core.model import (
+    FROM_KEY,
+    ID_COL,
+    KEY_COL,
+    TO_KEY,
+    TRIPLE_SCHEMA,
+    TYPE_KEY,
+    VALUE_COL,
+)
+from ..core.serialize import DEFAULT_CONVERTER, json_literal, raw_string
+from .mappers import (
+    TripleMapper,
+    ValueMapper,
+    as_value_mapper,
+    edge_id_expr,
+    edge_id_py,
+)
+
+AUTO_EDGE_ID = "@auto-edge-id"
+
+
+class DataFrameMapper:
+    """Maps an input DataFrame to the triple relation.
+
+    Parameters
+    ----------
+    id_mapper:
+        How to build the element ID: a column name, Column, ValueMapper,
+        Python callable, or :data:`AUTO_EDGE_ID` to derive
+        ``"{type}:{from}-{to}"`` from the ``@type``/``@from``/``@to``
+        mappers (reference src/ketl/tabmap/helpers.py:105-163).
+    mappers:
+        Per-row :class:`TripleMapper` list (each emits ≤1 triple per row).
+    constants:
+        Extra constant mappers (e.g. ``@type``, provenance) — kept as a
+        separate argument for surface parity with the reference
+        (src/ketl/tabmap/core.py:223-266); they behave like mappers.
+    use_column_pruning:
+        Prune the input to referenced columns before a Python fallback
+        (native path: Catalyst prunes automatically).
+    """
+
+    def __init__(
+        self,
+        id_mapper: Any,
+        mappers: Sequence[TripleMapper],
+        constants: Sequence[TripleMapper] = (),
+        use_column_pruning: bool = True,
+        on_empty_edge_part: str = "error",
+    ):
+        self.mappers: list[TripleMapper] = list(mappers) + list(constants)
+        if not self.mappers:
+            raise ValueError("at least one triple mapper is required")
+        self.on_empty_edge_part = on_empty_edge_part
+        self._auto_edge = id_mapper == AUTO_EDGE_ID
+        self.id_mapper: ValueMapper | None = (
+            None if self._auto_edge else as_value_mapper(id_mapper)
+        )
+
+    # -- helpers -------------------------------------------------------------
+
+    def _special(self, key: str) -> TripleMapper:
+        for m in self.mappers:
+            if m.key == key:
+                return m
+        raise ValueError(f"auto edge id requires a {key!r} mapper")
+
+    @property
+    def is_python(self) -> bool:
+        if any(m.is_python for m in self.mappers):
+            return True
+        if self.id_mapper is not None and self.id_mapper.is_python:
+            return True
+        if self._auto_edge:
+            return any(
+                self._special(k).is_python for k in (TYPE_KEY, FROM_KEY, TO_KEY)
+            )
+        return False
+
+    def input_columns(self) -> set[str]:
+        cols: set[str] = set()
+        for m in self.mappers:
+            cols |= m.input_columns()
+        if self.id_mapper is not None:
+            cols |= self.id_mapper.input_columns()
+        return cols
+
+    def _id_expr(self) -> Column:
+        if self._auto_edge:
+            return edge_id_expr(
+                self._special(TYPE_KEY).value_expr(),
+                self._special(FROM_KEY).value_expr(),
+                self._special(TO_KEY).value_expr(),
+                on_empty=self.on_empty_edge_part,
+            )
+        assert self.id_mapper is not None
+        return self.id_mapper.expr().cast("string")
+
+    # -- public API ----------------------------------------------------------
+
+    def to_triples(self, df: DataFrame) -> DataFrame:
+        """Compile the mapping over ``df`` → triple DataFrame."""
+        if self.is_python:
+            return self._map_in_pandas(df)
+        return self._map_native(df)
+
+    __call__ = to_triples
+
+    # -- native (Catalyst-visible) path --------------------------------------
+
+    def _map_native(self, df: DataFrame) -> DataFrame:
+        eid = self._id_expr()
+        structs = []
+        for m in self.mappers:
+            val = m.value_expr()
+            sval = (
+                raw_string(val)
+                if (not m.serialize or m.key in (TYPE_KEY, FROM_KEY, TO_KEY))
+                else json_literal(val)
+            )
+            structs.append(
+                F.struct(
+                    F.lit(m.key).alias(KEY_COL),
+                    sval.alias(VALUE_COL),
+                )
+            )
+        # Rows with NULL/empty id emit nothing; NULL serialized values drop.
+        out = (
+            df.select(
+                eid.alias(ID_COL),
+                F.explode(
+                    F.filter(F.array(*structs), lambda s: s[VALUE_COL].isNotNull())
+                ).alias("_t"),
+            )
+            .filter(F.col(ID_COL).isNotNull() & (F.col(ID_COL) != F.lit("")))
+            .select(ID_COL, f"_t.{KEY_COL}", f"_t.{VALUE_COL}")
+        )
+        return out
+
+    # -- Arrow-vectorized Python fallback ------------------------------------
+
+    def _map_in_pandas(self, df: DataFrame) -> DataFrame:
+        import pandas as pd
+
+        mappers = self.mappers
+        auto_edge = self._auto_edge
+        id_mapper = self.id_mapper
+        specials = (TYPE_KEY, FROM_KEY, TO_KEY)
+        conv = DEFAULT_CONVERTER
+
+        if self.input_columns() and all(
+            (m.input_columns() or not m.is_python) for m in mappers
+        ):
+            needed = self.input_columns() & set(df.columns)
+            if needed:
+                df = df.select(*sorted(needed))
+
+        if auto_edge:
+            tm = self._special(TYPE_KEY)
+            fm = self._special(FROM_KEY)
+            to_m = self._special(TO_KEY)
+
+        def batch_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                out_rows: list[tuple[str, str, str | None]] = []
+                for rec in pdf.to_dict(orient="records"):
+                    row = {k: (None if pd.isna(v) else v) for k, v in rec.items()}
+                    if auto_edge:
+                        t, f_, to = (
+                            _py_value(tm, row),
+                            _py_value(fm, row),
+                            _py_value(to_m, row),
+                        )
+                        try:
+                            eid = edge_id_py(t, f_, to)
+                        except ValueError:
+                            if self.on_empty_edge_part == "skip":
+                                continue
+                            raise
+                    else:
+                        eid = _py_value_vm(id_mapper, row)
+                    if eid is None or str(eid) == "":
+                        continue
+                    eid = str(eid)
+                    for m in mappers:
+                        v = _py_value(m, row)
+                        s = (
+                            (None if v in (None, "") else str(v))
+                            if (not m.serialize or m.key in specials)
+                            else conv.serialize(v)
+                        )
+                        if s is None:
+                            continue
+                        out_rows.append((eid, m.key, s))
+                yield pd.DataFrame(out_rows, columns=[ID_COL, KEY_COL, VALUE_COL])
+
+        return df.mapInPandas(batch_fn, TRIPLE_SCHEMA)
+
+
+def _py_value_vm(vm: ValueMapper | None, row: dict[str, Any]) -> Any:
+    """Evaluate a value mapper row-side on the mapInPandas fallback path.
+
+    Only Python mappers and plain column/constant mappers are supported
+    here; Column wrappers and expression mappers must be pre-computed as
+    DataFrame columns before mixing with Python extractors.
+    """
+    from .mappers import ColumnValueMapper, ConstantValueMapper
+
+    assert vm is not None
+    if vm.is_python:
+        return vm.py_call(row)
+    if vm.wrappers:
+        raise ValueError(
+            "Column wrappers cannot apply on the Python fallback path; "
+            "pre-compute the wrapped value as a DataFrame column first"
+        )
+    if isinstance(vm, ColumnValueMapper):
+        return row.get(vm.column)
+    if isinstance(vm, ConstantValueMapper):
+        return vm.value
+    raise ValueError(
+        "expression mappers cannot run on the Python fallback path; "
+        "pre-compute them as DataFrame columns first"
+    )
+
+
+def _py_value(m: TripleMapper, row: dict[str, Any]) -> Any:
+    return _py_value_vm(m.value, row)
+
+
+# ---------------------------------------------------------------------------
+
+
+def chain_mappers(
+    df: DataFrame, *dfmappers: DataFrameMapper
+) -> DataFrame:
+    """Run N mappings over the same input and union the triple outputs
+    (reference src/ketl/tabmap/helpers.py:179-203).
+
+    On the native path every mapping is a narrow projection of the same
+    scan, so the union is shuffle-free and the scan is shared.
+    """
+    out: DataFrame | None = None
+    for dm in dfmappers:
+        t = dm.to_triples(df)
+        out = t if out is None else out.unionByName(t)
+    if out is None:
+        raise ValueError("at least one DataFrameMapper required")
+    return out

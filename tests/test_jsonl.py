@@ -1,0 +1,73 @@
+"""PG-JSONL sink/source round trips."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from knetminer_etl_spark import (
+    read_pg_jsonl,
+    triples_to_pg,
+    write_pg_jsonl,
+    write_pg_jsonl_single,
+)
+from knetminer_etl_spark.pg.jsonl import pg_jsonl_lines
+
+
+@pytest.fixture()
+def pg(spark):
+    rows = [
+        ("N1", "@type", "Gene"),
+        ("N1", "name", '"TP53"'),
+        ("N1", "len", "3924"),
+        ("N2", "@type", "Protein"),
+        ("E1", "@type", "encodes"),
+        ("E1", "@from", "N1"),
+        ("E1", "@to", "N2"),
+        ("E1", "score", "0.9"),
+    ]
+    t = spark.createDataFrame(rows, "id string, key string, value string")
+    return triples_to_pg(t)
+
+
+def parse_lines(lines):
+    return {e["id"]: e for e in map(json.loads, lines)}
+
+
+class TestDriverSideWriter:
+    def test_lines_unserialize_values(self, spark, pg):
+        got = parse_lines(pg_jsonl_lines(pg))
+        assert got["N1"]["properties"]["name"] == ["TP53"]
+        assert got["N1"]["properties"]["len"] == [3924]  # native int again
+        assert got["N1"]["labels"] == ["Gene"]
+        assert got["E1"]["from"] == "N1" and got["E1"]["to"] == "N2"
+        assert "from" not in got["N1"]
+        assert got["N2"]["properties"] == {}
+
+    def test_single_file_writer(self, spark, pg, tmp_path):
+        out = tmp_path / "pg.jsonl"
+        n = write_pg_jsonl_single(pg, out)
+        assert n == 3
+        assert len(out.read_text().strip().splitlines()) == 3
+
+
+class TestDistributedWriter:
+    def test_distributed_lines_match_driver_lines(self, spark, pg, tmp_path):
+        out = tmp_path / "pgdir"
+        write_pg_jsonl(pg, str(out))
+        dist = parse_lines(
+            line
+            for r in spark.read.text(str(out)).collect()
+            for line in [r["value"]]
+        )
+        drv = parse_lines(pg_jsonl_lines(pg))
+        assert dist == drv
+
+    def test_jsonl_source_roundtrip(self, spark, pg, tmp_path):
+        out = tmp_path / "pgdir"
+        write_pg_jsonl(pg, str(out))
+        back = read_pg_jsonl(spark, str(out))
+        orig = {r["id"]: r.asDict(recursive=True) for r in pg.collect()}
+        got = {r["id"]: r.asDict(recursive=True) for r in back.select(*pg.columns).collect()}
+        assert got == orig

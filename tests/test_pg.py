@@ -1,0 +1,80 @@
+"""Triples→PG aggregation semantics (reference behaviors pinned by
+tests/ketl/io/test_io.py in the reference repo)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+
+from knetminer_etl_spark import dangling_edges, triples_to_pg
+
+
+@pytest.fixture()
+def triples(spark):
+    rows = [
+        # node N1: two labels, multi-valued property with a duplicate
+        ("N1", "@type", "Gene"),
+        ("N1", "@type", "Marker"),
+        ("N1", "name", '"TP53"'),
+        ("N1", "syn", '"p53"'),
+        ("N1", "syn", '"p53"'),
+        ("N1", "syn", '"LFS1"'),
+        # node N2: no properties beyond type
+        ("N2", "@type", "Protein"),
+        # edge E1
+        ("E1", "@type", "encodes"),
+        ("E1", "@from", "N1"),
+        ("E1", "@to", "N2"),
+        ("E1", "evidence", '"tm"'),
+    ]
+    return spark.createDataFrame(rows, "id string, key string, value string")
+
+
+def by_id(pg):
+    return {r["id"]: r for r in pg.collect()}
+
+
+class TestPGBuild:
+    def test_types_and_labels(self, spark, triples):
+        got = by_id(triples_to_pg(triples))
+        assert got["N1"]["type"] == "node"
+        assert got["E1"]["type"] == "edge"
+        assert got["N1"]["labels"] == ["Gene", "Marker"]  # sorted
+        assert got["E1"]["labels"] == ["encodes"]
+
+    def test_endpoints(self, spark, triples):
+        got = by_id(triples_to_pg(triples))
+        assert (got["E1"]["from"], got["E1"]["to"]) == ("N1", "N2")
+        assert got["N1"]["from"] is None and got["N1"]["to"] is None
+
+    def test_properties_are_sorted_sets(self, spark, triples):
+        got = by_id(triples_to_pg(triples))
+        assert got["N1"]["properties"]["syn"] == ['"LFS1"', '"p53"']
+        assert got["N1"]["properties"]["name"] == ['"TP53"']
+        assert got["N2"]["properties"] == {}  # empty-map default
+        assert "@type" not in got["N1"]["properties"]
+
+    def test_single_shuffle_plan(self, spark, triples):
+        plan = triples_to_pg(triples)._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") == 1  # one shuffle on id, no joins
+
+    def test_validate_missing_endpoint_raises(self, spark):
+        bad = spark.createDataFrame(
+            [("E9", "@type", "rel"), ("E9", "@from", "N1")],
+            "id string, key string, value string",
+        )
+        with pytest.raises(Exception):
+            triples_to_pg(bad, validate=True).collect()
+
+    def test_dangling_edges(self, spark, triples):
+        extra = spark.createDataFrame(
+            [
+                ("E2", "@type", "rel"),
+                ("E2", "@from", "N1"),
+                ("E2", "@to", "MISSING"),
+            ],
+            "id string, key string, value string",
+        )
+        pg = triples_to_pg(triples.unionByName(extra))
+        bad = {r["id"] for r in dangling_edges(pg).collect()}
+        assert bad == {"E2"}

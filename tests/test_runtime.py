@@ -1,0 +1,64 @@
+"""Checkpointing, unions, config interpolation, session defaults."""
+
+from __future__ import annotations
+
+import pytest
+
+from knetminer_etl_spark.core.config import interpolate_env, load_config
+from knetminer_etl_spark.runtime import checkpoint
+
+
+class TestCheckpoint:
+    def test_save_load_roundtrip(self, spark, tmp_path):
+        df = spark.range(100).withColumnRenamed("id", "n")
+        out = tmp_path / "ck"
+        checkpoint.save(df, out)
+        assert checkpoint.is_done(out)
+        back = checkpoint.load(str(out), spark)
+        assert back.count() == 100
+
+    def test_load_accepts_success_path(self, spark, tmp_path):
+        df = spark.range(10)
+        out = tmp_path / "ck2"
+        checkpoint.save(df, out)
+        back = checkpoint.load(checkpoint.df_check_path(out), spark)
+        assert back.count() == 10
+
+    def test_df_path_strips_marker(self):
+        assert checkpoint.df_path("/a/b/_SUCCESS") == "/a/b"
+        assert checkpoint.df_path("/a/b") == "/a/b"
+
+    def test_tuned_partitions_small_df(self, spark):
+        df = spark.range(1000)
+        want = checkpoint.tuned_partitions(df)
+        assert want == 1  # tiny data → single ~256MiB-target file
+
+    def test_union_all(self, spark):
+        a = spark.createDataFrame([(1, "x")], "n int, s string")
+        b = spark.createDataFrame([(2,)], "n int")
+        got = checkpoint.union_all(a, b).collect()
+        assert {(r["n"], r["s"]) for r in got} == {(1, "x"), (2, None)}
+
+
+class TestConfig:
+    def test_interpolation(self, monkeypatch):
+        monkeypatch.setenv("KETL_X", "42")
+        assert interpolate_env("a=${KETL_X} b=${MISSING:7}") == "a=42 b=7"
+        with pytest.raises(KeyError):
+            interpolate_env("${DEFINITELY_NOT_SET_XYZ}")
+
+    def test_load_config_yaml(self, tmp_path, monkeypatch):
+        monkeypatch.setenv("DATA_DIR", "/data")
+        f = tmp_path / "c.yaml"
+        f.write_text("input: ${DATA_DIR}/in.tsv\nbatch: ${BATCH:2500}\n")
+        cfg = load_config(f)
+        assert cfg == {"input": "/data/in.tsv", "batch": 2500}
+
+    def test_load_config_literal_text(self):
+        assert load_config("a: 1") == {"a": 1}
+
+
+class TestSessionDefaults:
+    def test_aqe_and_utc(self, spark):
+        assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+        assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
