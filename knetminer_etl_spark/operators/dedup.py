@@ -1,0 +1,475 @@
+"""Deduplication operators for large-scale document pipelines.
+
+Five strategies, all expressed as DataFrame programs (no driver-side
+loops, no Python in the hot path):
+
+* **exact**       — hash-groupBy on normalized content; one shuffle.
+* **n-gram Jaccard** — shingle → explode → equi-join on shingle →
+  per-pair intersection counts → Jaccard filter. Classic candidate-pair
+  generation; a frequency cap drops super-common shingles to keep the
+  join skew-free at scale.
+* **MinHash + LSH** — k permutations via seeded xxhash64 min-reduction,
+  banded into b buckets, candidates = bucket equi-join, verified with
+  exact Jaccard. The scale path: candidate generation is linear in
+  (docs × shingles), never quadratic.
+* **SimHash**     — 64-bit weighted bit-vote fingerprint; near-dups =
+  pairs within Hamming distance d, found via band-exact-match blocking.
+* **embedding cosine** — near-dup pairs over a vector column, brute
+  (small) or LSH-bucketed (scale).
+
+Determinism: every hash is seeded xxhash64 — stable across runs,
+partitionings, and cluster sizes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import normalize_text, shingles_from_tokens, tokens, word_shingles
+
+
+def _with_shingles(
+    df: DataFrame, id_col: str, text_col: str, k: int
+) -> DataFrame:
+    """(_id, _sh) with the shingle array **staged through materialized
+    columns** (normalize → tokens → shingles as separate projections).
+
+    Inlining the whole chain as one Column and then referencing it N
+    times (e.g. 64 MinHash permutations) multiplies the expression tree
+    N-fold — measured ~2 min of driver-side analysis/codegen for the
+    MinHash plan before this staging, ~seconds after. Data-side cost is
+    identical (Catalyst collapses the projections into one stage).
+    """
+    return (
+        df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
+        .select("_id", tokens(normalize_text(F.col("_t"))).alias("_tok"))
+        .select("_id", shingles_from_tokens(F.col("_tok"), k).alias("_sh"))
+    )
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    normalize: bool = False,
+) -> DataFrame:
+    """Group identical (optionally normalized) texts; keep the minimum id
+    as the canonical representative.
+
+    Returns ``(keep_id, n_dups)`` per distinct content — one hash-agg
+    shuffle on the content hash, with map-side partial aggregation.
+    """
+    content = normalize_text(F.col(text_col)) if normalize else F.col(text_col)
+    return (
+        df.select(F.col(id_col), F.md5(content).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count("*").alias("n_dups"),
+        )
+    )
+
+
+def drop_exact_dups(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """The filtered corpus: only canonical representatives survive."""
+    keep = exact_dedup(df, id_col, text_col).select(
+        F.col("keep_id").alias(id_col)
+    )
+    return df.join(keep, on=id_col, how="left_semi")
+
+
+# ---------------------------------------------------------------------------
+# N-gram Jaccard
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.8,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """Document pairs with word-k-shingle Jaccard ≥ threshold.
+
+    Plan: per-doc distinct shingles (narrow) → explode → self-equi-join on
+    shingle (shuffle on shingle) → count matches per pair (shuffle on pair)
+    → Jaccard = |∩| / (|A|+|B|-|∩|). ``max_shingle_freq`` drops shingles
+    appearing in more than N docs — at 100 TB the stopword-shingle skew
+    otherwise concentrates the join on a few hot keys; dropping them only
+    loses pairs whose *every* common shingle is ubiquitous.
+    Output: ``(id_a, id_b, jaccard)`` with id_a < id_b.
+    """
+    docs = _with_shingles(df, id_col, text_col, k).withColumn("_n", F.size("_sh"))
+    exploded = docs.select("_id", "_n", F.explode("_sh").alias("_s"))
+    if max_shingle_freq is not None:
+        hot = (
+            exploded.groupBy("_s")
+            .agg(F.count("*").alias("_f"))
+            .filter(F.col("_f") > max_shingle_freq)
+            .select("_s")
+        )
+        exploded = exploded.join(hot, on="_s", how="left_anti")
+    a = exploded.select(
+        F.col("_s"), F.col("_id").alias("id_a"), F.col("_n").alias("n_a")
+    )
+    b = exploded.select(
+        F.col("_s"), F.col("_id").alias("id_b"), F.col("_n").alias("n_b")
+    )
+    pairs = (
+        a.join(b, on="_s")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "n_a", "n_b")
+        .agg(F.count("*").alias("inter"))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return pairs
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 64,
+    k: int = 3,
+) -> DataFrame:
+    """(doc_id, signature array<bigint>[num_perm]) via seeded xxhash64 min-
+    reduction over word shingles — one narrow map, no shuffle, no UDF.
+    Shingles are staged as a materialized column so the num_perm signature
+    entries reference a small expression (see _with_shingles)."""
+    shingled = _with_shingles(df, id_col, text_col, k)
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform(F.col("_sh"), lambda s: F.xxhash64(s, F.lit(i)))
+            )
+            for i in range(num_perm)
+        ]
+    )
+    return shingled.select(
+        F.col("_id").alias("doc_id"),
+        F.when(F.size("_sh") > 0, sig).alias("signature"),
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 64,
+    bands: int = 16,
+    k: int = 3,
+    threshold: float = 0.7,
+    verify: bool = True,
+) -> DataFrame:
+    """Near-dup pairs via banded MinHash LSH.
+
+    Candidate pairs share ≥1 band (bucket equi-join on the band hash —
+    linear, not quadratic). With ``verify`` the candidates are checked
+    against true shingle Jaccard (joining the shingle sets back in) so the
+    output has no LSH false positives; without it the signature-estimated
+    Jaccard is reported.
+    Output: ``(id_a, id_b, jaccard)``, id_a < id_b.
+    """
+    rows_per_band = num_perm // bands
+    sigs = minhash_signatures(df, id_col, text_col, num_perm, k).filter(
+        F.col("signature").isNotNull()
+    )
+    banded = sigs.select(
+        "doc_id",
+        "signature",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.col("signature")[b * rows_per_band + r]
+                                    for r in range(rows_per_band)
+                                ],
+                            ),
+                            F.lit(b),
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "signature", "bb.band", "bb.bucket")
+
+    a = banded.select(
+        "band", "bucket", F.col("doc_id").alias("id_a"), F.col("signature").alias("sig_a")
+    )
+    b = banded.select(
+        "band", "bucket", F.col("doc_id").alias("id_b"), F.col("signature").alias("sig_b")
+    )
+    cands = (
+        a.join(b, on=["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+    if not verify:
+        est = (
+            F.size(
+                F.filter(
+                    F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+                    lambda m: m,
+                )
+            )
+            / F.lit(num_perm)
+        )
+        return (
+            cands.withColumn("jaccard", F.round(est, 6))
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard")
+        )
+
+    shing = _with_shingles(df, id_col, text_col, k)
+    sa = shing.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"))
+    sb = shing.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"))
+    verified = (
+        cands.select("id_a", "id_b")
+        .join(sa, on="id_a")
+        .join(sb, on="id_b")
+        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter")
+                / (F.size("sh_a") + F.size("sh_b") - F.col("inter")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return verified
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def _bit_mask(i: int) -> int:
+    """Signed-long literal with only bit i set (bit 63 = sign bit)."""
+    return (1 << i) if i < 63 else -(1 << 63)
+
+
+def _bit_votes(hashes: Column) -> Column:
+    """votes[i] = sum over hashes of (bit i set ? +1 : -1), one fold."""
+    return F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0), 64),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.array(
+                *[
+                    F.when(
+                        h.bitwiseAND(F.lit(_bit_mask(i)).cast("long")) != 0, 1
+                    ).otherwise(-1)
+                    for i in range(64)
+                ]
+            ),
+            lambda a, b: a + b,
+        ),
+    )
+
+
+def _votes_to_fp(votes: Column) -> Column:
+    fp = F.lit(0).cast("long")
+    for i in range(64):
+        fp = fp.bitwiseOR(
+            F.when(votes[i] > 0, F.lit(_bit_mask(i)).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return fp
+
+
+def with_simhash64(
+    df: DataFrame, id_col: str, text_col: str, k: int = 1, out_col: str = "fp"
+) -> DataFrame:
+    """(doc_id, fp): 64-bit SimHash, staged through materialized columns
+    (shingles → hashes → votes → fp) to keep each expression tree small."""
+    return (
+        _with_shingles(df, id_col, text_col, k)
+        .select(
+            "_id", F.transform(F.col("_sh"), lambda s: F.xxhash64(s)).alias("_h")
+        )
+        .select("_id", _bit_votes(F.col("_h")).alias("_v"))
+        .select(F.col("_id").alias("doc_id"), _votes_to_fp(F.col("_v")).alias(out_col))
+    )
+
+
+def simhash64(col: Column, k: int = 1) -> Column:
+    """64-bit SimHash of word k-shingles as a single Column expression.
+    Prefer :func:`with_simhash64` in plans — the staged variant compiles
+    far faster; this inline form suits small expressions/tests."""
+    hashes = F.transform(word_shingles(col, k), lambda s: F.xxhash64(s))
+    return _votes_to_fp(_bit_votes(hashes))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    shingle_k: int = 1,
+) -> DataFrame:
+    """Near-dup pairs within Hamming distance ``max_hamming`` of the
+    64-bit SimHash.
+
+    Blocking: split the fingerprint into ``max_hamming+1`` 16-bit-ish
+    bands; by pigeonhole any pair within distance d agrees exactly on ≥1
+    band → candidates come from band equi-joins, verified with bit_count.
+    """
+    nbands = max_hamming + 1
+    width = 64 // nbands
+    fp = with_simhash64(df, id_col, text_col, shingle_k)
+    banded = fp.select(
+        "doc_id",
+        "fp",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned(F.col("fp"), b * width)
+                        .bitwiseAND(F.lit((1 << width) - 1).cast("long"))
+                        .alias("chunk"),
+                    )
+                    for b in range(nbands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "fp", "bb.band", "bb.chunk")
+    a = banded.select("band", "chunk", F.col("doc_id").alias("id_a"), F.col("fp").alias("fp_a"))
+    b = banded.select("band", "chunk", F.col("doc_id").alias("id_b"), F.col("fp").alias("fp_b"))
+    return (
+        a.join(b, on=["band", "chunk"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "fp_a", "fp_b")
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("hamming", F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding cosine near-dup
+# ---------------------------------------------------------------------------
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0).cast("double"),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(_dot(a, a))
+
+
+def embedding_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_planes: int = 8,
+) -> DataFrame:
+    """Vector pairs with cosine ≥ threshold.
+
+    Blocking: sign-LSH — each vector is bucketed by the sign pattern of
+    ``n_planes`` seeded pseudo-random hyperplanes (hash-derived, data-
+    independent, deterministic); near-identical vectors almost surely
+    share the bucket. Exact cosine verifies within buckets. For recall-
+    critical jobs lower ``n_planes`` (bigger buckets, more work).
+    """
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    dim_idx = F.sequence(F.lit(0), F.size(F.col(vec_col)) - 1)
+    # plane p component for dim i = deterministic pseudo-gaussian from hash
+    sig_bits = [
+        F.when(
+            F.aggregate(
+                F.zip_with(
+                    v,
+                    dim_idx,
+                    lambda x, i: x
+                    * (
+                        (
+                            F.pmod(
+                                F.xxhash64(i.cast("string"), F.lit(p)), F.lit(2001)
+                            ).cast("double")
+                            - 1000.0
+                        )
+                        / 1000.0
+                    ),
+                ),
+                F.lit(0.0).cast("double"),
+                lambda acc, t: acc + t,
+            )
+            >= 0,
+            F.lit(1),
+        ).otherwise(F.lit(0))
+        for p in range(n_planes)
+    ]
+    bucket = sum(
+        (bit * (1 << p) for p, bit in enumerate(sig_bits)), F.lit(0)
+    )
+    base = df.select(
+        F.col(id_col).alias("_vid"),
+        v.alias("_v"),
+        bucket.alias("_bkt"),
+        _norm(v).alias("_nrm"),
+    )
+    a = base.select(
+        F.col("_bkt"),
+        F.col("_vid").alias("id_a"),
+        F.col("_v").alias("v_a"),
+        F.col("_nrm").alias("n_a"),
+    )
+    b = base.select(
+        F.col("_bkt"),
+        F.col("_vid").alias("id_b"),
+        F.col("_v").alias("v_b"),
+        F.col("_nrm").alias("n_b"),
+    )
+    return (
+        a.join(b, on="_bkt")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cosine",
+            F.round(_dot(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b")), 6),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

@@ -1,0 +1,186 @@
+"""Text-analysis operators for large-scale document pipelines.
+
+All hot-path logic is native Column expressions (JVM, codegen) — no Python
+UDFs: tokenization is `split`, ratios are `length`-arithmetic, language ID
+is stopword-hit scoring over higher-order array functions. Everything is a
+narrow per-row map: no shuffle, scales linearly with partitions.
+
+These extend the reference's surface (north-star extensions per
+BASELINE.json); the reference itself has no text operators.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Small built-in stopword lists (top function words) for the n-gram/stopword
+# language heuristic. Deliberately tiny — language ID here is a cheap
+# pipeline signal, not a model.
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "that", "it", "for"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "zu", "auf"),
+    "fr": ("le", "la", "les", "et", "est", "un", "une", "dans", "que", "pour"),
+    "es": ("el", "la", "los", "las", "y", "es", "un", "una", "que", "por"),
+}
+
+_WS = r"\s+"
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokens, empties removed (leading/trailing safe)."""
+    return F.filter(F.split(F.trim(col), _WS), lambda t: t != F.lit(""))
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col))
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    """A BPE-ish proxy token count: word-pieces + digits + punctuation
+    counted separately (regex segmentation, JVM-side). Tracks how LLM
+    tokenizers segment far better than whitespace counting."""
+    pieces = F.filter(
+        F.split(col, r"(?=[^A-Za-z0-9])|(?<=[^A-Za-z0-9])"),
+        lambda t: (t != F.lit("")) & (t != F.lit(" ")),
+    )
+    # long words cost extra subword pieces: ceil(len/4) heuristic per piece
+    return F.aggregate(
+        pieces,
+        F.lit(0),
+        lambda acc, t: acc + F.greatest(F.lit(1), F.ceil(F.length(t) / 4).cast("int")),
+    )
+
+
+def stopword_hits(col: Column, lang: str) -> Column:
+    words = STOPWORDS[lang]
+    toks = F.transform(tokens(col), lambda t: F.lower(t))
+    return F.size(F.filter(toks, lambda t: t.isin(*words)))
+
+
+def text_stats(
+    df: DataFrame, text_col: str = "text", id_col: str | None = None
+) -> DataFrame:
+    """Per-document statistics: counts + ratio features + a quality score.
+
+    Quality scoring follows the usual pretraining-filter recipe (length,
+    punctuation balance, stopword presence, digit/upper noise): each
+    feature in [0,1], combined multiplicatively.
+    """
+    c = F.col(text_col)
+    n_chars = F.length(c)
+    toks = tokens(c)
+    n_tokens = F.size(toks)
+    n_alpha = F.length(F.regexp_replace(c, r"[^A-Za-z]", ""))
+    n_digit = F.length(F.regexp_replace(c, r"[^0-9]", ""))
+    n_punct = F.length(F.regexp_replace(c, r"[^\.,;:!\?'\"()\[\]-]", ""))
+    n_upper = F.length(F.regexp_replace(c, r"[^A-Z]", ""))
+    n_ws = F.length(F.regexp_replace(c, r"[^\s]", ""))
+    avg_tok = F.when(n_tokens > 0, (n_chars - n_ws) / n_tokens).otherwise(F.lit(0.0))
+    sw = sum((stopword_hits(c, lg) for lg in STOPWORDS), F.lit(0))
+    stopword_ratio = F.when(n_tokens > 0, sw / n_tokens).otherwise(F.lit(0.0))
+
+    denom = F.greatest(n_chars, F.lit(1))
+    quality = (
+        F.least(n_tokens / F.lit(20.0), F.lit(1.0))  # long enough
+        * (1 - F.least(n_digit / denom * 5, F.lit(1.0)))  # not digit soup
+        * (1 - F.least(n_punct / denom * 10, F.lit(1.0)))  # not punct soup
+        * (1 - F.least(n_upper / F.greatest(n_alpha, F.lit(1)) * 3, F.lit(1.0)))
+        * F.least(F.lit(0.2) + stopword_ratio * 4, F.lit(1.0))
+    )
+
+    out = df.withColumns(
+        {
+            "n_chars": n_chars.cast("int"),
+            "n_tokens": n_tokens.cast("int"),
+            "n_alpha": n_alpha.cast("int"),
+            "n_digits": n_digit.cast("int"),
+            "n_punct": n_punct.cast("int"),
+            "avg_token_len": F.round(avg_tok, 4),
+            "stopword_ratio": F.round(stopword_ratio, 4),
+            "quality_score": F.round(quality, 4),
+        }
+    )
+    return out
+
+
+def language_id(
+    df: DataFrame, text_col: str = "text", out_col: str = "lang_pred"
+) -> DataFrame:
+    """Heuristic language ID: stopword-hit scoring per language + a CJK
+    character-ratio rule. Deterministic argmax with lexicographic
+    tie-break; ``und`` when nothing scores."""
+    c = F.col(text_col)
+    cjk = F.length(F.regexp_replace(c, r"[^一-鿿]", ""))
+    langs = sorted(STOPWORDS)
+    # max by (score, tiebreak): tiebreak decreases alphabetically, so ties
+    # resolve to the alphabetically-first language — deterministic.
+    scores = F.array(
+        *[
+            F.struct(
+                stopword_hits(c, lg).alias("score"),
+                F.lit(len(langs) - i).alias("tiebreak"),
+                F.lit(lg).alias("lang"),
+            )
+            for i, lg in enumerate(langs)
+        ]
+    )
+    best = F.array_max(scores)
+    pred = (
+        F.when(cjk * 2 > F.length(c), F.lit("zh"))
+        .when(best["score"] > 0, best["lang"])
+        .otherwise(F.lit("und"))
+    )
+    return df.withColumn(out_col, pred)
+
+
+def normalize_text(col: Column) -> Column:
+    """Canonical form for fingerprinting/dedup: lowercase, collapse
+    whitespace, strip punctuation."""
+    return F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(col), r"[^\p{L}\p{N}\s]", " "), _WS, " "
+        )
+    )
+
+
+def fingerprint64(col: Column) -> Column:
+    """64-bit content fingerprint of the normalized text (xxhash64)."""
+    return F.xxhash64(normalize_text(col))
+
+
+def shingles_from_tokens(toks: Column, k: int) -> Column:
+    """Distinct word k-shingles from a token-array Column.
+
+    NOTE: pass a *materialized column reference* (`F.col`), not a large
+    expression — the token expression appears several times here and a
+    deep inlined tree multiplies analysis/codegen cost (see
+    dedup._with_shingles for the staged pattern).
+    """
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    return F.when(
+        n < k,
+        F.when(n > 0, F.array(F.concat_ws(" ", toks))).otherwise(
+            F.array().cast("array<string>")
+        ),
+    ).otherwise(
+        F.array_distinct(
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)))
+        )
+    )
+
+
+def word_shingles(col: Column, k: int = 3) -> Column:
+    """Distinct word k-shingles ("a b c" style) as an array<string>."""
+    return shingles_from_tokens(tokens(normalize_text(col)), k)
+
+
+def char_shingles(col: Column, k: int = 5) -> Column:
+    """Distinct character k-shingles of the normalized text."""
+    s = normalize_text(col)
+    n = F.length(s)
+    idx = F.sequence(F.lit(1), F.greatest(n - k + 1, F.lit(1)))
+    return F.when(n < k, F.array(s)).otherwise(
+        F.array_distinct(F.transform(idx, lambda i: F.substring(s, i, F.lit(k))))
+    )

@@ -1,0 +1,209 @@
+"""Knowledge-graph pipeline queries (reference-parity surface).
+
+These run the engine's actual product — tabular → triples → property
+graph — over the synthetic star schema, flattened to deterministic
+string columns so a DuckDB oracle can hash-match them:
+
+* ``kg_triples_customer`` — node mapping only (M1-M8 semantics)
+* ``kg_edge_triples``     — auto edge-ID mapping (M9-M11 semantics)
+* ``kg_pg_elements``      — the full pipeline incl. PG aggregation
+  (A1-A5, J1 semantics), labels/properties as sorted joined strings.
+
+Reference semantics being checked: JSON-literal value serialization,
+drop-on-null, raw special keys, set-valued properties, edge typing.
+(Reference: src/ketl/tabmap/core.py, src/ketl/io/core.py.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..pg.build import triples_to_pg
+from ..tabmap.compiler import AUTO_EDGE_ID, DataFrameMapper, chain_mappers
+from ..tabmap.mappers import (
+    ExprValueMapper,
+    column_triple_mapper,
+    edge_source_triple_mapper,
+    edge_target_triple_mapper,
+    type_triple_mapper,
+)
+
+
+def _customer_mapper() -> DataFrameMapper:
+    return DataFrameMapper(
+        ExprValueMapper(F.concat(F.lit("C:"), F.col("c_custkey").cast("string"))),
+        [
+            column_triple_mapper("c_name", "hasName"),
+            column_triple_mapper("c_acctbal", "hasAcctBal"),
+            column_triple_mapper("c_mktsegment", "inSegment"),
+        ],
+        [type_triple_mapper("Customer")],
+    )
+
+
+def _order_mapper() -> DataFrameMapper:
+    return DataFrameMapper(
+        ExprValueMapper(F.concat(F.lit("O:"), F.col("o_orderkey").cast("string"))),
+        [
+            column_triple_mapper("o_orderstatus", "hasStatus"),
+            column_triple_mapper("o_totalprice", "hasTotal"),
+        ],
+        [type_triple_mapper("Order")],
+    )
+
+
+def _placed_mapper() -> DataFrameMapper:
+    return DataFrameMapper(
+        AUTO_EDGE_ID,
+        [
+            edge_source_triple_mapper(
+                ExprValueMapper(F.concat(F.lit("C:"), F.col("o_custkey").cast("string")))
+            ),
+            edge_target_triple_mapper(
+                ExprValueMapper(F.concat(F.lit("O:"), F.col("o_orderkey").cast("string")))
+            ),
+        ],
+        [type_triple_mapper("placed")],
+    )
+
+
+def kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All triples of the customer/order/placed graph."""
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return chain_mappers(customer, _customer_mapper()).unionByName(
+        chain_mappers(orders, _order_mapper(), _placed_mapper())
+    )
+
+
+def kg_triples_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    return _customer_mapper().to_triples(customer)
+
+
+KG_TRIPLES_CUSTOMER_SQL = """
+SELECT 'C:' || c_custkey AS id, 'hasName' AS key, to_json(c_name)::VARCHAR AS value
+FROM customer WHERE c_name IS NOT NULL AND c_name <> ''
+UNION ALL
+SELECT 'C:' || c_custkey, 'hasAcctBal', to_json(c_acctbal)::VARCHAR
+FROM customer WHERE c_acctbal IS NOT NULL
+UNION ALL
+SELECT 'C:' || c_custkey, 'inSegment', to_json(c_mktsegment)::VARCHAR
+FROM customer WHERE c_mktsegment IS NOT NULL AND c_mktsegment <> ''
+UNION ALL
+SELECT 'C:' || c_custkey, '@type', 'Customer' FROM customer
+"""
+
+
+def kg_edge_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return _placed_mapper().to_triples(orders)
+
+
+KG_EDGE_TRIPLES_SQL = """
+SELECT 'placed:C:' || o_custkey || '-O:' || o_orderkey AS id, '@from' AS key,
+       'C:' || o_custkey AS value
+FROM orders
+UNION ALL
+SELECT 'placed:C:' || o_custkey || '-O:' || o_orderkey, '@to', 'O:' || o_orderkey
+FROM orders
+UNION ALL
+SELECT 'placed:C:' || o_custkey || '-O:' || o_orderkey, '@type', 'placed'
+FROM orders
+"""
+
+
+def kg_pg_elements(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full pipeline → PG relation, flattened deterministically."""
+    pg = triples_to_pg(kg_triples(spark, sf_dir))
+    pkeys = F.array_sort(F.map_keys("properties"))
+    props_str = F.array_join(
+        F.transform(
+            pkeys,
+            lambda k: F.concat(
+                k,
+                F.lit("=["),
+                F.array_join(F.col("properties")[k], ","),
+                F.lit("]"),
+            ),
+        ),
+        ";",
+    )
+    return pg.select(
+        "id",
+        "type",
+        F.array_join("labels", "|").alias("labels_str"),
+        F.col("from").alias("from_id"),
+        F.col("to").alias("to_id"),
+        props_str.alias("props_str"),
+    )
+
+
+KG_PG_ELEMENTS_SQL = """
+WITH triples AS (
+  SELECT 'C:' || c_custkey AS id, 'hasName' AS key, to_json(c_name)::VARCHAR AS value
+  FROM customer WHERE c_name IS NOT NULL AND c_name <> ''
+  UNION ALL
+  SELECT 'C:' || c_custkey, 'hasAcctBal', to_json(c_acctbal)::VARCHAR
+  FROM customer WHERE c_acctbal IS NOT NULL
+  UNION ALL
+  SELECT 'C:' || c_custkey, 'inSegment', to_json(c_mktsegment)::VARCHAR
+  FROM customer WHERE c_mktsegment IS NOT NULL AND c_mktsegment <> ''
+  UNION ALL
+  SELECT 'C:' || c_custkey, '@type', 'Customer' FROM customer
+  UNION ALL
+  SELECT 'O:' || o_orderkey, 'hasStatus', to_json(o_orderstatus)::VARCHAR
+  FROM orders WHERE o_orderstatus IS NOT NULL AND o_orderstatus <> ''
+  UNION ALL
+  SELECT 'O:' || o_orderkey, 'hasTotal', to_json(o_totalprice)::VARCHAR
+  FROM orders WHERE o_totalprice IS NOT NULL
+  UNION ALL
+  SELECT 'O:' || o_orderkey, '@type', 'Order' FROM orders
+  UNION ALL
+  SELECT 'placed:C:' || o_custkey || '-O:' || o_orderkey, '@type', 'placed' FROM orders
+  UNION ALL
+  SELECT 'placed:C:' || o_custkey || '-O:' || o_orderkey, '@from', 'C:' || o_custkey FROM orders
+  UNION ALL
+  SELECT 'placed:C:' || o_custkey || '-O:' || o_orderkey, '@to', 'O:' || o_orderkey FROM orders
+),
+labels AS (
+  SELECT id, string_agg(DISTINCT value, '|' ORDER BY value) AS labels_str
+  FROM triples WHERE key = '@type' GROUP BY id
+),
+ends AS (
+  SELECT id,
+         max(CASE WHEN key = '@from' THEN value END) AS from_id,
+         max(CASE WHEN key = '@to' THEN value END) AS to_id
+  FROM triples GROUP BY id
+),
+kv AS (
+  SELECT id, key, string_agg(DISTINCT value, ',' ORDER BY value) AS vals
+  FROM triples WHERE key NOT IN ('@type', '@from', '@to') GROUP BY id, key
+),
+props AS (
+  SELECT id, string_agg(key || '=[' || vals || ']', ';' ORDER BY key) AS props_str
+  FROM kv GROUP BY id
+)
+SELECT e.id,
+       CASE WHEN e.from_id IS NOT NULL THEN 'edge' ELSE 'node' END AS type,
+       coalesce(l.labels_str, '') AS labels_str,
+       e.from_id, e.to_id,
+       coalesce(p.props_str, '') AS props_str
+FROM ends e
+LEFT JOIN labels l USING (id)
+LEFT JOIN props p USING (id)
+"""
+
+
+QUERIES = {
+    "kg_triples_customer": kg_triples_customer,
+    "kg_edge_triples": kg_edge_triples,
+    "kg_pg_elements": kg_pg_elements,
+}
+
+ORACLES = {
+    "kg_triples_customer": KG_TRIPLES_CUSTOMER_SQL,
+    "kg_edge_triples": KG_EDGE_TRIPLES_SQL,
+    "kg_pg_elements": KG_PG_ELEMENTS_SQL,
+}

@@ -1,0 +1,373 @@
+"""LLM-data-pipeline query catalog: text analysis, dedup, similarity,
+event analytics — each with a DuckDB oracle where SQL-expressible.
+
+Non-SQL-expressible entries (seeded-xxhash MinHash/SimHash internals,
+LSH-approximate search) are exposed rows-only; the MinHash-LSH *verified*
+variant is oracle-checked against true shingle Jaccard (LSH affects
+recall only, and its parameters are chosen so miss probability at the
+threshold is ≈1e-6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup as DD
+from ..operators import similarity as SIM
+from ..operators import text as TX
+from ..streaming import events as EV
+
+# ---------------------------------------------------------------------------
+# documents: text analysis
+# ---------------------------------------------------------------------------
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.text_stats(_docs(spark, sf_dir).select("doc_id", "text")).select(
+        "doc_id",
+        "n_chars",
+        "n_tokens",
+        "n_alpha",
+        "n_digits",
+        "avg_token_len",
+        "stopword_ratio",
+        "quality_score",
+    )
+
+
+_SW_LISTS = {
+    lang: "[" + ", ".join(f"'{w}'" for w in words) + "]"
+    for lang, words in TX.STOPWORDS.items()
+}
+
+_TOKS = "list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')"
+_SW_HITS = {
+    lang: f"len(list_filter({_TOKS}, t -> list_contains({lst}, lower(t))))"
+    for lang, lst in _SW_LISTS.items()
+}
+_SW_TOTAL = " + ".join(_SW_HITS.values())
+
+TEXT_STATS_SQL = f"""
+SELECT doc_id,
+       CAST(length(text) AS INT) AS n_chars,
+       CAST(len({_TOKS}) AS INT) AS n_tokens,
+       CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS INT) AS n_alpha,
+       CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS INT) AS n_digits,
+       round(CASE WHEN len({_TOKS}) > 0
+             THEN (length(text) - length(regexp_replace(text, '[^\\s]', '', 'g')))
+                  / len({_TOKS})
+             ELSE 0.0 END, 4) AS avg_token_len,
+       round(CASE WHEN len({_TOKS}) > 0
+             THEN ({_SW_TOTAL}) / len({_TOKS}) ELSE 0.0 END, 4) AS stopword_ratio,
+       round(
+         least(len({_TOKS}) / 20.0, 1.0)
+         * (1 - least(length(regexp_replace(text, '[^0-9]', '', 'g'))
+                      / greatest(length(text), 1) * 5, 1.0))
+         * (1 - least(length(regexp_replace(text, '[^\\.,;:!\\?''"()\\[\\]-]', '', 'g'))
+                      / greatest(length(text), 1) * 10, 1.0))
+         * (1 - least(length(regexp_replace(text, '[^A-Z]', '', 'g'))
+                      / greatest(length(regexp_replace(text, '[^A-Za-z]', '', 'g')), 1) * 3, 1.0))
+         * least(0.2 + (CASE WHEN len({_TOKS}) > 0
+                        THEN ({_SW_TOTAL}) / len({_TOKS}) ELSE 0.0 END) * 4, 1.0)
+       , 4) AS quality_score
+FROM documents
+"""
+
+
+def lang_id_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion counts: labeled lang × predicted lang."""
+    return (
+        TX.language_id(_docs(spark, sf_dir).select("doc_id", "text", "lang"))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+_LANG_CASE = f"""
+CASE WHEN length(regexp_replace(text, '[^一-鿿]', '', 'g')) * 2 > length(text) THEN 'zh'
+     WHEN greatest({_SW_HITS['de']}, {_SW_HITS['en']}, {_SW_HITS['es']}, {_SW_HITS['fr']}) = 0 THEN 'und'
+     WHEN {_SW_HITS['de']} >= {_SW_HITS['en']} AND {_SW_HITS['de']} >= {_SW_HITS['es']}
+          AND {_SW_HITS['de']} >= {_SW_HITS['fr']} THEN 'de'
+     WHEN {_SW_HITS['en']} >= {_SW_HITS['es']} AND {_SW_HITS['en']} >= {_SW_HITS['fr']} THEN 'en'
+     WHEN {_SW_HITS['es']} >= {_SW_HITS['fr']} THEN 'es'
+     ELSE 'fr' END
+"""
+
+LANG_ID_SQL = f"""
+SELECT lang, {_LANG_CASE} AS lang_pred, count(*) AS n
+FROM documents
+GROUP BY 1, 2
+"""
+
+_NORM = (
+    "trim(regexp_replace(regexp_replace(lower(text),"
+    " '[^\\p{L}\\p{N}\\s]', ' ', 'g'), '\\s+', ' ', 'g'))"
+)
+
+
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """md5 content fingerprint of normalized text (oracle-replicable
+    variant of the xxhash64 fingerprint operator)."""
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id", F.md5(TX.normalize_text(F.col("text"))).alias("fingerprint")
+    )
+
+
+DOC_FINGERPRINTS_SQL = f"""
+SELECT doc_id, md5({_NORM}) AS fingerprint FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# documents: dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.exact_dedup(_docs(spark, sf_dir))
+
+
+EXACT_DEDUP_SQL = """
+SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_dups
+FROM documents GROUP BY 1
+"""
+
+_SHINGLES_CTE = f"""
+norm AS (SELECT doc_id, {_NORM} AS s FROM documents),
+toks AS (SELECT doc_id, list_filter(string_split(s, ' '), x -> x <> '') AS t FROM norm),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(t) < 3 THEN
+                (CASE WHEN len(t) > 0 THEN [array_to_string(t, ' ')] ELSE [] END)
+              ELSE list_distinct([array_to_string(t[i:i+2], ' ')
+                                  for i in generate_series(1, len(t) - 2)])
+         END AS sh
+  FROM toks
+),
+ex AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM sh)
+"""
+
+
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.ngram_jaccard_pairs(_docs(spark, sf_dir), k=3, threshold=0.5)
+
+
+NGRAM_JACCARD_SQL = f"""
+WITH {_SHINGLES_CTE},
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS n_a, b.n AS n_b,
+         count(*) AS inter
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+)
+SELECT id_a, id_b, round(inter / (n_a + n_b - inter), 6) AS jaccard
+FROM pairs
+WHERE round(inter / (n_a + n_b - inter), 6) >= 0.5
+"""
+
+
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verified MinHash-LSH near-dup pairs. Oracle = true Jaccard ≥ 0.6:
+    LSH only affects recall; with r=2,b=32 bands P(miss | j≥0.6) < 1e-6."""
+    return DD.minhash_lsh_pairs(
+        _docs(spark, sf_dir), num_perm=64, bands=32, k=3, threshold=0.6, verify=True
+    )
+
+
+MINHASH_LSH_SQL = f"""
+WITH {_SHINGLES_CTE},
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS n_a, b.n AS n_b,
+         count(*) AS inter
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+)
+SELECT id_a, id_b, round(inter / (n_a + n_b - inter), 6) AS jaccard
+FROM pairs
+WHERE round(inter / (n_a + n_b - inter), 6) >= 0.6
+"""
+
+
+def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only check: seeded-xxhash fingerprints aren't SQL-replicable."""
+    return DD.simhash_pairs(_docs(spark, sf_dir), max_hamming=3)
+
+
+# ---------------------------------------------------------------------------
+# embeddings: similarity
+# ---------------------------------------------------------------------------
+
+
+def embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return SIM.cosine_topk(emb, emb.filter("vec_id < 20"), k=5)
+
+
+_DOT = (
+    "list_reduce([{a}[i]::DOUBLE * {b}[i]::DOUBLE"
+    " for i in generate_series(1, len({a}))], (x, y) -> x + y)"
+)
+
+EMBEDDING_TOPK_SQL = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 20),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id,
+         round({_DOT.format(a='qv', b='cv')}
+               / (sqrt({_DOT.format(a='qv', b='qv')})
+                  * sqrt({_DOT.format(a='cv', b='cv')})), 6) AS cosine
+  FROM c CROSS JOIN q
+  WHERE neighbor_id <> query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 5
+"""
+
+
+def embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: sign-LSH bucketing is hash-seeded (not SQL-replicable)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return DD.embedding_dup_pairs(emb, threshold=0.9)
+
+
+def embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: approximate-by-design."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return SIM.lsh_topk(emb, emb.filter("vec_id < 20"), k=5)
+
+
+# ---------------------------------------------------------------------------
+# events: analytics (batch twins of the streaming operators)
+# ---------------------------------------------------------------------------
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return EV.load_events(spark, f"{sf_dir}/events.parquet")
+
+
+def events_tumbling_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return EV.tumbling_agg(_events(spark, sf_dir), window_minutes=5)
+
+
+EVENTS_TUMBLING_SQL = """
+SELECT CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS window_start,
+       event_type,
+       count(*) AS n_events,
+       round(sum(value), 4) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return EV.sessionize(_events(spark, sf_dir), gap_minutes=30)
+
+
+EVENTS_SESSIONIZE_SQL = """
+WITH g AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR CAST(floor(epoch(ts)) AS BIGINT)
+                      - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) >= 1800
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+s AS (
+  SELECT user_id, ts,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sess
+  FROM g
+)
+SELECT user_id,
+       min(CAST(floor(epoch(ts)) AS BIGINT)) AS session_start,
+       count(*) AS n_events,
+       max(CAST(floor(epoch(ts)) AS BIGINT))
+         - min(CAST(floor(epoch(ts)) AS BIGINT)) AS duration_secs
+FROM s
+GROUP BY user_id, sess
+"""
+
+
+def events_user_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return EV.user_activity_rollup(_events(spark, sf_dir))
+
+
+EVENTS_USER_DAILY_SQL = """
+SELECT user_id,
+       CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR) AS day,
+       count(*) AS n_events,
+       round(sum(value), 4) AS sum_value,
+       count(CASE WHEN event_type = 'click' THEN 1 END) AS n_click,
+       count(CASE WHEN event_type = 'view' THEN 1 END) AS n_view,
+       count(CASE WHEN event_type = 'error' THEN 1 END) AS n_error
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction from the props JSON column."""
+    e = _events(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.round(F.avg(k), 4).alias("avg_k"),
+            F.count(F.when(k > 50, 1)).alias("n_high"),
+        )
+    )
+
+
+EVENTS_JSON_SQL = """
+SELECT event_type,
+       round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 4) AS avg_k,
+       count(CASE WHEN CAST(json_extract_string(props, '$.k') AS INT) > 50 THEN 1 END) AS n_high
+FROM events
+GROUP BY event_type
+"""
+
+
+QUERIES = {
+    "text_stats": text_stats,
+    "lang_id_counts": lang_id_counts,
+    "doc_fingerprints": doc_fingerprints,
+    "exact_dedup": exact_dedup,
+    "ngram_jaccard_pairs": ngram_jaccard_pairs,
+    "minhash_lsh_pairs": minhash_lsh_pairs,
+    "simhash_pairs": simhash_pairs,
+    "embedding_topk": embedding_topk,
+    "embedding_dup_pairs": embedding_dup_pairs,
+    "embedding_lsh_topk": embedding_lsh_topk,
+    "events_tumbling_5m": events_tumbling_5m,
+    "events_sessionize": events_sessionize,
+    "events_user_daily": events_user_daily,
+    "events_json_extract": events_json_extract,
+}
+
+ORACLES = {
+    "text_stats": TEXT_STATS_SQL,
+    "lang_id_counts": LANG_ID_SQL,
+    "doc_fingerprints": DOC_FINGERPRINTS_SQL,
+    "exact_dedup": EXACT_DEDUP_SQL,
+    "ngram_jaccard_pairs": NGRAM_JACCARD_SQL,
+    "minhash_lsh_pairs": MINHASH_LSH_SQL,
+    "embedding_topk": EMBEDDING_TOPK_SQL,
+    "events_tumbling_5m": EVENTS_TUMBLING_SQL,
+    "events_sessionize": EVENTS_SESSIONIZE_SQL,
+    "events_user_daily": EVENTS_USER_DAILY_SQL,
+    "events_json_extract": EVENTS_JSON_SQL,
+    # simhash_pairs / embedding_dup_pairs / embedding_lsh_topk: rows-only
+}

@@ -13,6 +13,10 @@ from typing import Any
 from pyspark.sql import SparkSession
 
 _DEFAULT_CONF = {
+    # parquet TIMESTAMP(NANOS) (unsupported by the Spark reader) surfaces
+    # as raw int64 nanos; streaming/events loaders convert exactly via
+    # integer division to micros (see streaming.events.load_events)
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
