@@ -27,6 +27,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .text import normalize_text, shingles_from_tokens, tokens, word_shingles
+from .util import fan_out
 
 
 def _with_shingles(
@@ -42,7 +43,7 @@ def _with_shingles(
     identical (Catalyst collapses the projections into one stage).
     """
     return (
-        df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
+        fan_out(df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t")))
         .select("_id", tokens(normalize_text(F.col("_t"))).alias("_tok"))
         .select("_id", shingles_from_tokens(F.col("_tok"), k).alias("_sh"))
     )
@@ -66,7 +67,8 @@ def exact_dedup(
     """
     content = normalize_text(F.col(text_col)) if normalize else F.col(text_col)
     return (
-        df.select(F.col(id_col), F.md5(content).alias("content_hash"))
+        fan_out(df.select(F.col(id_col), F.col(text_col)))
+        .select(F.col(id_col), F.md5(content).alias("content_hash"))
         .groupBy("content_hash")
         .agg(
             F.min(id_col).alias("keep_id"),
@@ -100,34 +102,46 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Document pairs with word-k-shingle Jaccard ≥ threshold.
 
-    Plan: per-doc distinct shingles (narrow) → explode → self-equi-join on
-    shingle (shuffle on shingle) → count matches per pair (shuffle on pair)
-    → Jaccard = |∩| / (|A|+|B|-|∩|). ``max_shingle_freq`` drops shingles
-    appearing in more than N docs — at 100 TB the stopword-shingle skew
-    otherwise concentrates the join on a few hot keys; dropping them only
-    loses pairs whose *every* common shingle is ubiquitous.
+    Plan (join-free): per-doc distinct shingles (narrow) → explode →
+    group docs per shingle (shuffle 1) → emit id-ordered pair combinations
+    from each group with higher-order functions → count per pair
+    (shuffle 2) → Jaccard = |∩| / (|A|+|B|-|∩|). Avoids the classic
+    self-equi-join, which scans and shingles the corpus twice and doubles
+    the shuffle volume.
+
+    ``max_shingle_freq`` caps the per-shingle group size — at 100 TB the
+    stopword-shingle skew otherwise makes a few groups quadratic; capping
+    only loses pairs whose *every* common shingle is ubiquitous.
     Output: ``(id_a, id_b, jaccard)`` with id_a < id_b.
     """
     docs = _with_shingles(df, id_col, text_col, k).withColumn("_n", F.size("_sh"))
-    exploded = docs.select("_id", "_n", F.explode("_sh").alias("_s"))
-    if max_shingle_freq is not None:
-        hot = (
-            exploded.groupBy("_s")
-            .agg(F.count("*").alias("_f"))
-            .filter(F.col("_f") > max_shingle_freq)
-            .select("_s")
-        )
-        exploded = exploded.join(hot, on="_s", how="left_anti")
-    a = exploded.select(
-        F.col("_s"), F.col("_id").alias("id_a"), F.col("_n").alias("n_a")
+    exploded = docs.select(
+        F.explode("_sh").alias("_s"),
+        F.struct(F.col("_id").alias("id"), F.col("_n").alias("n")).alias("_d"),
     )
-    b = exploded.select(
-        F.col("_s"), F.col("_id").alias("id_b"), F.col("_n").alias("n_b")
+    groups = exploded.groupBy("_s").agg(
+        F.array_sort(F.collect_list("_d")).alias("_ds")
+    )
+    if max_shingle_freq is not None:
+        groups = groups.filter(F.size("_ds") <= max_shingle_freq)
+    # all (i<j) combinations within a shingle group, id-ordered via the sort
+    combos = F.flatten(
+        F.transform(
+            F.col("_ds"),
+            lambda x, i: F.transform(
+                F.slice(F.col("_ds"), i + 2, F.size(F.col("_ds"))),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
     )
     pairs = (
-        a.join(b, on="_s")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b", "n_a", "n_b")
+        groups.select(F.explode(combos).alias("_p"))
+        .groupBy(
+            F.col("_p.a.id").alias("id_a"),
+            F.col("_p.b.id").alias("id_b"),
+            F.col("_p.a.n").alias("n_a"),
+            F.col("_p.b.n").alias("n_b"),
+        )
         .agg(F.count("*").alias("inter"))
         .withColumn(
             "jaccard",
@@ -445,7 +459,7 @@ def embedding_dup_pairs(
     bucket = sum(
         (bit * (1 << p) for p, bit in enumerate(sig_bits)), F.lit(0)
     )
-    base = df.select(
+    base = fan_out(df).select(
         F.col(id_col).alias("_vid"),
         v.alias("_v"),
         bucket.alias("_bkt"),

@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .util import fan_out
+
 
 def _dvec(col: Column) -> Column:
     return F.transform(col, lambda x: x.cast("double"))
@@ -53,7 +55,7 @@ def cosine_topk(
     q = queries.select(
         F.col(qid).alias("query_id"), _dvec(F.col(vec_col)).alias("_qv")
     ).withColumn("_qn", _norm(F.col("_qv")))
-    c = corpus.select(
+    c = fan_out(corpus).select(
         F.col(id_col).alias("neighbor_id"), _dvec(F.col(vec_col)).alias("_cv")
     ).withColumn("_cn", _norm(F.col("_cv")))
     scored = (
@@ -126,7 +128,7 @@ def lsh_topk(
     in-bucket neighbors simply return fewer rows (standard ANN contract).
     """
     qid = query_id_col or id_col
-    c = corpus.select(
+    c = fan_out(corpus).select(
         F.col(id_col).alias("neighbor_id"), _dvec(F.col(vec_col)).alias("_cv")
     )
     c = c.withColumn("_cn", _norm(F.col("_cv"))).withColumn(

@@ -14,6 +14,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .util import fan_out
+
 # Small built-in stopword lists (top function words) for the n-gram/stopword
 # language heuristic. Deliberately tiny — language ID here is a cheap
 # pipeline signal, not a model.
@@ -67,6 +69,7 @@ def text_stats(
     punctuation balance, stopword presence, digit/upper noise): each
     feature in [0,1], combined multiplicatively.
     """
+    df = fan_out(df)
     c = F.col(text_col)
     n_chars = F.length(c)
     toks = tokens(c)
@@ -110,6 +113,7 @@ def language_id(
     """Heuristic language ID: stopword-hit scoring per language + a CJK
     character-ratio rule. Deterministic argmax with lexicographic
     tie-break; ``und`` when nothing scores."""
+    df = fan_out(df)
     c = F.col(text_col)
     cjk = F.length(F.regexp_replace(c, r"[^一-鿿]", ""))
     langs = sorted(STOPWORDS)

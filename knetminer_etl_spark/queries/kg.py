@@ -70,8 +70,10 @@ def _placed_mapper() -> DataFrameMapper:
 
 def kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All triples of the customer/order/placed graph."""
-    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    from ..operators.util import fan_out
+
+    customer = fan_out(spark.read.parquet(f"{sf_dir}/customer.parquet"))
+    orders = fan_out(spark.read.parquet(f"{sf_dir}/orders.parquet"))
     return chain_mappers(customer, _customer_mapper()).unionByName(
         chain_mappers(orders, _order_mapper(), _placed_mapper())
     )
