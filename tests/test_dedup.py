@@ -1,0 +1,115 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from knetminer_etl_spark.operators import dedup as DD
+
+BASE = (
+    "spark builds large scale data pipelines with partitioned parallel "
+    "operators over columnar storage and adaptive query execution today"
+)
+
+
+@pytest.fixture()
+def corpus(spark):
+    rows = [
+        (1, BASE),
+        (2, BASE),  # exact dup of 1
+        (3, BASE.replace("today", "tomorrow")),  # near dup of 1
+        (4, "completely different text about gardening tulips and soil ph"),
+        (5, "another unrelated document mentioning orchestras and violins"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+class TestExactDedup:
+    def test_groups_and_representatives(self, spark, corpus):
+        got = {r["keep_id"]: r["n_dups"] for r in DD.exact_dedup(corpus).collect()}
+        assert got[1] == 2  # docs 1+2 merged, min id kept
+        assert got[3] == 1 and got[4] == 1 and got[5] == 1
+
+    def test_drop_exact_dups(self, spark, corpus):
+        kept = {r["doc_id"] for r in DD.drop_exact_dups(corpus).collect()}
+        assert kept == {1, 3, 4, 5}
+
+
+class TestJaccard:
+    def test_finds_exact_and_near_pairs(self, spark, corpus):
+        pairs = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in DD.ngram_jaccard_pairs(corpus, threshold=0.5).collect()
+        }
+        assert pairs[(1, 2)] == 1.0
+        assert (1, 3) in pairs and 0.5 <= pairs[(1, 3)] < 1.0
+        assert (2, 3) in pairs
+        assert not any(4 in p or 5 in p for p in pairs)
+
+    def test_threshold_filters(self, spark, corpus):
+        strict = {
+            (r["id_a"], r["id_b"])
+            for r in DD.ngram_jaccard_pairs(corpus, threshold=0.999).collect()
+        }
+        assert strict == {(1, 2)}
+
+
+class TestMinHash:
+    def test_signature_shape_and_determinism(self, spark, corpus):
+        s1 = DD.minhash_signatures(corpus, num_perm=16).collect()
+        s2 = DD.minhash_signatures(corpus, num_perm=16).collect()
+        by_id = {r["doc_id"]: r["signature"] for r in s1}
+        assert all(len(v) == 16 for v in by_id.values())
+        assert {r["doc_id"]: r["signature"] for r in s2} == by_id
+        assert by_id[1] == by_id[2]  # exact dups → identical signatures
+
+    def test_lsh_verified_matches_jaccard(self, spark, corpus):
+        lsh = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in DD.minhash_lsh_pairs(
+                corpus, num_perm=64, bands=32, threshold=0.5, verify=True
+            ).collect()
+        }
+        true = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in DD.ngram_jaccard_pairs(corpus, threshold=0.5).collect()
+        }
+        assert lsh == true
+
+    def test_lsh_estimated_mode(self, spark, corpus):
+        est = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in DD.minhash_lsh_pairs(
+                corpus, num_perm=64, bands=32, threshold=0.9, verify=False
+            ).collect()
+        }
+        assert est[(1, 2)] == 1.0
+
+
+class TestSimHash:
+    def test_near_dups_within_hamming(self, spark, corpus):
+        pairs = {
+            (r["id_a"], r["id_b"]): r["hamming"]
+            for r in DD.simhash_pairs(corpus, max_hamming=10).collect()
+        }
+        assert pairs[(1, 2)] == 0
+        assert (1, 3) in pairs
+        assert (1, 4) not in pairs and (4, 5) not in pairs
+
+
+class TestEmbeddingDups:
+    def test_identical_and_near_vectors(self, spark):
+        base = [1.0, 0.5, -0.25, 0.125] * 4
+        near = list(base)
+        near[0] += 0.001
+        far = [-x for x in base]
+        df = spark.createDataFrame(
+            [(1, base), (2, list(base)), (3, near), (4, far)],
+            "vec_id long, embedding array<float>",
+        )
+        pairs = {
+            (r["id_a"], r["id_b"]): r["cosine"]
+            for r in DD.embedding_dup_pairs(df, threshold=0.99).collect()
+        }
+        assert pairs[(1, 2)] == 1.0
+        assert (1, 3) in pairs
+        assert not any(4 in p for p in pairs)

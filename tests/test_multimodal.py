@@ -1,0 +1,57 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from knetminer_etl_spark.operators import multimodal as MM
+
+
+@pytest.fixture()
+def media(spark):
+    return spark.range(8).select(
+        F.col("id").alias("media_id"),
+        F.encode(F.concat(F.lit("blob-"), F.col("id").cast("string")), "utf-8").alias(
+            "data"
+        ),
+    )
+
+
+class TestPlumbing:
+    def test_attach_meta(self, spark, media):
+        got = MM.attach_media_meta(media, media_type="image", fmt="png").first()
+        assert got["media_meta"]["media_type"] == "image"
+        assert got["media_meta"]["n_bytes"] == len(b"blob-0")
+        assert got["media_meta"]["width"] is None  # codec fields null pre-decode
+
+    def test_fake_decode_deterministic(self, spark, media):
+        a = {r["media_id"]: r.asDict() for r in MM.decode_media(media).collect()}
+        b = {r["media_id"]: r.asDict() for r in MM.decode_media(media).collect()}
+        assert a == b
+        assert all(len(v["features"]) == 8 for v in a.values())
+        assert all(16 <= v["width"] < 80 for v in a.values())
+
+    def test_real_stub_raises(self, spark, media):
+        from py4j.protocol import Py4JJavaError
+
+        df = MM.decode_media(media, decode_fn=MM.real_decode_stub)
+        with pytest.raises(Exception) as ei:
+            df.collect()
+        assert "NotImplementedError" in str(ei.value) or "media codecs" in str(ei.value)
+
+    def test_null_binary_handled(self, spark):
+        df = spark.createDataFrame(
+            [(1, None)], "media_id long, data binary"
+        )
+        got = MM.decode_media(df).first()
+        assert got["width"] is not None  # fake decoder hashes empty bytes
+
+    def test_frame_sample_plan(self, spark):
+        df = spark.createDataFrame(
+            [(1, 3500), (2, 0)], "media_id long, duration_ms long"
+        )
+        got = MM.frame_sample_plan(df, every_ms=1000).collect()
+        by_id: dict[int, list[int]] = {}
+        for r in got:
+            by_id.setdefault(r["media_id"], []).append(r["frame_ts_ms"])
+        assert sorted(by_id[1]) == [0, 1000, 2000, 3000]
+        assert by_id[2] == [0]

@@ -1,0 +1,74 @@
+"""Streaming operators: batch/stream equivalence over the bounded events
+table (file source driven to completion)."""
+
+from __future__ import annotations
+
+import pytest
+
+from knetminer_etl_spark.streaming import events as EV
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    return EV.load_events(spark, f"{SF_DIR}/events.parquet")
+
+
+class TestBatchTwins:
+    def test_tumbling_agg_totals(self, spark, events):
+        agg = EV.tumbling_agg(events, window_minutes=5)
+        rows = agg.collect()
+        assert sum(r["n_events"] for r in rows) == events.count()
+        # window starts are aligned to 5 minutes
+        assert all(r["window_start"] % 300 == 0 for r in rows)
+
+    def test_sessionize_invariants(self, spark, events):
+        sess = EV.sessionize(events, gap_minutes=30)
+        rows = sess.collect()
+        assert sum(r["n_events"] for r in rows) == events.count()
+        assert all(r["duration_secs"] >= 0 for r in rows)
+
+    def test_rollup_pivot_sums(self, spark, events):
+        roll = EV.user_activity_rollup(events)
+        r = roll.agg({"n_click": "sum", "n_events": "sum"}).first()
+        clicks = events.filter("event_type = 'click'").count()
+        assert r["sum(n_click)"] == clicks
+        assert r["sum(n_events)"] == events.count()
+
+
+class TestStreamingTwins:
+    def test_stream_tumbling_matches_batch_except_open_window(self, spark, events):
+        stream = EV.read_event_stream(spark, SF_DIR)
+        EV.run_stream_to_memory(
+            EV.stream_tumbling_agg(stream, window_minutes=5), "t_win"
+        )
+        got = {
+            (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+            for r in spark.sql("SELECT * FROM t_win").collect()
+        }
+        want = {
+            (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+            for r in EV.tumbling_agg(events, window_minutes=5).collect()
+        }
+        # append mode holds back windows still within the watermark at EOF
+        missing = set(want) - set(got)
+        assert len(missing) <= len({k for k in want}) - len(got) + 5
+        for k, v in got.items():
+            assert want[k] == v  # everything emitted matches batch exactly
+
+    def test_stream_dedup_removes_replayed_events(self, spark, events, tmp_path):
+        # replay the same file twice → every event is a duplicate
+        import shutil
+
+        src = f"{SF_DIR}/events.parquet"
+        d = tmp_path / "replay"
+        d.mkdir()
+        shutil.copy(src, d / "a.parquet")
+        shutil.copy(src, d / "b.parquet")
+        stream = EV.read_event_stream(spark, str(d))
+        deduped = EV.stream_dedup(stream, keys=["event_id"], watermark="100 days")
+        EV.run_stream_to_memory(deduped, "dedup_out")
+        n = spark.sql("SELECT count(DISTINCT event_id) FROM dedup_out").first()[0]
+        total = spark.sql("SELECT count(*) FROM dedup_out").first()[0]
+        assert n == total == events.count()
