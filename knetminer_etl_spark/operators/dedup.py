@@ -30,6 +30,36 @@ from .text import normalize_text, shingles_from_tokens, tokens, word_shingles
 from .util import fan_out
 
 
+def candidate_pairs_from_buckets(
+    bucketed: DataFrame, bucket_cols: list[str], id_col: str = "doc_id"
+) -> DataFrame:
+    """Distinct id-ordered candidate pairs from a blocking relation.
+
+    Join-free: group ids per bucket (one shuffle), emit all (i<j)
+    combinations with higher-order functions, dedup across buckets. The
+    classic alternative — a bucket self-equi-join — computes the (often
+    expensive) upstream plan twice, once per join side.
+    Output: (id_a, id_b).
+    """
+    groups = bucketed.groupBy(*bucket_cols).agg(
+        F.array_sort(F.collect_set(id_col)).alias("_ids")
+    )
+    combos = F.flatten(
+        F.transform(
+            F.col("_ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("_ids"), i + 2, F.size(F.col("_ids"))),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    return (
+        groups.select(F.explode(combos).alias("_p"))
+        .select(F.col("_p.a").alias("id_a"), F.col("_p.b").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
 def _with_shingles(
     df: DataFrame, id_col: str, text_col: str, k: int
 ) -> DataFrame:
@@ -198,11 +228,13 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """Near-dup pairs via banded MinHash LSH.
 
-    Candidate pairs share ≥1 band (bucket equi-join on the band hash —
-    linear, not quadratic). With ``verify`` the candidates are checked
-    against true shingle Jaccard (joining the shingle sets back in) so the
-    output has no LSH false positives; without it the signature-estimated
-    Jaccard is reported.
+    Candidate pairs share ≥1 band: ids are grouped per (band, bucket) and
+    pair combinations emitted directly (see
+    :func:`candidate_pairs_from_buckets`) — the signature pipeline runs
+    once, not once per join side. With ``verify`` the candidates are
+    checked against true shingle Jaccard (joining the shingle sets back
+    in) so the output has no LSH false positives; without it the
+    signature-estimated Jaccard is reported.
     Output: ``(id_a, id_b, jaccard)``, id_a < id_b.
     """
     rows_per_band = num_perm // bands
@@ -211,7 +243,6 @@ def minhash_lsh_pairs(
     )
     banded = sigs.select(
         "doc_id",
-        "signature",
         F.explode(
             F.array(
                 *[
@@ -232,22 +263,13 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("bb"),
-    ).select("doc_id", "signature", "bb.band", "bb.bucket")
+    ).select("doc_id", "bb.band", "bb.bucket")
 
-    a = banded.select(
-        "band", "bucket", F.col("doc_id").alias("id_a"), F.col("signature").alias("sig_a")
-    )
-    b = banded.select(
-        "band", "bucket", F.col("doc_id").alias("id_b"), F.col("signature").alias("sig_b")
-    )
-    cands = (
-        a.join(b, on=["band", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sig_a", "sig_b")
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    cands = candidate_pairs_from_buckets(banded, ["band", "bucket"])
 
     if not verify:
+        sa = sigs.select(F.col("doc_id").alias("id_a"), F.col("signature").alias("sig_a"))
+        sb = sigs.select(F.col("doc_id").alias("id_b"), F.col("signature").alias("sig_b"))
         est = (
             F.size(
                 F.filter(
@@ -258,7 +280,9 @@ def minhash_lsh_pairs(
             / F.lit(num_perm)
         )
         return (
-            cands.withColumn("jaccard", F.round(est, 6))
+            cands.join(sa, on="id_a")
+            .join(sb, on="id_b")
+            .withColumn("jaccard", F.round(est, 6))
             .filter(F.col("jaccard") >= threshold)
             .select("id_a", "id_b", "jaccard")
         )
@@ -267,8 +291,7 @@ def minhash_lsh_pairs(
     sa = shing.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"))
     sb = shing.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"))
     verified = (
-        cands.select("id_a", "id_b")
-        .join(sa, on="id_a")
+        cands.join(sa, on="id_a")
         .join(sb, on="id_b")
         .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
         .withColumn(
@@ -368,7 +391,6 @@ def simhash_pairs(
     fp = with_simhash64(df, id_col, text_col, shingle_k)
     banded = fp.select(
         "doc_id",
-        "fp",
         F.explode(
             F.array(
                 *[
@@ -382,14 +404,13 @@ def simhash_pairs(
                 ]
             )
         ).alias("bb"),
-    ).select("doc_id", "fp", "bb.band", "bb.chunk")
-    a = banded.select("band", "chunk", F.col("doc_id").alias("id_a"), F.col("fp").alias("fp_a"))
-    b = banded.select("band", "chunk", F.col("doc_id").alias("id_b"), F.col("fp").alias("fp_b"))
+    ).select("doc_id", "bb.band", "bb.chunk")
+    cands = candidate_pairs_from_buckets(banded, ["band", "chunk"])
+    fa = fp.select(F.col("doc_id").alias("id_a"), F.col("fp").alias("fp_a"))
+    fb = fp.select(F.col("doc_id").alias("id_b"), F.col("fp").alias("fp_b"))
     return (
-        a.join(b, on=["band", "chunk"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "fp_a", "fp_b")
-        .dropDuplicates(["id_a", "id_b"])
+        cands.join(fa, on="id_a")
+        .join(fb, on="id_b")
         .withColumn("hamming", F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))))
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
@@ -460,26 +481,21 @@ def embedding_dup_pairs(
         (bit * (1 << p) for p, bit in enumerate(sig_bits)), F.lit(0)
     )
     base = fan_out(df).select(
-        F.col(id_col).alias("_vid"),
+        F.col(id_col).alias("doc_id"),
         v.alias("_v"),
         bucket.alias("_bkt"),
         _norm(v).alias("_nrm"),
     )
-    a = base.select(
-        F.col("_bkt"),
-        F.col("_vid").alias("id_a"),
-        F.col("_v").alias("v_a"),
-        F.col("_nrm").alias("n_a"),
+    cands = candidate_pairs_from_buckets(base.select("doc_id", "_bkt"), ["_bkt"])
+    va = base.select(
+        F.col("doc_id").alias("id_a"), F.col("_v").alias("v_a"), F.col("_nrm").alias("n_a")
     )
-    b = base.select(
-        F.col("_bkt"),
-        F.col("_vid").alias("id_b"),
-        F.col("_v").alias("v_b"),
-        F.col("_nrm").alias("n_b"),
+    vb = base.select(
+        F.col("doc_id").alias("id_b"), F.col("_v").alias("v_b"), F.col("_nrm").alias("n_b")
     )
     return (
-        a.join(b, on="_bkt")
-        .filter(F.col("id_a") < F.col("id_b"))
+        cands.join(va, on="id_a")
+        .join(vb, on="id_b")
         .withColumn(
             "cosine",
             F.round(_dot(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b")), 6),
