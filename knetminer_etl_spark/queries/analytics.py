@@ -307,8 +307,148 @@ GROUP BY p_brand
 """
 
 
+# -- semi-join: orders with at least one late lineitem (EXISTS) -------------
+
+
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    late = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey")
+    )
+    return (
+        o.join(late, o["o_orderkey"] == late["l_orderkey"], "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+Q4_SQL = """
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority
+"""
+
+
+# -- anti-join: orders with no lineitems (NOT EXISTS) ------------------------
+
+
+def orders_without_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem").select("l_orderkey")
+    return (
+        o.join(l, o["o_orderkey"] == l["l_orderkey"], "left_anti")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.avg("o_totalprice"), 4).alias("avg_total"),
+        )
+    )
+
+
+ORDERS_WITHOUT_LINEITEMS_SQL = """
+SELECT o_orderstatus, count(*) AS n_orders, round(avg(o_totalprice), 4) AS avg_total
+FROM orders
+WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+GROUP BY o_orderstatus
+"""
+
+
+# -- rollup: multi-level totals ---------------------------------------------
+
+
+def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_extendedprice"), 2).alias("total"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "total",
+            "n",
+        )
+    )
+
+
+REVENUE_ROLLUP_SQL = """
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       round(sum(l_extendedprice), 2) AS total,
+       count(*) AS n
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+# -- pivot: per-status totals as columns -------------------------------------
+
+
+def segment_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_mktsegment")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.round(F.sum("o_totalprice"), 2))
+        .select(
+            "c_mktsegment",
+            F.coalesce("F", F.lit(0.0)).alias("total_f"),
+            F.coalesce("O", F.lit(0.0)).alias("total_o"),
+            F.coalesce("P", F.lit(0.0)).alias("total_p"),
+        )
+    )
+
+
+SEGMENT_STATUS_PIVOT_SQL = """
+SELECT c_mktsegment,
+       coalesce(round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2), 0.0) AS total_f,
+       coalesce(round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2), 0.0) AS total_o,
+       coalesce(round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2), 0.0) AS total_p
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+# -- distinct on subset ------------------------------------------------------
+
+
+def distinct_order_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.select("l_orderkey", "l_suppkey")
+        .distinct()
+        .groupBy("l_suppkey")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+DISTINCT_ORDER_SUPPLIERS_SQL = """
+SELECT l_suppkey, count(*) AS n_orders
+FROM (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem) t
+GROUP BY l_suppkey
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
+    "q4_order_priority": q4_order_priority,
+    "orders_without_lineitems": orders_without_lineitems,
+    "revenue_rollup": revenue_rollup,
+    "segment_status_pivot": segment_status_pivot,
+    "distinct_order_suppliers": distinct_order_suppliers,
     "q3_shipping_priority": q3_shipping_priority,
     "q5_region_volume": q5_region_volume,
     "q6_revenue_forecast": q6_revenue_forecast,
@@ -320,6 +460,11 @@ QUERIES = {
 
 ORACLES = {
     "q1_pricing_summary": Q1_SQL,
+    "q4_order_priority": Q4_SQL,
+    "orders_without_lineitems": ORDERS_WITHOUT_LINEITEMS_SQL,
+    "revenue_rollup": REVENUE_ROLLUP_SQL,
+    "segment_status_pivot": SEGMENT_STATUS_PIVOT_SQL,
+    "distinct_order_suppliers": DISTINCT_ORDER_SUPPLIERS_SQL,
     "q3_shipping_priority": Q3_SQL,
     "q5_region_volume": Q5_SQL,
     "q6_revenue_forecast": Q6_SQL,

@@ -1,0 +1,55 @@
+from __future__ import annotations
+
+import pytest
+
+from knetminer_etl_spark.operators import graph as G
+
+
+@pytest.fixture()
+def edges(spark):
+    # two components: {1,2,3,4} (chain) and {10,11}; 20 isolated via nodes df
+    rows = [(1, 2), (2, 3), (3, 4), (10, 11)]
+    return spark.createDataFrame(rows, "src long, dst long")
+
+
+@pytest.fixture()
+def nodes(spark):
+    return spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 10, 11, 20]], "id long")
+
+
+class TestConnectedComponents:
+    def test_components(self, spark, edges, nodes):
+        got = {
+            r["id"]: r["component"]
+            for r in G.connected_components(edges, nodes=nodes).collect()
+        }
+        assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20}
+
+    def test_direction_ignored(self, spark):
+        e = spark.createDataFrame([(5, 1), (1, 9)], "src long, dst long")
+        got = {r["id"]: r["component"] for r in G.connected_components(e).collect()}
+        assert set(got.values()) == {1}
+
+
+class TestDegrees:
+    def test_in_out(self, spark, edges):
+        got = {r["id"]: (r["out_degree"], r["in_degree"]) for r in G.degrees(edges).collect()}
+        assert got[1] == (1, 0)
+        assert got[2] == (1, 1)
+        assert got[4] == (0, 1)
+
+
+class TestKHop:
+    def test_bfs_hops(self, spark, edges):
+        start = spark.createDataFrame([(1,)], "id long")
+        got = {r["id"]: r["min_hops"] for r in G.k_hop_neighbors(edges, start, k=2).collect()}
+        assert got == {1: 0, 2: 1, 3: 2}
+
+
+class TestPageRank:
+    def test_sums_to_one_and_ranks_hub(self, spark):
+        # star: everyone links to 0
+        e = spark.createDataFrame([(i, 0) for i in range(1, 6)], "src long, dst long")
+        got = {r["id"]: r["rank"] for r in G.pagerank(e, iterations=5).collect()}
+        assert abs(sum(got.values()) - 1.0) < 1e-6
+        assert got[0] == max(got.values())
