@@ -161,8 +161,15 @@ def read_event_stream(
     path: str,
     max_files_per_trigger: int = 1,
 ) -> DataFrame:
-    """File-source event stream (parquet dir). In production swap for the
-    Kafka source — every operator below is source-agnostic."""
+    """File-source event stream (parquet file, dir, or glob).
+
+    Point it at the events data specifically (a dir of event files or a
+    glob like ``…/events*``; a bare file path fails — basePath must be a
+    directory) —
+    a directory containing OTHER tables' parquet files would be read with
+    this schema and surface as null-keyed rows. In production swap for the
+    Kafka source — every operator below is source-agnostic.
+    """
     return _nanos_to_ts(
         spark.readStream.schema(EVENTS_RAW_SCHEMA)
         .option("maxFilesPerTrigger", max_files_per_trigger)

@@ -1,0 +1,38 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from knetminer_etl_spark.streaming import events as EV
+from knetminer_etl_spark.streaming.stateful import stream_running_totals
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_running_totals_converge_to_batch(spark):
+    stream = EV.read_event_stream(
+        spark, f"{SF_DIR}/events*", max_files_per_trigger=1
+    )
+    out = stream_running_totals(stream)
+    EV.run_stream_to_memory(out, "running_totals", output_mode="update")
+    # update mode re-emits per trigger; the LAST row per user is the final state
+    final = spark.sql(
+        """
+        SELECT user_id, n_events, sum_value, max_value FROM (
+          SELECT *, row_number() OVER (PARTITION BY user_id
+                                       ORDER BY n_events DESC) AS rn
+          FROM running_totals
+        ) WHERE rn = 1
+        """
+    )
+    batch = (
+        EV.load_events(spark, f"{SF_DIR}/events.parquet")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.max("value").alias("max_value"),
+        )
+    )
+    got = {r["user_id"]: (r["n_events"], r["sum_value"], r["max_value"]) for r in final.collect()}
+    want = {r["user_id"]: (r["n_events"], r["sum_value"], r["max_value"]) for r in batch.collect()}
+    assert got == want

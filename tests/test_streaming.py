@@ -39,7 +39,7 @@ class TestBatchTwins:
 
 class TestStreamingTwins:
     def test_stream_tumbling_matches_batch_except_open_window(self, spark, events):
-        stream = EV.read_event_stream(spark, SF_DIR)
+        stream = EV.read_event_stream(spark, f"{SF_DIR}/events*")
         EV.run_stream_to_memory(
             EV.stream_tumbling_agg(stream, window_minutes=5), "t_win"
         )
