@@ -31,6 +31,9 @@ HEADLINE = [
     "embedding_topk",
     "events_tumbling_5m",
     "events_sessionize",
+    "events_asof_last_error",
+    "dedup_components",
+    "kg_degrees",
 ]
 
 

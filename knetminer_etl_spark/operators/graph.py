@@ -50,6 +50,10 @@ def connected_components(
     or after ``max_iterations``.
     """
     e = _sym_edges(edges, src, dst)
+    # pin the edge relation: it is referenced in every round, and without
+    # materialization its (possibly expensive) upstream plan — e.g. the
+    # near-dup pair pipeline — re-executes per iteration
+    e = e.localCheckpoint(eager=True)
     ids = e.select(F.col("src").alias("id"))
     if nodes is not None:
         ids = ids.unionByName(nodes.select(F.col(node_id).alias("id")))

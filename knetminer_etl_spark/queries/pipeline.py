@@ -340,7 +340,62 @@ GROUP BY event_type
 """
 
 
+def events_asof_last_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For each click event, the most recent error value of the same user
+    at-or-before the click (as-of join — no native Spark equivalent)."""
+    from ..operators.asof import asof_join
+
+    e = _events(spark, sf_dir)
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    errors = e.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", "value"
+    )
+    joined = asof_join(clicks, errors, on="ts", by="user_id", value_cols=["value"])
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.col("ts").cast("long").alias("ts"),
+        F.col("value_right").alias("last_error_value"),
+    )
+
+
+EVENTS_ASOF_SQL = """
+SELECT c.event_id, c.user_id,
+       CAST(floor(epoch(c.ts)) AS BIGINT) AS ts,
+       e.value AS last_error_value
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'error') e
+  ON c.user_id = e.user_id AND c.ts >= e.ts
+"""
+
+
+def events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles of value per event type."""
+    e = _events(spark, sf_dir)
+    return e.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(value, 0.95)"), 4).alias("p95"),
+        F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
+        F.count("*").alias("n"),
+    )
+
+
+EVENTS_PERCENTILES_SQL = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 4) AS p50,
+       round(quantile_cont(value, 0.95), 4) AS p95,
+       round(quantile_cont(value, 0.99), 4) AS p99,
+       count(*) AS n
+FROM events
+GROUP BY event_type
+"""
+
+
 QUERIES = {
+    "events_asof_last_error": events_asof_last_error,
+    "events_value_percentiles": events_value_percentiles,
     "text_stats": text_stats,
     "lang_id_counts": lang_id_counts,
     "doc_fingerprints": doc_fingerprints,
@@ -358,6 +413,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "events_asof_last_error": EVENTS_ASOF_SQL,
+    "events_value_percentiles": EVENTS_PERCENTILES_SQL,
     "text_stats": TEXT_STATS_SQL,
     "lang_id_counts": LANG_ID_SQL,
     "doc_fingerprints": DOC_FINGERPRINTS_SQL,

@@ -84,3 +84,21 @@ class TestBatchingRetry:
         df = spark.createDataFrame([], "id string, type string, labels array<string>, from string, to string, properties map<string,array<string>>")
         with pytest.raises(ImportError):
             N.load_pg_to_neo4j(df, N.Neo4jConfig())
+
+
+class TestCLI:
+    def test_parser(self):
+        from knetminer_etl_spark.io.neo4j_cli import build_parser
+
+        a = build_parser().parse_args(
+            ["/data/pg", "--uri", "bolt://h:7687", "--nodes-only", "--batch-size", "100"]
+        )
+        assert a.source == "/data/pg" and a.batch_size == 100 and a.nodes_only
+
+    def test_nodes_and_edges_exclusive(self):
+        from knetminer_etl_spark.io.neo4j_cli import build_parser
+
+        import pytest as _pytest
+
+        with _pytest.raises(SystemExit):
+            build_parser().parse_args(["x", "--nodes-only", "--edges-only"])
