@@ -422,6 +422,124 @@ GROUP BY c_mktsegment
 """
 
 
+# -- conditional-share (Q14-style) -------------------------------------------
+
+
+def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_brand") == "Brand#1", rev).otherwise(F.lit(0.0))
+    return (
+        l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+        .agg(
+            F.round(F.sum(promo) * 100.0 / F.sum(rev), 4).alias("promo_share_pct"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+Q14_SQL = """
+SELECT round(sum(CASE WHEN p_brand = 'Brand#1'
+                      THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)
+             * 100.0 / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_share_pct,
+       count(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+"""
+
+
+# -- HAVING (Q18-style large orders) -----------------------------------------
+
+
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )
+    return (
+        big.join(o, big["l_orderkey"] == o["o_orderkey"])
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.round("total_qty", 2).alias("total_qty"),
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+        )
+    )
+
+
+Q18_SQL = """
+SELECT o_orderkey, o_custkey,
+       round(total_qty, 2) AS total_qty,
+       round(o_totalprice, 2) AS o_totalprice
+FROM (
+  SELECT l_orderkey, sum(l_quantity) AS total_qty
+  FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 150
+) b JOIN orders ON l_orderkey = o_orderkey
+"""
+
+
+# -- union across entity tables ----------------------------------------------
+
+
+def account_balances_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select(
+        F.lit("customer").alias("kind"),
+        F.col("c_nationkey").alias("nationkey"),
+        F.col("c_acctbal").alias("acctbal"),
+    )
+    s = _t(spark, sf_dir, "supplier").select(
+        F.lit("supplier").alias("kind"),
+        F.col("s_nationkey").alias("nationkey"),
+        F.col("s_acctbal").alias("acctbal"),
+    )
+    return (
+        c.unionByName(s)
+        .groupBy("kind", "nationkey")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("acctbal"), 2).alias("total_bal"),
+        )
+    )
+
+
+ACCOUNT_UNION_SQL = """
+SELECT kind, nationkey, count(*) AS n, round(sum(acctbal), 2) AS total_bal
+FROM (
+  SELECT 'customer' AS kind, c_nationkey AS nationkey, c_acctbal AS acctbal FROM customer
+  UNION ALL
+  SELECT 'supplier', s_nationkey, s_acctbal FROM supplier
+) t
+GROUP BY kind, nationkey
+"""
+
+
+# -- scalar subquery ---------------------------------------------------------
+
+
+def above_avg_balance_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    avg_bal = c.agg(F.avg("c_acctbal")).first()[0]
+    return (
+        c.filter(F.col("c_acctbal") > avg_bal)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("c_acctbal"), 2).alias("min_bal"),
+        )
+    )
+
+
+ABOVE_AVG_SQL = """
+SELECT c_mktsegment, count(*) AS n, round(min(c_acctbal), 2) AS min_bal
+FROM customer
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+GROUP BY c_mktsegment
+"""
+
+
 # -- distinct on subset ------------------------------------------------------
 
 
@@ -449,6 +567,10 @@ QUERIES = {
     "revenue_rollup": revenue_rollup,
     "segment_status_pivot": segment_status_pivot,
     "distinct_order_suppliers": distinct_order_suppliers,
+    "q14_promo_share": q14_promo_share,
+    "q18_large_orders": q18_large_orders,
+    "account_balances_union": account_balances_union,
+    "above_avg_balance_customers": above_avg_balance_customers,
     "q3_shipping_priority": q3_shipping_priority,
     "q5_region_volume": q5_region_volume,
     "q6_revenue_forecast": q6_revenue_forecast,
@@ -465,6 +587,10 @@ ORACLES = {
     "revenue_rollup": REVENUE_ROLLUP_SQL,
     "segment_status_pivot": SEGMENT_STATUS_PIVOT_SQL,
     "distinct_order_suppliers": DISTINCT_ORDER_SUPPLIERS_SQL,
+    "q14_promo_share": Q14_SQL,
+    "q18_large_orders": Q18_SQL,
+    "account_balances_union": ACCOUNT_UNION_SQL,
+    "above_avg_balance_customers": ABOVE_AVG_SQL,
     "q3_shipping_priority": Q3_SQL,
     "q5_region_volume": Q5_SQL,
     "q6_revenue_forecast": Q6_SQL,

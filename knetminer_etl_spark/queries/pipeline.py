@@ -271,6 +271,24 @@ GROUP BY 1, 2
 """
 
 
+def events_sliding_10m5m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (10 min window / 5 min slide): each event lands in
+    two windows — the oracle materializes both bucket starts per event."""
+    return EV.sliding_agg(_events(spark, sf_dir), 10, 5)
+
+
+EVENTS_SLIDING_SQL = """
+SELECT window_start, event_type, count(*) AS n_events
+FROM (
+  SELECT unnest([CAST(floor(epoch(ts) / 300) * 300 AS BIGINT),
+                 CAST(floor(epoch(ts) / 300) * 300 - 300 AS BIGINT)]) AS window_start,
+         event_type
+  FROM events
+) t
+GROUP BY window_start, event_type
+"""
+
+
 def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return EV.sessionize(_events(spark, sf_dir), gap_minutes=30)
 
@@ -407,6 +425,7 @@ QUERIES = {
     "embedding_dup_pairs": embedding_dup_pairs,
     "embedding_lsh_topk": embedding_lsh_topk,
     "events_tumbling_5m": events_tumbling_5m,
+    "events_sliding_10m5m": events_sliding_10m5m,
     "events_sessionize": events_sessionize,
     "events_user_daily": events_user_daily,
     "events_json_extract": events_json_extract,
@@ -423,6 +442,7 @@ ORACLES = {
     "minhash_lsh_pairs": MINHASH_LSH_SQL,
     "embedding_topk": EMBEDDING_TOPK_SQL,
     "events_tumbling_5m": EVENTS_TUMBLING_SQL,
+    "events_sliding_10m5m": EVENTS_SLIDING_SQL,
     "events_sessionize": EVENTS_SESSIONIZE_SQL,
     "events_user_daily": EVENTS_USER_DAILY_SQL,
     "events_json_extract": EVENTS_JSON_SQL,

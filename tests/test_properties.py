@@ -1,0 +1,84 @@
+"""Property-based tests (hypothesis): the serialization keystone and the
+as-of join checked against independent reference implementations on
+randomized inputs."""
+
+from __future__ import annotations
+
+import json
+
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from knetminer_etl_spark.core.serialize import DEFAULT_CONVERTER, json_literal
+from knetminer_etl_spark.operators.asof import asof_join
+
+# one shared strategy: printable-ish text incl. JSON-hostile characters
+texts = st.text(
+    alphabet=st.characters(
+        codec="utf-8", exclude_categories=("Cs",), max_codepoint=0x2FFF
+    ),
+    max_size=40,
+)
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(values=st.lists(texts, min_size=1, max_size=25))
+def test_json_literal_roundtrips_any_string(spark, values):
+    df = spark.createDataFrame([(v,) for v in values], "v string")
+    got = [r["s"] for r in df.select(json_literal(F.col("v")).alias("s")).collect()]
+    for v, s in zip(values, got):
+        if v == "":
+            assert s is None  # drop-on-empty
+        else:
+            assert json.loads(s) == v  # valid JSON, exact value
+            # Python-side converter agrees at the json.loads level
+            assert json.loads(DEFAULT_CONVERTER.serialize(v)) == v
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    left_ts=st.lists(
+        st.integers(min_value=0, max_value=10_000), min_size=1, max_size=30
+    ),
+    right_ts=st.lists(
+        st.integers(min_value=0, max_value=10_000),
+        min_size=1,
+        max_size=30,
+        unique=True,
+    ),
+)
+def test_asof_join_matches_pandas_merge_asof(spark, left_ts, right_ts):
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    to_ts = lambda s: base + dt.timedelta(seconds=s)
+    left = spark.createDataFrame(
+        [(1, to_ts(t), i) for i, t in enumerate(left_ts)],
+        "k long, ts timestamp, lid long",
+    )
+    right = spark.createDataFrame(
+        [(1, to_ts(t), float(t)) for t in right_ts], "k long, ts timestamp, v double"
+    )
+    got = {
+        r["lid"]: r["v_right"]
+        for r in asof_join(left, right, on="ts", by="k").collect()
+    }
+    lp = pd.DataFrame({"ts": [to_ts(t) for t in left_ts], "lid": range(len(left_ts))}).sort_values("ts")
+    rp = pd.DataFrame({"ts": sorted(to_ts(t) for t in right_ts)})
+    rp["v"] = [float((t - base).total_seconds()) for t in rp["ts"]]
+    want_df = pd.merge_asof(lp, rp, on="ts", direction="backward")
+    want = {
+        int(r.lid): (None if pd.isna(r.v) else r.v) for r in want_df.itertuples()
+    }
+    assert got == want
