@@ -62,20 +62,23 @@ def main() -> None:
     # shingle/hash-heavy plans, 5-10x the warm runtime. The warm-up wall
     # time is reported as warmup_sec so cold cost stays visible.
     warm_dir = os.environ.get("SPARK_GRAFT_WARMUP_DIR", sf_dir)
-    t_cold0 = time.perf_counter()
-    if warm_dir:
-        for name in HEADLINE:
-            QUERIES[name](spark, warm_dir).write.format("noop").mode(
-                "overwrite"
-            ).save()
-    warmup_sec = round(time.perf_counter() - t_cold0, 3)
-
+    # Warm and time PER QUERY (warm run immediately before the timed run):
+    # the JVM codegen cache holds ~100 generated classes, so warming the
+    # whole suite first evicts the early queries' classes and random
+    # queries pay recompilation in the timed pass (observed as 20s+
+    # spikes landing on different queries each run).
     timings: dict[str, float] = {}
+    warmup_sec = 0.0
     for name in HEADLINE:
         fn = QUERIES[name]
+        if warm_dir:
+            t0 = time.perf_counter()
+            fn(spark, warm_dir).write.format("noop").mode("overwrite").save()
+            warmup_sec += time.perf_counter() - t0
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
+    warmup_sec = round(warmup_sec, 3)
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]

@@ -53,8 +53,11 @@ def candidate_pairs_from_buckets(
             ),
         )
     )
+    # explode_outer: avoids the inferred size>0 pre-filter that would
+    # evaluate the O(k^2) combination expression twice per group
     return (
-        groups.select(F.explode(combos).alias("_p"))
+        groups.select(F.explode_outer(combos).alias("_p"))
+        .filter(F.col("_p").isNotNull())
         .select(F.col("_p.a").alias("id_a"), F.col("_p.b").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
@@ -145,10 +148,14 @@ def ngram_jaccard_pairs(
     Output: ``(id_a, id_b, jaccard)`` with id_a < id_b.
     """
     docs = _with_shingles(df, id_col, text_col, k).withColumn("_n", F.size("_sh"))
+    # explode_outer, NOT explode: plain explode makes Catalyst infer a
+    # size(...)>0 filter that gets pushed below the fan-out repartition,
+    # inlining the whole shingle expression into a single-partition filter
+    # (measured: the entire shingling ran twice, once serially)
     exploded = docs.select(
-        F.explode("_sh").alias("_s"),
+        F.explode_outer("_sh").alias("_s"),
         F.struct(F.col("_id").alias("id"), F.col("_n").alias("n")).alias("_d"),
-    )
+    ).filter(F.col("_s").isNotNull())
     groups = exploded.groupBy("_s").agg(
         F.array_sort(F.collect_list("_d")).alias("_ds")
     )
@@ -165,7 +172,8 @@ def ngram_jaccard_pairs(
         )
     )
     pairs = (
-        groups.select(F.explode(combos).alias("_p"))
+        groups.select(F.explode_outer(combos).alias("_p"))
+        .filter(F.col("_p").isNotNull())
         .groupBy(
             F.col("_p.a.id").alias("id_a"),
             F.col("_p.b.id").alias("id_b"),

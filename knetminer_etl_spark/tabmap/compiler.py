@@ -161,14 +161,22 @@ class DataFrameMapper:
                 )
             )
         # Rows with NULL/empty id emit nothing; NULL serialized values drop.
+        # explode_outer, NOT explode: plain explode makes Catalyst infer a
+        # size(...)>0 pre-filter that duplicates the whole serialization
+        # expression (and can be pushed below an upstream repartition,
+        # serializing the work onto one partition).
         out = (
             df.select(
                 eid.alias(ID_COL),
-                F.explode(
+                F.explode_outer(
                     F.filter(F.array(*structs), lambda s: s[VALUE_COL].isNotNull())
                 ).alias("_t"),
             )
-            .filter(F.col(ID_COL).isNotNull() & (F.col(ID_COL) != F.lit("")))
+            .filter(
+                F.col(ID_COL).isNotNull()
+                & (F.col(ID_COL) != F.lit(""))
+                & F.col("_t").isNotNull()
+            )
             .select(ID_COL, f"_t.{KEY_COL}", f"_t.{VALUE_COL}")
         )
         return out
