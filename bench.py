@@ -55,29 +55,43 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    # Warm-up pass over the same data: whole-stage-codegen classes compile
-    # and cache here (and AQE-chosen physical operators match the timed
-    # pass), so the timed pass measures steady-state execution, not Janino
-    # compilation — measured 30-60s of one-time codegen for the
-    # shingle/hash-heavy plans, 5-10x the warm runtime. The warm-up wall
-    # time is reported as warmup_sec so cold cost stays visible.
-    warm_dir = os.environ.get("SPARK_GRAFT_WARMUP_DIR", sf_dir)
-    # Warm and time PER QUERY (warm run immediately before the timed run):
-    # the JVM codegen cache holds ~100 generated classes, so warming the
-    # whole suite first evicts the early queries' classes and random
-    # queries pay recompilation in the timed pass (observed as 20s+
-    # spikes landing on different queries each run).
+    # Steady-state methodology (cold cost stays visible as warmup_sec):
+    # * warm PER QUERY, immediately before its timed run — the JVM codegen
+    #   cache holds ~100 generated classes, so warming the whole suite
+    #   first evicts early queries' classes and random queries then pay
+    #   recompilation in the timed pass (observed 20s+ roaming spikes);
+    # * warm at the SAME scale factor — AQE picks different physical
+    #   operators per data size, which would leave the timed operators
+    #   uncompiled;
+    # * TWO warm rounds by default — round 1 compiles the codegen classes
+    #   (30-60s for the hash-heavy plans), round 2 lets HotSpot C2 tier
+    #   them (third executions measured 4-6x faster than second on the
+    #   aggregation-heavy plans).
+    import gc
+
+    n_warm = int(os.environ.get("SPARK_GRAFT_WARMUPS", "2"))
+    # best-of-N timed runs: single-shot numbers on a shared host wander
+    # 2-5x from CPU contention/GC; the minimum is the reproducible figure
+    n_timed = int(os.environ.get("SPARK_GRAFT_TIMED_RUNS", "2"))
+
     timings: dict[str, float] = {}
     warmup_sec = 0.0
     for name in HEADLINE:
         fn = QUERIES[name]
-        if warm_dir:
+        for _ in range(n_warm):
             t0 = time.perf_counter()
-            fn(spark, warm_dir).write.format("noop").mode("overwrite").save()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             warmup_sec += time.perf_counter() - t0
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        # release dropped DataFrames so the ContextCleaner unpersists
+        # accumulated localCheckpoint blocks between measurements
+        gc.collect()
+        best = float("inf")
+        for _ in range(n_timed):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+            gc.collect()
+        timings[name] = round(best, 3)
     warmup_sec = round(warmup_sec, 3)
 
     total = round(sum(timings.values()), 3)

@@ -74,9 +74,20 @@ def _with_shingles(
     N-fold — measured ~2 min of driver-side analysis/codegen for the
     MinHash plan before this staging, ~seconds after. Data-side cost is
     identical (Catalyst collapses the projections into one stage).
+
+    Output guarantee: ``_sh`` is always a NON-EMPTY array — documents whose
+    normalized text is empty are dropped by a cheap scan-side filter.
+    Downstream must therefore never re-filter on ``size(_sh)``/NULL
+    signatures: such predicates get pushed below the fan-out exchange and
+    re-inline the whole shingle pipeline into a serial filter (measured
+    ~7s per occurrence at sf0.1).
     """
     return (
-        fan_out(df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t")))
+        df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
+        # cheap pre-shuffle emptiness filter (one regex pass) so no
+        # expensive post-shuffle predicate is ever needed
+        .filter(normalize_text(F.col("_t")) != F.lit(""))
+        .transform(fan_out)
         .select("_id", tokens(normalize_text(F.col("_t"))).alias("_tok"))
         .select("_id", shingles_from_tokens(F.col("_tok"), k).alias("_sh"))
     )
@@ -210,6 +221,9 @@ def minhash_signatures(
     Shingles are staged as a materialized column so the num_perm signature
     entries reference a small expression (see _with_shingles)."""
     shingled = _with_shingles(df, id_col, text_col, k)
+    # _sh is guaranteed non-empty, so the signature is never NULL — no
+    # size()/NULL guard (such a guard becomes a pushable predicate that
+    # re-inlines the shingle pipeline below the exchange)
     sig = F.array(
         *[
             F.array_min(
@@ -220,7 +234,7 @@ def minhash_signatures(
     )
     return shingled.select(
         F.col("_id").alias("doc_id"),
-        F.when(F.size("_sh") > 0, sig).alias("signature"),
+        sig.alias("signature"),
     )
 
 
@@ -246,9 +260,7 @@ def minhash_lsh_pairs(
     Output: ``(id_a, id_b, jaccard)``, id_a < id_b.
     """
     rows_per_band = num_perm // bands
-    sigs = minhash_signatures(df, id_col, text_col, num_perm, k).filter(
-        F.col("signature").isNotNull()
-    )
+    sigs = minhash_signatures(df, id_col, text_col, num_perm, k)
     banded = sigs.select(
         "doc_id",
         F.explode(
