@@ -338,31 +338,24 @@ def _bit_mask(i: int) -> int:
     return (1 << i) if i < 63 else -(1 << 63)
 
 
-def _bit_votes(hashes: Column) -> Column:
-    """votes[i] = sum over hashes of (bit i set ? +1 : -1), one fold."""
+def _bit_vote(hashes: Column, i: int) -> Column:
+    """Sum over hashes of (bit i set ? +1 : -1) — a scalar fold with no
+    per-element array allocation (the earlier array-of-64-votes zip_with
+    fold allocated 64-int arrays per shingle and went 5x slower under GC
+    pressure)."""
+    mask = F.lit(_bit_mask(i)).cast("long")
     return F.aggregate(
         hashes,
-        F.array_repeat(F.lit(0), 64),
-        lambda acc, h: F.zip_with(
-            acc,
-            F.array(
-                *[
-                    F.when(
-                        h.bitwiseAND(F.lit(_bit_mask(i)).cast("long")) != 0, 1
-                    ).otherwise(-1)
-                    for i in range(64)
-                ]
-            ),
-            lambda a, b: a + b,
-        ),
+        F.lit(0),
+        lambda acc, h: acc + F.when(h.bitwiseAND(mask) != 0, 1).otherwise(-1),
     )
 
 
-def _votes_to_fp(votes: Column) -> Column:
+def _votes_to_fp(votes: list[Column]) -> Column:
     fp = F.lit(0).cast("long")
-    for i in range(64):
+    for i, v in enumerate(votes):
         fp = fp.bitwiseOR(
-            F.when(votes[i] > 0, F.lit(_bit_mask(i)).cast("long")).otherwise(
+            F.when(v > 0, F.lit(_bit_mask(i)).cast("long")).otherwise(
                 F.lit(0).cast("long")
             )
         )
@@ -373,14 +366,21 @@ def with_simhash64(
     df: DataFrame, id_col: str, text_col: str, k: int = 1, out_col: str = "fp"
 ) -> DataFrame:
     """(doc_id, fp): 64-bit SimHash, staged through materialized columns
-    (shingles → hashes → votes → fp) to keep each expression tree small."""
-    return (
+    (shingles → hashes → 64 scalar bit-vote folds → fp) to keep each
+    expression tree small and allocation-free."""
+    voted = (
         _with_shingles(df, id_col, text_col, k)
         .select(
             "_id", F.transform(F.col("_sh"), lambda s: F.xxhash64(s)).alias("_h")
         )
-        .select("_id", _bit_votes(F.col("_h")).alias("_v"))
-        .select(F.col("_id").alias("doc_id"), _votes_to_fp(F.col("_v")).alias(out_col))
+        .select(
+            "_id",
+            *[_bit_vote(F.col("_h"), i).alias(f"_v{i}") for i in range(64)],
+        )
+    )
+    return voted.select(
+        F.col("_id").alias("doc_id"),
+        _votes_to_fp([F.col(f"_v{i}") for i in range(64)]).alias(out_col),
     )
 
 
@@ -389,7 +389,7 @@ def simhash64(col: Column, k: int = 1) -> Column:
     Prefer :func:`with_simhash64` in plans — the staged variant compiles
     far faster; this inline form suits small expressions/tests."""
     hashes = F.transform(word_shingles(col, k), lambda s: F.xxhash64(s))
-    return _votes_to_fp(_bit_votes(hashes))
+    return _votes_to_fp([_bit_vote(hashes, i) for i in range(64)])
 
 
 def simhash_pairs(
@@ -408,9 +408,16 @@ def simhash_pairs(
     """
     nbands = max_hamming + 1
     width = 64 // nbands
-    fp = with_simhash64(df, id_col, text_col, shingle_k)
+    # Pin the tiny (id, fp) table: SimHash chunk buckets can be huge on
+    # self-similar corpora, so candidates come from a bucket SELF-JOIN
+    # (row-streamed; AQE splits hot chunks) rather than per-bucket
+    # combination arrays, whose size is quadratic in the bucket and
+    # caused GC-bound 5x swings. The pin keeps the fingerprint pipeline
+    # from running once per join side.
+    fp = with_simhash64(df, id_col, text_col, shingle_k).localCheckpoint(eager=True)
     banded = fp.select(
         "doc_id",
+        "fp",
         F.explode(
             F.array(
                 *[
@@ -424,16 +431,20 @@ def simhash_pairs(
                 ]
             )
         ).alias("bb"),
-    ).select("doc_id", "bb.band", "bb.chunk")
-    cands = candidate_pairs_from_buckets(banded, ["band", "chunk"])
-    fa = fp.select(F.col("doc_id").alias("id_a"), F.col("fp").alias("fp_a"))
-    fb = fp.select(F.col("doc_id").alias("id_b"), F.col("fp").alias("fp_b"))
+    ).select("doc_id", "fp", "bb.band", "bb.chunk")
+    a = banded.select(
+        "band", "chunk", F.col("doc_id").alias("id_a"), F.col("fp").alias("fp_a")
+    )
+    b = banded.select(
+        "band", "chunk", F.col("doc_id").alias("id_b"), F.col("fp").alias("fp_b")
+    )
     return (
-        cands.join(fa, on="id_a")
-        .join(fb, on="id_b")
+        a.join(b, on=["band", "chunk"])
+        .filter(F.col("id_a") < F.col("id_b"))
         .withColumn("hamming", F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))))
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 
