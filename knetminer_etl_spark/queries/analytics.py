@@ -67,8 +67,10 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1995-03-15"))
     l = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1995-03-15"))
     return (
+        # customer scales with SF: no explicit broadcast hint — let AQE pick
+        # (a forced hint bypasses AQE's size check and OOMs at large SF).
         l.join(o, l["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
             F.round(
@@ -431,7 +433,8 @@ def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     promo = F.when(F.col("p_brand") == "Brand#1", rev).otherwise(F.lit(0.0))
     return (
-        l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+        # part scales with SF: no broadcast hint — AQE decides at runtime.
+        l.join(p, l["l_partkey"] == p["p_partkey"])
         .agg(
             F.round(F.sum(promo) * 100.0 / F.sum(rev), 4).alias("promo_share_pct"),
             F.count("*").alias("n_items"),
