@@ -138,26 +138,29 @@ def read_pg_jsonl(spark: SparkSession, path: str) -> DataFrame:
 def _split_json_array(col: Column) -> Column:
     """'["a",1]' → array of element JSON literals (['"a"', '1']).
 
-    Uses from_json to an array<string>: scalars lose their JSON form, so
-    re-serialize each element. Elements that were JSON strings/numbers/
-    booleans round-trip exactly; nested objects are preserved as raw JSON
-    via the string cast of from_json(array<string>).
+    Quote-preserving split: an array<string> round-trip alone would strip
+    JSON quoting and silently re-type numeric/boolean-looking string values
+    ('"123"' → 123 — corrupting accession IDs, common in this KG domain).
+    Instead, parse twice JVM-side and zip:
+
+    * ``from_json`` → array<string> keeps the raw literal text of numbers/
+      booleans/objects/arrays (Jackson passes the token text through), but
+      un-quotes strings;
+    * ``parse_json`` → array<variant> tells us *which* elements were JSON
+      strings (``schema_of_variant`` == 'STRING'); those are re-encoded
+      with ``to_json(variant)`` which restores quoting and escapes.
+
+    JSON ``null`` elements come back as the literal 'null' (array<string>
+    maps them to SQL NULL, hence the coalesce), matching the serializer.
     """
-    arr = F.from_json(col, T.ArrayType(T.StringType()))
-    return F.transform(
-        arr,
-        lambda el: F.when(el.isNull(), F.lit(None)).otherwise(
-            F.when(
-                # already-structured text (object/array) stays raw
-                el.rlike(r"^[\[{].*"),
-                el,
-            ).otherwise(
-                F.when(
-                    el.rlike(r"^(-?\d+(\.\d+)?([eE][+-]?\d+)?|true|false|null)$"),
-                    el,
-                ).otherwise(_json_str(el))
-            )
-        ),
+    raw = F.from_json(col, T.ArrayType(T.StringType()))
+    var = F.variant_get(F.parse_json(col), "$", "array<variant>")
+    return F.zip_with(
+        raw,
+        var,
+        lambda r, v: F.when(
+            F.schema_of_variant(v) == "STRING", F.to_json(v)
+        ).otherwise(F.coalesce(r, F.lit("null"))),
     )
 
 

@@ -71,3 +71,46 @@ class TestDistributedWriter:
         orig = {r["id"]: r.asDict(recursive=True) for r in pg.collect()}
         got = {r["id"]: r.asDict(recursive=True) for r in back.select(*pg.columns).collect()}
         assert got == orig
+
+    def test_roundtrip_preserves_string_typing(self, spark, tmp_path):
+        """String values that LOOK like numbers/booleans/null must come back
+        as JSON strings, not be re-typed (numeric accession IDs are common)."""
+        from knetminer_etl_spark import triples_to_pg
+
+        rows = [
+            ("N1", "@type", "Gene"),
+            ("N1", "acc", '"123"'),       # numeric-looking string
+            ("N1", "flag", '"true"'),     # boolean-looking string
+            ("N1", "maybe", '"null"'),    # null-looking string
+            ("N1", "sci", '"1e5"'),       # scientific-notation-looking string
+            ("N1", "n", "123"),           # actual number
+            ("N1", "b", "true"),          # actual boolean
+            ("N1", "obj", '{"a":1}'),     # nested object
+        ]
+        pg = triples_to_pg(
+            spark.createDataFrame(rows, "id string, key string, value string")
+        )
+        out = tmp_path / "pgdir"
+        write_pg_jsonl(pg, str(out))
+        back = read_pg_jsonl(spark, str(out))
+        got = {r["id"]: r.asDict(recursive=True) for r in back.collect()}
+        props = got["N1"]["properties"]
+        assert props["acc"] == ['"123"']
+        assert props["flag"] == ['"true"']
+        assert props["maybe"] == ['"null"']
+        assert props["sci"] == ['"1e5"']
+        assert props["n"] == ["123"]
+        assert props["b"] == ["true"]
+        assert props["obj"] == ['{"a":1}']
+        # and the JSON lines themselves carry the right types
+        line = json.loads(
+            next(
+                l
+                for r in spark.read.text(str(out)).collect()
+                for l in [r["value"]]
+            )
+        )
+        p = line["properties"]
+        assert p["acc"] == ["123"] and isinstance(p["acc"][0], str)
+        assert p["n"] == [123] and isinstance(p["n"][0], int)
+        assert p["b"] == [True]
