@@ -23,6 +23,8 @@ partitionings, and cluster sizes.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -465,59 +467,82 @@ def _norm(a: Column) -> Column:
     return F.sqrt(_dot(a, a))
 
 
+def sign_lsh_band_buckets(
+    vec_col: str, n_planes: int, n_bands: int, seed: int = 0x5EED
+) -> Column:
+    """array<long>[n_bands] of sign-LSH bucket ids for a vector column.
+
+    One vectorized Arrow batch per call: a seeded Gaussian plane matrix
+    (``n_bands × n_planes`` hyperplanes, regenerated identically per
+    batch from the seed — deterministic across runs, partitionings and
+    cluster sizes) is applied as a single BLAS matmul, then each band's
+    ``n_planes`` sign bits are packed into one long. The JVM-expression
+    alternative (a hash-derived fold per plane per row) re-derives the
+    plane matrix per row×plane×dim — at OR-amplified plane counts
+    (100+ projections) the matmul is the only sane shape.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    total = n_planes * n_bands
+
+    @pandas_udf("array<long>")
+    def _buckets(vs: pd.Series) -> pd.Series:
+        x = np.stack(vs.to_numpy())  # (batch, dim) — fixed-dim column
+        planes = np.random.default_rng(seed).standard_normal(
+            (x.shape[1], total)
+        )
+        bits = (x @ planes) >= 0  # (batch, n_bands*n_planes)
+        weights = 1 << np.arange(n_planes, dtype=np.int64)
+        packed = (
+            bits.reshape(len(x), n_bands, n_planes).astype(np.int64) @ weights
+        )  # (batch, n_bands)
+        return pd.Series(list(packed))
+
+    return _buckets(F.col(vec_col))
+
+
 def embedding_dup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
-    n_planes: int = 8,
+    n_planes: int = 6,
+    n_bands: int = 24,
+    seed: int = 0x5EED,
 ) -> DataFrame:
     """Vector pairs with cosine ≥ threshold.
 
-    Blocking: sign-LSH — each vector is bucketed by the sign pattern of
-    ``n_planes`` seeded pseudo-random hyperplanes (hash-derived, data-
-    independent, deterministic); near-identical vectors almost surely
-    share the bucket. Exact cosine verifies within buckets. For recall-
-    critical jobs lower ``n_planes`` (bigger buckets, more work).
+    Blocking: **OR-amplified** sign-LSH. Each vector gets ``n_bands``
+    independent buckets (one per band of ``n_planes`` hyperplanes);
+    candidate pairs share ≥1 band bucket — the same banding shape as
+    MinHash LSH. A pair at cosine c collides in one band with
+    p(c)^n_planes where p(c) = 1 − acos(c)/π, so
+
+        recall(c) = 1 − (1 − p(c)^n_planes)^n_bands
+
+    With the defaults (6 planes × 24 bands) recall(0.9) ≈ 1 − 5.7e-6;
+    a single AND-only bucket of 8 planes (the naive scheme) would keep
+    that pair with only p ≈ 0.28. Exact cosine verifies candidates
+    JVM-side, so the output has no false positives; misses are bounded
+    by the formula above. Bucket count per band is 2^n_planes — raise
+    ``n_planes`` (and ``n_bands`` with it) for bigger corpora to keep
+    the per-bucket pair combination term sub-quadratic.
+    Output: ``(id_a, id_b, cosine)``, id_a < id_b.
     """
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    dim_idx = F.sequence(F.lit(0), F.size(F.col(vec_col)) - 1)
-    # plane p component for dim i = deterministic pseudo-gaussian from hash
-    sig_bits = [
-        F.when(
-            F.aggregate(
-                F.zip_with(
-                    v,
-                    dim_idx,
-                    lambda x, i: x
-                    * (
-                        (
-                            F.pmod(
-                                F.xxhash64(i.cast("string"), F.lit(p)), F.lit(2001)
-                            ).cast("double")
-                            - 1000.0
-                        )
-                        / 1000.0
-                    ),
-                ),
-                F.lit(0.0).cast("double"),
-                lambda acc, t: acc + t,
-            )
-            >= 0,
-            F.lit(1),
-        ).otherwise(F.lit(0))
-        for p in range(n_planes)
-    ]
-    bucket = sum(
-        (bit * (1 << p) for p, bit in enumerate(sig_bits)), F.lit(0)
-    )
-    base = fan_out(df).select(
+    base = fan_out(
+        df.filter(F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) > 0))
+    ).select(
         F.col(id_col).alias("doc_id"),
         v.alias("_v"),
-        bucket.alias("_bkt"),
         _norm(v).alias("_nrm"),
+        sign_lsh_band_buckets(vec_col, n_planes, n_bands, seed).alias("_bkts"),
     )
-    cands = candidate_pairs_from_buckets(base.select("doc_id", "_bkt"), ["_bkt"])
+    banded = base.select(
+        "doc_id", F.posexplode("_bkts").alias("band", "bucket")
+    )
+    cands = candidate_pairs_from_buckets(banded, ["band", "bucket"])
+    # column pruning drops _bkts from the join sides — the UDF runs once
     va = base.select(
         F.col("doc_id").alias("id_a"), F.col("_v").alias("v_a"), F.col("_nrm").alias("n_a")
     )

@@ -113,3 +113,41 @@ class TestEmbeddingDups:
         assert pairs[(1, 2)] == 1.0
         assert (1, 3) in pairs
         assert not any(4 in p for p in pairs)
+
+    def test_planted_near_dup_recall(self, spark):
+        """OR-amplified banding must recover ≥95% of true cosine-0.9 pairs
+        (analytically ≥1-6e-6 at the 6x24 defaults; the old single
+        AND-of-8-planes bucket managed only ~28% per pair)."""
+        import numpy as np
+
+        rng = np.random.default_rng(7)
+        dim, n_base = 32, 120
+        base = rng.standard_normal((n_base, dim))
+        rows = []
+        for i, b in enumerate(base):
+            rows.append((i, [float(x) for x in b]))
+            # plant a near-duplicate: small additive noise -> cosine ~0.95+
+            noisy = b + rng.standard_normal(dim) * 0.12
+            rows.append((1000 + i, [float(x) for x in noisy]))
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+        # exact ground truth at the queried threshold, brute force in numpy
+        ids = [r[0] for r in rows]
+        x = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
+        xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+        cos = xn @ xn.T
+        truth = {
+            (min(ids[i], ids[j]), max(ids[i], ids[j]))
+            for i in range(len(ids))
+            for j in range(i + 1, len(ids))
+            if round(cos[i, j], 6) >= 0.9
+        }
+        assert len(truth) >= 50  # the plant worked
+
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in DD.embedding_dup_pairs(df, threshold=0.9).collect()
+        }
+        assert not (got - truth)  # exact verify -> no false positives
+        recall = len(got & truth) / len(truth)
+        assert recall >= 0.95
