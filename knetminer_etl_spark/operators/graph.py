@@ -142,17 +142,37 @@ def pagerank(
     dst: str = "dst",
     damping: float = 0.85,
     iterations: int = 10,
+    checkpoint_every: int = 3,
 ) -> DataFrame:
-    """(id, rank) by power iteration; dangling mass redistributed
-    uniformly. Deterministic for a fixed iteration count."""
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    """(id, rank) by power iteration with uniform dangling redistribution:
+
+        rank'(v) = (1-d)/n + d * (inflow(v) + dangling/n)
+
+    where ``dangling`` is the summed rank of nodes without out-edges —
+    redistributed **uniformly** (adding d·dangling/n to every node), the
+    standard semantics; ranks sum to 1 every iteration by construction,
+    so there is no renormalization pass. The dangling mass is computed
+    inside the same distributed pass (a 1-row left_anti aggregate
+    crossJoined into the update), never collected on the driver — one
+    Spark job per iteration (plus the periodic lineage checkpoint).
+    Deterministic for a fixed iteration count; loop-invariant relations
+    (edges, node set, out-degrees) are pinned once with localCheckpoint.
+    """
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     ids = (
         e.select(F.col("src").alias("id"))
         .unionByName(e.select(F.col("dst").alias("id")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     n = ids.count()
-    out_deg = e.groupBy("src").agg(F.count("*").alias("_deg"))
+    out_deg = (
+        e.groupBy("src").agg(F.count("*").alias("_deg")).localCheckpoint(eager=True)
+    )
     ranks = ids.withColumn("rank", F.lit(1.0 / n))
     for i in range(iterations):
         contribs = (
@@ -162,20 +182,27 @@ def pagerank(
             .groupBy("id")
             .agg(F.sum("c").alias("inflow"))
         )
-        total_inflow = damping  # proportion carried by links (rest teleports)
+        dangling = (
+            ranks.join(
+                out_deg.select(F.col("src").alias("id")), on="id", how="left_anti"
+            )
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dangling"))
+        )
         ranks = (
             ids.join(contribs, on="id", how="left")
+            .crossJoin(dangling)
             .select(
                 "id",
                 (
                     F.lit((1 - damping) / n)
-                    + F.lit(damping) * F.coalesce(F.col("inflow"), F.lit(0.0))
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("inflow"), F.lit(0.0))
+                        + F.col("_dangling") / n
+                    )
                 ).alias("rank"),
             )
         )
-        # dangling nodes leak mass; renormalize so ranks sum to 1
-        s = ranks.agg(F.sum("rank")).first()[0]
-        ranks = ranks.withColumn("rank", F.col("rank") / F.lit(s))
-        if (i + 1) % 3 == 0:
+        if (i + 1) % checkpoint_every == 0:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks.select("id", F.round("rank", 8).alias("rank"))

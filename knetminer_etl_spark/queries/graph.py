@@ -79,14 +79,64 @@ FROM o FULL OUTER JOIN i ON o.id = i.id
 
 
 def kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PageRank over the customer/order graph (rows-only: float summation
-    order across shuffles is engine-specific)."""
+    """PageRank over the customer/order graph. Oracle-checked: the power
+    iteration is deterministic for a fixed iteration count, and at
+    round-8 precision the shuffle-order float-summation jitter (~1e-13)
+    is far below the rounding granularity."""
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     edges = orders.select(
         F.concat(F.lit("C:"), F.col("o_custkey").cast("string")).alias("src"),
         F.concat(F.lit("O:"), F.col("o_orderkey").cast("string")).alias("dst"),
     )
     return G.pagerank(edges, iterations=5)
+
+
+def _pagerank_sql(iterations: int = 5, damping: float = 0.85) -> str:
+    """Unrolled fixed-iteration PageRank (DuckDB disallows aggregates in a
+    recursive CTE's recursive member, so the loop is unrolled as chained
+    CTEs — byte-for-byte the same update rule as operators.graph.pagerank:
+    rank' = (1-d)/n + d*(inflow + dangling/n))."""
+    d = repr(damping)
+    parts = [
+        """WITH gedges AS (
+  SELECT DISTINCT 'C:' || o_custkey AS src, 'O:' || o_orderkey AS dst FROM orders
+),
+ids AS (SELECT src AS id FROM gedges UNION SELECT dst FROM gedges),
+outdeg AS (SELECT src, count(*) AS deg FROM gedges GROUP BY src),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM ids),
+r0 AS (SELECT id, 1.0 / (SELECT n FROM nn) AS rank FROM ids)"""
+    ]
+    for k in range(1, iterations + 1):
+        parts.append(
+            f""",
+inf{k} AS (
+  SELECT e.dst AS id, sum(r.rank / od.deg) AS s
+  FROM gedges e
+  JOIN r{k - 1} r ON e.src = r.id
+  JOIN outdeg od ON od.src = e.src
+  GROUP BY e.dst
+),
+dm{k} AS (
+  SELECT coalesce(sum(r.rank), 0.0) AS m
+  FROM r{k - 1} r LEFT JOIN outdeg od ON od.src = r.id
+  WHERE od.src IS NULL
+),
+r{k} AS (
+  SELECT i.id,
+         (1.0 - {d}) / (SELECT n FROM nn)
+         + {d} * (coalesce(inf.s, 0.0) + dm.m / (SELECT n FROM nn)) AS rank
+  FROM ids i
+  LEFT JOIN inf{k} inf ON inf.id = i.id
+  CROSS JOIN dm{k} dm
+)"""
+        )
+    parts.append(
+        f"\nSELECT id, round(rank, 8) AS rank FROM r{iterations}"
+    )
+    return "".join(parts)
+
+
+KG_PAGERANK_SQL = _pagerank_sql(iterations=5, damping=0.85)
 
 
 QUERIES = {
@@ -98,4 +148,5 @@ QUERIES = {
 ORACLES = {
     "dedup_components": DEDUP_COMPONENTS_SQL,
     "kg_degrees": KG_DEGREES_SQL,
+    "kg_pagerank": KG_PAGERANK_SQL,
 }
