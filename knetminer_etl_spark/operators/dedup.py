@@ -364,25 +364,40 @@ def _votes_to_fp(votes: list[Column]) -> Column:
     return fp
 
 
+def md5_hash60(col: Column) -> Column:
+    """60-bit integer hash from the md5 hex prefix — slower than xxhash64
+    but **SQL-reproducible** (DuckDB: ('0x' || substr(md5(s),1,15))::BIGINT),
+    so SimHash outputs built on it can be oracle-checked bit-for-bit."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
 def with_simhash64(
-    df: DataFrame, id_col: str, text_col: str, k: int = 1, out_col: str = "fp"
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 1,
+    out_col: str = "fp",
+    hash_fn=None,
+    nbits: int = 64,
 ) -> DataFrame:
-    """(doc_id, fp): 64-bit SimHash, staged through materialized columns
-    (shingles → hashes → 64 scalar bit-vote folds → fp) to keep each
-    expression tree small and allocation-free."""
+    """(doc_id, fp): ``nbits``-bit SimHash, staged through materialized
+    columns (shingles → hashes → nbits scalar bit-vote folds → fp) to keep
+    each expression tree small and allocation-free. ``hash_fn`` maps a
+    shingle Column to an integer hash Column (default seedless xxhash64,
+    the fast path; pass :func:`md5_hash60` with nbits=60 for an
+    oracle-reproducible fingerprint)."""
+    hf = hash_fn or (lambda s: F.xxhash64(s))
     voted = (
         _with_shingles(df, id_col, text_col, k)
-        .select(
-            "_id", F.transform(F.col("_sh"), lambda s: F.xxhash64(s)).alias("_h")
-        )
+        .select("_id", F.transform(F.col("_sh"), hf).alias("_h"))
         .select(
             "_id",
-            *[_bit_vote(F.col("_h"), i).alias(f"_v{i}") for i in range(64)],
+            *[_bit_vote(F.col("_h"), i).alias(f"_v{i}") for i in range(nbits)],
         )
     )
     return voted.select(
         F.col("_id").alias("doc_id"),
-        _votes_to_fp([F.col(f"_v{i}") for i in range(64)]).alias(out_col),
+        _votes_to_fp([F.col(f"_v{i}") for i in range(nbits)]).alias(out_col),
     )
 
 
@@ -400,23 +415,29 @@ def simhash_pairs(
     text_col: str = "text",
     max_hamming: int = 3,
     shingle_k: int = 1,
+    hash_fn=None,
+    nbits: int = 64,
 ) -> DataFrame:
     """Near-dup pairs within Hamming distance ``max_hamming`` of the
-    64-bit SimHash.
+    ``nbits``-bit SimHash.
 
-    Blocking: split the fingerprint into ``max_hamming+1`` 16-bit-ish
-    bands; by pigeonhole any pair within distance d agrees exactly on ≥1
+    Blocking: split the fingerprint into ``max_hamming+1`` equal bands;
+    by pigeonhole any pair within distance d agrees exactly on ≥1
     band → candidates come from band equi-joins, verified with bit_count.
+    The blocking is therefore EXACT (no false negatives), whatever the
+    hash — the pair set equals a brute-force Hamming scan.
     """
     nbands = max_hamming + 1
-    width = 64 // nbands
+    width = nbits // nbands
     # Pin the tiny (id, fp) table: SimHash chunk buckets can be huge on
     # self-similar corpora, so candidates come from a bucket SELF-JOIN
     # (row-streamed; AQE splits hot chunks) rather than per-bucket
     # combination arrays, whose size is quadratic in the bucket and
     # caused GC-bound 5x swings. The pin keeps the fingerprint pipeline
     # from running once per join side.
-    fp = with_simhash64(df, id_col, text_col, shingle_k).localCheckpoint(eager=True)
+    fp = with_simhash64(
+        df, id_col, text_col, shingle_k, hash_fn=hash_fn, nbits=nbits
+    ).localCheckpoint(eager=True)
     banded = fp.select(
         "doc_id",
         "fp",

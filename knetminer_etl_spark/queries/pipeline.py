@@ -195,8 +195,40 @@ WHERE round(inter / (n_a + n_b - inter), 6) >= 0.6
 
 
 def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only check: seeded-xxhash fingerprints aren't SQL-replicable."""
-    return DD.simhash_pairs(_docs(spark, sf_dir), max_hamming=3)
+    """SimHash near-dup pairs, oracle-checked: fingerprints use the
+    md5-derived 60-bit hash (SQL-reproducible, unlike xxhash64) and the
+    pigeonhole band blocking is exact, so the pair set equals the
+    oracle's brute-force Hamming scan over the same fingerprints."""
+    return DD.simhash_pairs(
+        _docs(spark, sf_dir),
+        max_hamming=3,
+        hash_fn=DD.md5_hash60,
+        nbits=60,
+    )
+
+
+SIMHASH_SQL = f"""
+WITH norm AS (SELECT doc_id, {_NORM} AS s FROM documents),
+toks AS (SELECT doc_id,
+                list_distinct(list_filter(string_split(s, ' '), x -> x <> '')) AS t
+         FROM norm),
+ex AS (SELECT doc_id, unnest(t) AS s FROM toks WHERE len(t) > 0),
+hashed AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h FROM ex),
+votes AS (
+  SELECT doc_id, i, sum(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM hashed, generate_series(0, 59) AS g(i)
+  GROUP BY doc_id, i
+),
+fp AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN v > 0 THEN ((1::BIGINT) << i) ELSE 0 END) AS BIGINT) AS fp
+  FROM votes GROUP BY doc_id
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.fp, b.fp)) AS INT) AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.fp, b.fp)) <= 3
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -457,6 +489,7 @@ ORACLES = {
     "exact_dedup": EXACT_DEDUP_SQL,
     "ngram_jaccard_pairs": NGRAM_JACCARD_SQL,
     "minhash_lsh_pairs": MINHASH_LSH_SQL,
+    "simhash_pairs": SIMHASH_SQL,
     "embedding_topk": EMBEDDING_TOPK_SQL,
     "embedding_dup_pairs": EMBEDDING_DUP_SQL,
     "events_tumbling_5m": EVENTS_TUMBLING_SQL,
@@ -464,5 +497,5 @@ ORACLES = {
     "events_sessionize": EVENTS_SESSIONIZE_SQL,
     "events_user_daily": EVENTS_USER_DAILY_SQL,
     "events_json_extract": EVENTS_JSON_SQL,
-    # simhash_pairs / embedding_lsh_topk: rows-only
+    # embedding_lsh_topk: rows-only (approximate by design)
 }
