@@ -110,6 +110,52 @@ def _sign_bucket(vec: Column, n_planes: int) -> Column:
     return sum((b * (1 << p) for p, b in enumerate(bits)), F.lit(0))
 
 
+def sign_bucket_md5(vec: Column, n_planes: int) -> Column:
+    """Sign-LSH bucket with **md5-derived** plane coefficients — slower
+    than the hash-fold or matmul variants but SQL-reproducible: DuckDB
+    computes coef(i,p) = (('0x'||substr(md5(i||','||p),1,15))::BIGINT
+    % 2001 - 1000)/1000.0 identically, so bucketed ANN results can be
+    oracle-checked end to end."""
+    dim_idx = F.sequence(F.lit(0), F.size(vec) - 1)
+    bits = [
+        F.when(
+            F.aggregate(
+                F.zip_with(
+                    vec,
+                    dim_idx,
+                    lambda x, i: x
+                    * (
+                        (
+                            F.conv(
+                                F.substring(
+                                    F.md5(
+                                        F.concat(
+                                            i.cast("string"), F.lit(f",{p}")
+                                        )
+                                    ),
+                                    1,
+                                    15,
+                                ),
+                                16,
+                                10,
+                            ).cast("long")
+                            % 2001
+                        ).cast("double")
+                        - 1000.0
+                    )
+                    / 1000.0,
+                ),
+                F.lit(0.0).cast("double"),
+                lambda acc, t: acc + t,
+            )
+            >= 0,
+            F.lit(1),
+        ).otherwise(F.lit(0))
+        for p in range(n_planes)
+    ]
+    return sum((b * (1 << p) for p, b in enumerate(bits)), F.lit(0))
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -119,6 +165,7 @@ def lsh_topk(
     query_id_col: str | None = None,
     n_planes: int = 6,
     multiprobe: bool = True,
+    bucket_fn=None,
 ) -> DataFrame:
     """Approximate top-k: exact cosine, but only within LSH buckets.
 
@@ -126,18 +173,23 @@ def lsh_topk(
     Hamming distance 1 — recall rises steeply for ~n_planes× extra probes
     while still scoring a tiny corpus fraction. Queries with fewer than k
     in-bucket neighbors simply return fewer rows (standard ANN contract).
+    ``bucket_fn(vec_col, n_planes) -> Column`` overrides the bucketing
+    (default: seeded hash-fold planes; :func:`sign_bucket_md5` for an
+    oracle-reproducible variant). Recall vs the exact baseline is
+    asserted in tests/test_similarity.py.
     """
+    bucketer = bucket_fn or _sign_bucket
     qid = query_id_col or id_col
     c = fan_out(corpus).select(
         F.col(id_col).alias("neighbor_id"), _dvec(F.col(vec_col)).alias("_cv")
     )
     c = c.withColumn("_cn", _norm(F.col("_cv"))).withColumn(
-        "_bkt", _sign_bucket(F.col("_cv"), n_planes)
+        "_bkt", bucketer(F.col("_cv"), n_planes)
     )
     q = queries.select(
         F.col(qid).alias("query_id"), _dvec(F.col(vec_col)).alias("_qv")
     ).withColumn("_qn", _norm(F.col("_qv"))).withColumn(
-        "_qbkt", _sign_bucket(F.col("_qv"), n_planes)
+        "_qbkt", bucketer(F.col("_qv"), n_planes)
     )
     if multiprobe:
         probes = F.array(

@@ -292,9 +292,63 @@ WHERE round({_DOT.format(a='a.embedding', b='b.embedding')}
 
 
 def embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only: approximate-by-design."""
+    """Bucketed ANN top-k, oracle-checked end to end: with md5-derived
+    plane coefficients the bucketing itself is SQL-reproducible, so the
+    oracle replicates the *same* probe set and in-bucket exact scoring —
+    the approximation is identical on both sides, making even an
+    approximate operator hash-comparable."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return SIM.lsh_topk(emb, emb.filter("vec_id < 20"), k=5)
+    return SIM.lsh_topk(
+        emb, emb.filter("vec_id < 20"), k=5, bucket_fn=SIM.sign_bucket_md5
+    )
+
+
+def _lsh_bucket_sql(vec: str, n_planes: int = 6) -> str:
+    """DuckDB twin of operators.similarity.sign_bucket_md5."""
+    bits = []
+    for p in range(n_planes):
+        coef = (
+            f"((('0x' || substr(md5((i-1)::VARCHAR || ',{p}'), 1, 15))::BIGINT"
+            f" % 2001 - 1000) / 1000.0)"
+        )
+        proj = (
+            f"list_reduce([{vec}[i]::DOUBLE * {coef}"
+            f" for i in generate_series(1, len({vec}))], (x, y) -> x + y)"
+        )
+        bits.append(f"(CASE WHEN {proj} >= 0 THEN {1 << p} ELSE 0 END)")
+    return " + ".join(bits)
+
+
+EMBEDDING_LSH_TOPK_SQL = f"""
+WITH cb AS (
+  SELECT vec_id, embedding, {_lsh_bucket_sql('embedding')} AS bkt
+  FROM embeddings
+),
+qb AS (SELECT vec_id AS query_id, embedding AS qv, bkt AS qbkt
+       FROM cb WHERE vec_id < 20),
+probes AS (
+  SELECT query_id, qv,
+         unnest(list_prepend(qbkt,
+                [xor(qbkt, {1 << 0}), xor(qbkt, {1 << 1}), xor(qbkt, {1 << 2}),
+                 xor(qbkt, {1 << 3}), xor(qbkt, {1 << 4}), xor(qbkt, {1 << 5})])) AS bkt
+  FROM qb
+),
+scored AS (
+  SELECT p.query_id, c.vec_id AS neighbor_id,
+         round({_DOT.format(a='p.qv', b='c.embedding')}
+               / (sqrt({_DOT.format(a='p.qv', b='p.qv')})
+                  * sqrt({_DOT.format(a='c.embedding', b='c.embedding')})), 6) AS cosine
+  FROM probes p JOIN cb c ON c.bkt = p.bkt AND c.vec_id <> p.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 5
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -492,10 +546,11 @@ ORACLES = {
     "simhash_pairs": SIMHASH_SQL,
     "embedding_topk": EMBEDDING_TOPK_SQL,
     "embedding_dup_pairs": EMBEDDING_DUP_SQL,
+    "embedding_lsh_topk": EMBEDDING_LSH_TOPK_SQL,
     "events_tumbling_5m": EVENTS_TUMBLING_SQL,
     "events_sliding_10m5m": EVENTS_SLIDING_SQL,
     "events_sessionize": EVENTS_SESSIONIZE_SQL,
     "events_user_daily": EVENTS_USER_DAILY_SQL,
     "events_json_extract": EVENTS_JSON_SQL,
-    # embedding_lsh_topk: rows-only (approximate by design)
+    # (all queries oracle-checked)
 }

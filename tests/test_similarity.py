@@ -61,3 +61,46 @@ class TestLSH:
         got = SIM.lsh_topk(vectors, vectors.filter("vec_id = 5"), k=4).collect()
         assert len(got) <= 4
         assert all(r["rank"] <= 4 for r in got)
+
+    def test_measured_recall_at_defaults(self, spark):
+        """Recall@5 of lsh_topk (6 planes + Hamming-1 multiprobe) vs the
+        exact baseline on planted clusters — the per-neighbor collision
+        probability at intra-cluster cosine ~0.97 is ~0.95 analytically;
+        assert a 0.8 floor (deterministic: planes are seeded)."""
+        import numpy as np
+
+        rng = np.random.default_rng(11)
+        n_clusters, per_cluster, dim = 20, 10, 32
+        rows, vid = [], 0
+        for _ in range(n_clusters):
+            center = rng.standard_normal(dim)
+            center /= np.linalg.norm(center)
+            for _ in range(per_cluster):
+                # noise norm ~0.04*sqrt(32)~0.23 -> intra cosine ~0.97;
+                # at that cosine analytical recall is ~0.93 (at cosine
+                # 0.83 it drops to ~0.68 — measured, matching theory)
+                v = center + rng.standard_normal(dim) * 0.04
+                rows.append((vid, [float(x) for x in v]))
+                vid += 1
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        queries = df.filter(f"vec_id % {per_cluster} = 0")
+
+        brute = {
+            (r["query_id"], r["neighbor_id"])
+            for r in SIM.cosine_topk(df, queries, k=5).collect()
+        }
+        approx = {
+            (r["query_id"], r["neighbor_id"])
+            for r in SIM.lsh_topk(df, queries, k=5).collect()
+        }
+        recall = len(brute & approx) / len(brute)
+        assert recall >= 0.8, f"recall@5 = {recall}"
+
+    def test_md5_bucket_variant_matches_contract(self, spark, vectors):
+        got = SIM.lsh_topk(
+            vectors,
+            vectors.filter("vec_id IN (0, 10)"),
+            k=3,
+            bucket_fn=SIM.sign_bucket_md5,
+        ).collect()
+        assert all(r["rank"] <= 3 and r["neighbor_id"] != r["query_id"] for r in got)
