@@ -19,10 +19,13 @@ are pure functions, unit-tested without a database.
 
 from __future__ import annotations
 
+import datetime
 import itertools
 import time
 from collections.abc import Callable, Iterable, Iterator
 from dataclasses import dataclass, field
+from enum import Enum
+from pathlib import Path
 from typing import Any
 
 from pyspark.sql import DataFrame
@@ -32,6 +35,43 @@ from ..core.serialize import DEFAULT_CONVERTER, ValueConverter
 
 DEFAULT_BATCH_SIZE = 2500  # elements per transaction (reference default)
 DEFAULT_MAX_RETRIES = 10
+
+
+class MultiValueMode(str, Enum):
+    """Per-property cardinality coercion for PG-JSONL value arrays
+    (parity with reference src/ketl/io/neoloader.py:56-93).
+
+    PG-JSONL always stores a property as an array, treated as a **set**
+    (order irrelevant, duplicates removable):
+
+    * ``SINGLE``   — always single-valued; >1 values is an error.
+    * ``MULTIPLE`` — always a list, even for singletons.
+    * ``AUTO``     — singleton → scalar, bigger array → deduped list
+      (the default, mirroring the reference's default).
+    """
+
+    SINGLE = "single"
+    MULTIPLE = "multiple"
+    AUTO = "auto"
+
+
+@dataclass
+class PropertyConfig:
+    """Loader options for one PG property (reference
+    NeoLoaderPropertyConfig, src/ketl/io/neoloader.py:50-115)."""
+
+    multi_value_mode: MultiValueMode = MultiValueMode.AUTO
+
+    @classmethod
+    def from_config(cls, config: dict | None) -> "PropertyConfig":
+        if not config:
+            return cls()
+        params = dict(config)
+        if "multi_value_mode" in params:
+            params["multi_value_mode"] = MultiValueMode(
+                params["multi_value_mode"]
+            )
+        return cls(**params)
 
 
 @dataclass
@@ -44,7 +84,54 @@ class Neo4jConfig:
     max_retries: int = DEFAULT_MAX_RETRIES
     retry_base_pause_s: float = 2.0
     common_label: str = "Node"  # shared label enabling the id index
+    property_configs: dict[str, PropertyConfig] = field(default_factory=dict)
+    default_property_config: PropertyConfig = field(
+        default_factory=PropertyConfig
+    )
     extra: dict[str, Any] = field(default_factory=dict)
+
+    def get_property_config(self, prop_id: str) -> PropertyConfig:
+        return self.property_configs.get(prop_id, self.default_property_config)
+
+
+def coerce_property_values(
+    prop_id: str,
+    elem_id: str,
+    values: list[Any] | None,
+    config: Neo4jConfig | None = None,
+) -> Any:
+    """Apply the property's :class:`MultiValueMode` to an unserialized
+    value list (reference semantics, src/ketl/io/neoloader.py:770-815):
+    None elements are dropped; an empty result returns None (caller omits
+    the property); SINGLE raises on >1 values ("expected failure"
+    contract); duplicates are removed in the multi-value cases. Dedup is
+    first-occurrence-order (deterministic) rather than the reference's
+    ``list(set(...))`` — same set semantics, stable output.
+    """
+    if values is None:
+        return None
+    if not isinstance(values, list):
+        raise ValueError(
+            f"property '{prop_id}' in element '{elem_id}' has a non-list value"
+        )
+    vals = [v for v in values if v is not None]
+    if not vals:
+        return None
+    mode = (
+        config.get_property_config(prop_id).multi_value_mode
+        if config is not None
+        else MultiValueMode.AUTO
+    )
+    if len(vals) == 1:
+        if mode in (MultiValueMode.SINGLE, MultiValueMode.AUTO):
+            return vals[0]
+        return vals
+    if mode == MultiValueMode.SINGLE:
+        raise ValueError(
+            f"multiple values aren't allowed for property '{prop_id}' "
+            f"in element '{elem_id}'"
+        )
+    return list(dict.fromkeys(vals))
 
 
 # ---------------------------------------------------------------------------
@@ -113,17 +200,23 @@ def _quote_label(label: str) -> str:
 
 
 def pg_row_to_params(
-    row: Any, converters: dict[str, ValueConverter] | None = None
+    row: Any,
+    converters: dict[str, ValueConverter] | None = None,
+    config: Neo4jConfig | None = None,
 ) -> dict[str, Any]:
     """PG Row → Cypher parameter map; property value-sets unserialize to
-    native types, single-element sets collapse to scalars (the loader's
-    'auto' cardinality mode)."""
+    native types, then each property's :class:`MultiValueMode` decides
+    scalar vs list (default AUTO: singletons collapse, larger sets dedup
+    to a list; SINGLE raises on multi-values). Properties whose value set
+    is empty after None-dropping are omitted."""
     convs = converters or {}
     props: dict[str, Any] = {}
     for pk, vals in (row["properties"] or {}).items():
         conv = convs.get(pk, DEFAULT_CONVERTER)
         native = [conv.unserialize(v) for v in vals]
-        props[pk] = native[0] if len(native) == 1 else native
+        coerced = coerce_property_values(pk, row["id"], native, config)
+        if coerced is not None:
+            props[pk] = coerced
     out = {
         "id": row["id"],
         "labels": sorted(row["labels"] or []),
@@ -164,6 +257,47 @@ def run_with_retry(
 
 
 # ---------------------------------------------------------------------------
+# Per-pass done markers (crash resume)
+# ---------------------------------------------------------------------------
+
+
+def done_marker_paths(done_base_path: str | Path) -> tuple[Path, Path]:
+    """(nodes_marker, edges_marker) for a base path; a base already ending
+    in .nodes/.edges is stripped first (reference
+    src/ketl/io/neoloader.py:483-490)."""
+    base = str(done_base_path)
+    if base.endswith(".nodes") or base.endswith(".edges"):
+        base = base.rsplit(".", 1)[0]
+    return Path(base + ".nodes"), Path(base + ".edges")
+
+
+def plan_passes(
+    done_base_path: str | Path | None,
+) -> tuple[bool, bool]:
+    """(do_nodes, do_edges): skip a pass whose done marker already exists,
+    so a crashed load resumes past completed work instead of re-CREATEing
+    nodes (the Cypher uses CREATE, not MERGE — a re-run would duplicate)."""
+    if done_base_path is None:
+        return True, True
+    nodes_p, edges_p = done_marker_paths(done_base_path)
+    return not nodes_p.exists(), not edges_p.exists()
+
+
+def write_done_marker(
+    done_base_path: str | Path, is_nodes: bool, source: str = ""
+) -> None:
+    """Write the per-pass marker after the pass commits (reference
+    src/ketl/io/neoloader.py:448-465)."""
+    nodes_p, edges_p = done_marker_paths(done_base_path)
+    path = nodes_p if is_nodes else edges_p
+    which = "nodes" if is_nodes else "edges"
+    path.write_text(
+        f'{which} from "{source}" loaded in Neo4j on '
+        f"{datetime.datetime.now().isoformat()}\n"
+    )
+
+
+# ---------------------------------------------------------------------------
 # Spark-side loader
 # ---------------------------------------------------------------------------
 
@@ -184,14 +318,24 @@ def load_pg_to_neo4j(
     pg: DataFrame,
     config: Neo4jConfig,
     write_partitions: int = 8,
+    done_base_path: str | Path | None = None,
 ) -> None:
-    """Two-pass PG load: nodes (repartitioned to bound write concurrency),
-    id index, then edges grouped by relationship type.
+    """Two-pass PG load: nodes (repartitioned to bound write concurrency —
+    ``write_partitions`` is the enforced concurrent-transaction cap, the
+    reference's ncpu-1 bounded-async equivalent), id index, then edges
+    grouped by relationship type.
 
     Each executor partition opens one driver session; batches of
     ``config.batch_size`` per transaction with transient-error retry.
+
+    ``done_base_path`` enables crash resume: ``<base>.nodes`` /
+    ``<base>.edges`` markers are written after each pass commits, and a
+    pass whose marker exists is skipped on re-run — without this a
+    restarted load would re-CREATE the completed node pass and duplicate
+    every node.
     """
     _require_driver()  # fail fast on the driver before launching jobs
+    do_nodes, do_edges = plan_passes(done_base_path)
 
     edge_t = str(PGElementType.EDGE)
     nodes = pg.filter(pg["type"] != edge_t).repartition(write_partitions)
@@ -205,7 +349,7 @@ def load_pg_to_neo4j(
         try:
             with driver.session(database=config.database) as session:
                 for batch in batched(rows, config.batch_size):
-                    params = [pg_row_to_params(r) for r in batch]
+                    params = [pg_row_to_params(r, config=config) for r in batch]
                     if is_edges:
                         # per-type sub-batches (rel type is structural)
                         bytype: dict[str, list] = {}
@@ -239,7 +383,10 @@ def load_pg_to_neo4j(
         finally:
             driver.close()
 
-    nodes.foreachPartition(lambda rows: write_pass(rows, False))
+    if do_nodes:
+        nodes.foreachPartition(lambda rows: write_pass(rows, False))
+        if done_base_path is not None:
+            write_done_marker(done_base_path, is_nodes=True, source="pg")
 
     # index between passes so edge MATCHes are O(log n)
     neo4j = _require_driver()
@@ -250,4 +397,7 @@ def load_pg_to_neo4j(
     finally:
         driver.close()
 
-    edges.foreachPartition(lambda rows: write_pass(rows, True))
+    if do_edges:
+        edges.foreachPartition(lambda rows: write_pass(rows, True))
+        if done_base_path is not None:
+            write_done_marker(done_base_path, is_nodes=False, source="pg")

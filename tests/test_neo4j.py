@@ -51,6 +51,87 @@ class TestParams:
         assert p["from"] == "A" and p["to"] == "B"
 
 
+class TestMultiValueMode:
+    """Parity with reference MultiValueMode semantics (ref
+    src/ketl/io/neoloader.py:56-93,770-815; tests
+    tests/ketl/io/neoloader/test_neoloader.py:246-385)."""
+
+    def _cfg(self, **modes):
+        return N.Neo4jConfig(
+            property_configs={
+                k: N.PropertyConfig(multi_value_mode=N.MultiValueMode(v))
+                for k, v in modes.items()
+            }
+        )
+
+    def test_auto_default(self):
+        assert N.coerce_property_values("p", "e", ["x"]) == "x"
+        assert N.coerce_property_values("p", "e", ["x", "y", "x"]) == ["x", "y"]
+
+    def test_single_collapses_and_raises(self):
+        cfg = self._cfg(p="single")
+        assert N.coerce_property_values("p", "e", ["x"], cfg) == "x"
+        with pytest.raises(ValueError, match="multiple values aren't allowed"):
+            N.coerce_property_values("p", "e", ["x", "y"], cfg)
+
+    def test_multiple_always_list(self):
+        cfg = self._cfg(p="multiple")
+        assert N.coerce_property_values("p", "e", ["x"], cfg) == ["x"]
+        assert N.coerce_property_values("p", "e", [3, 3, 1], cfg) == [3, 1]
+
+    def test_none_elements_dropped_and_empty_omitted(self):
+        assert N.coerce_property_values("p", "e", [None]) is None
+        assert N.coerce_property_values("p", "e", []) is None
+        assert N.coerce_property_values("p", "e", [None, "x"]) == "x"
+
+    def test_non_list_raises(self):
+        with pytest.raises(ValueError, match="non-list"):
+            N.coerce_property_values("p", "e", "scalar")  # type: ignore[arg-type]
+
+    def test_row_params_honor_config(self):
+        row = Row(
+            id="N1",
+            type="node",
+            labels=["Gene"],
+            **{"from": None, "to": None},
+            properties={"syn": ['"a"', '"b"'], "name": ['"TP53"']},
+        )
+        cfg = self._cfg(name="multiple", syn="single")
+        with pytest.raises(ValueError):
+            N.pg_row_to_params(row, config=cfg)
+        cfg2 = self._cfg(name="multiple")
+        p = N.pg_row_to_params(row, config=cfg2)
+        assert p["properties"]["name"] == ["TP53"]  # forced list
+        assert sorted(p["properties"]["syn"]) == ["a", "b"]
+
+    def test_property_config_from_config(self):
+        pc = N.PropertyConfig.from_config({"multi_value_mode": "multiple"})
+        assert pc.multi_value_mode is N.MultiValueMode.MULTIPLE
+        assert N.PropertyConfig.from_config(None).multi_value_mode is N.MultiValueMode.AUTO
+
+
+class TestDoneMarkers:
+    """Crash-resume markers (ref src/ketl/io/neoloader.py:448-490; tests
+    tests/ketl/io/neoloader/test_neoloader.py:464-587)."""
+
+    def test_paths_and_suffix_strip(self, tmp_path):
+        n, e = N.done_marker_paths(tmp_path / "load")
+        assert n.name == "load.nodes" and e.name == "load.edges"
+        # a base already carrying a pass suffix is stripped first
+        n2, e2 = N.done_marker_paths(tmp_path / "load.nodes")
+        assert (n2, e2) == (n, e)
+
+    def test_plan_passes_skips_done(self, tmp_path):
+        base = tmp_path / "load"
+        assert N.plan_passes(None) == (True, True)
+        assert N.plan_passes(base) == (True, True)
+        N.write_done_marker(base, is_nodes=True, source="src.jsonl")
+        assert N.plan_passes(base) == (False, True)
+        N.write_done_marker(base, is_nodes=False)
+        assert N.plan_passes(base) == (False, False)
+        assert "src.jsonl" in (tmp_path / "load.nodes").read_text()
+
+
 class TestBatchingRetry:
     def test_batched(self):
         got = list(N.batched(range(7), 3))
