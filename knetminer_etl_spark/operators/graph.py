@@ -34,7 +34,100 @@ def _sym_edges(edges: DataFrame, src: str, dst: str) -> DataFrame:
     return fwd.unionByName(rev).filter(F.col("src") != F.col("dst")).distinct()
 
 
+def _large_star(e: DataFrame) -> DataFrame:
+    """Large-star round: every node connects its strictly-larger
+    neighbors to the minimum of its closed neighborhood. Output stays
+    canonically oriented (u > v)."""
+    sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mins = sym.groupBy("u").agg(
+        F.least(F.min("v"), F.first("u")).alias("m")
+    )
+    return (
+        sym.join(mins, on="u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Small-star round: every node links all its smaller neighbors (and
+    itself) to the smallest of them. Input/output oriented u > v."""
+    mins = e.groupBy("u").agg(F.min("v").alias("m"))
+    nbr = (
+        e.join(mins, on="u")
+        .filter(F.col("v") != F.col("m"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+    own = mins.select("u", F.col("m").alias("v"))
+    return (
+        nbr.unionByName(own).filter(F.col("u") != F.col("v")).distinct()
+    )
+
+
 def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    nodes: DataFrame | None = None,
+    node_id: str = "id",
+    max_iterations: int = 50,
+    _stats: dict | None = None,
+) -> DataFrame:
+    """(id, component) — component = min node id reachable (undirected).
+
+    Alternating **large-star / small-star** rounds (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond"): each round is two
+    groupBy+join passes and the edge set contracts toward star graphs
+    rooted at component minima in **O(log n) rounds** — unlike plain
+    min-label propagation, whose round count is the graph *diameter*
+    (a 100 TB graph with one long chain would run thousands of full
+    join+agg rounds; see tests/test_graph.py long-chain case). Converges
+    when the per-round edge-set fingerprint (count + hash sum — one
+    cheap agg action) stops changing.
+    """
+    e0 = _sym_edges(edges, src, dst)
+    # canonical orientation (u > v) + pin: the (possibly expensive)
+    # upstream pair pipeline must not re-execute per round
+    e = (
+        e0.select(
+            F.greatest("src", "dst").alias("u"), F.least("src", "dst").alias("v")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    ids = e0.select(F.col("src").alias("id"))
+    if nodes is not None:
+        ids = ids.unionByName(nodes.select(F.col(node_id).alias("id")))
+    ids = ids.distinct().localCheckpoint(eager=True)
+
+    prev_fp = None
+    rounds = 0
+    for _ in range(max_iterations):
+        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        rounds += 1
+        fp = e.agg(
+            F.count("*").alias("n"),
+            # bit_xor: order-independent, overflow-free edge-set digest
+            F.coalesce(F.bit_xor(F.xxhash64("u", "v")), F.lit(0)).alias("h"),
+        ).first()
+        if (fp["n"], fp["h"]) == prev_fp:
+            break
+        prev_fp = (fp["n"], fp["h"])
+    if _stats is not None:
+        _stats["rounds"] = rounds
+
+    # at fixpoint e is a star forest: (child, root) with root = component
+    # min; nodes absent from e are their own component
+    child = e.select(F.col("u").alias("id"), F.col("v").alias("component"))
+    return (
+        ids.join(child, on="id", how="left")
+        .select("id", F.coalesce("component", F.col("id")).alias("component"))
+    )
+
+
+def connected_components_label(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
@@ -43,16 +136,10 @@ def connected_components(
     max_iterations: int = 50,
     checkpoint_every: int = 3,
 ) -> DataFrame:
-    """(id, component) — component = min node id reachable (undirected).
-
-    Driver-side loop with a distributed body; terminates when a round
-    changes no label (an `isEmpty` on the changed-set — cheap, early-exit)
-    or after ``max_iterations``.
-    """
+    """Plain min-label propagation — O(diameter) rounds. Fine for tiny
+    dedup clusters; prefer :func:`connected_components` (log-round
+    star contraction) everywhere else."""
     e = _sym_edges(edges, src, dst)
-    # pin the edge relation: it is referenced in every round, and without
-    # materialization its (possibly expensive) upstream plan — e.g. the
-    # near-dup pair pipeline — re-executes per iteration
     e = e.localCheckpoint(eager=True)
     ids = e.select(F.col("src").alias("id"))
     if nodes is not None:

@@ -30,6 +30,32 @@ class TestConnectedComponents:
         got = {r["id"]: r["component"] for r in G.connected_components(e).collect()}
         assert set(got.values()) == {1}
 
+    def test_long_chain_converges_in_log_rounds(self, spark):
+        """A 128-node chain has diameter 127: min-label needs ~127 rounds,
+        star contraction must stay logarithmic (≤ log2(128)+c)."""
+        n = 128
+        e = spark.createDataFrame(
+            [(i, i + 1) for i in range(n - 1)], "src long, dst long"
+        )
+        stats: dict = {}
+        got = {
+            r["id"]: r["component"]
+            for r in G.connected_components(e, _stats=stats).collect()
+        }
+        assert got == {i: 0 for i in range(n)}
+        assert stats["rounds"] <= 12, f"took {stats['rounds']} rounds"
+
+    def test_label_propagation_variant_agrees(self, spark, edges, nodes):
+        star = {
+            r["id"]: r["component"]
+            for r in G.connected_components(edges, nodes=nodes).collect()
+        }
+        label = {
+            r["id"]: r["component"]
+            for r in G.connected_components_label(edges, nodes=nodes).collect()
+        }
+        assert star == label
+
 
 class TestDegrees:
     def test_in_out(self, spark, edges):
