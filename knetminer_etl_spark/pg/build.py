@@ -35,13 +35,62 @@ from ..core.model import FROM_KEY, SPECIAL_KEYS, TO_KEY, TYPE_KEY, PGElementType
 def triples_to_pg(
     triples: DataFrame,
     validate: bool = False,
+    two_level: bool = False,
 ) -> DataFrame:
     """Aggregate a triple DataFrame into the PG relation.
 
     With ``validate=True``, edges missing endpoints or elements with zero
     labels raise at execution time (the validation the reference left as a
     TODO, src/ketl/io/core.py:115-118).
+
+    ``two_level=True`` selects the skew-safe plan: a pathological element
+    with millions of property rows hot-spots one reducer in the default
+    single-shuffle build (all its raw (key,value) pairs collect on one
+    task). The two-level variant pre-aggregates on ``(id, key)`` first —
+    ``collect_set`` partials dedup map-side, so the second (per-id)
+    shuffle carries one bounded row per (id, key) instead of raw pairs.
+    Costs a second shuffle; identical output (tests assert equality).
     """
+    if two_level:
+        agg = _agg_two_level(triples)
+    else:
+        agg = _agg_single(triples)
+
+    pg = agg.select(
+        F.col("id"),
+        F.when(F.col("from").isNotNull(), F.lit(str(PGElementType.EDGE)))
+        .otherwise(F.lit(str(PGElementType.NODE)))
+        .alias("type"),
+        F.col("labels"),
+        F.col("from"),
+        F.col("to"),
+        F.col("properties"),
+    )
+
+    if validate:
+        # expressed as a filter over assert_true so Catalyst cannot prune
+        # the check away (a dropped projection column would be eliminated)
+        ok = ~(
+            (F.col("type") == str(PGElementType.EDGE))
+            & (F.col("from").isNull() | F.col("to").isNull())
+        ) & (F.size("labels") > 0)
+        pg = pg.filter(
+            F.when(
+                ~ok,
+                F.raise_error(
+                    F.concat(
+                        F.lit("invalid PG element (missing endpoint or label): "),
+                        F.col("id"),
+                    )
+                ).cast("boolean"),
+            ).otherwise(F.lit(True))
+        )
+
+    return pg
+
+
+def _agg_single(triples: DataFrame) -> DataFrame:
+    """One hash aggregation on ``id`` (the default plan; see module doc)."""
     k, v = F.col("key"), F.col("value")
     is_prop = ~k.isin(*SPECIAL_KEYS)
 
@@ -74,38 +123,43 @@ def triples_to_pg(
             ),
         )
     )
+    return agg.select("id", "labels", "from", "to", props.alias("properties"))
 
-    pg = agg.select(
-        F.col("id"),
-        F.when(F.col("from").isNotNull(), F.lit(str(PGElementType.EDGE)))
-        .otherwise(F.lit(str(PGElementType.NODE)))
-        .alias("type"),
-        F.col("labels"),
-        F.col("from"),
-        F.col("to"),
-        props.alias("properties"),
+
+def _agg_two_level(triples: DataFrame) -> DataFrame:
+    """Skew-safe twin of :func:`_agg_single`: pre-aggregate on (id, key) so
+    the per-id reducer sees one deduped row per key, not raw pairs."""
+    per_key = triples.groupBy("id", "key").agg(
+        F.array_sort(F.collect_set("value")).alias("_vals")
     )
-
-    if validate:
-        # expressed as a filter over assert_true so Catalyst cannot prune
-        # the check away (a dropped projection column would be eliminated)
-        ok = ~(
-            (F.col("type") == str(PGElementType.EDGE))
-            & (F.col("from").isNull() | F.col("to").isNull())
-        ) & (F.size("labels") > 0)
-        pg = pg.filter(
-            F.when(
-                ~ok,
-                F.raise_error(
-                    F.concat(
-                        F.lit("invalid PG element (missing endpoint or label): "),
-                        F.col("id"),
-                    )
-                ).cast("boolean"),
-            ).otherwise(F.lit(True))
-        )
-
-    return pg
+    k = F.col("key")
+    is_prop = ~k.isin(*SPECIAL_KEYS)
+    # per id: at most one row per special key, so max() over the single
+    # candidate is deterministic; endpoints take the max value (= last of
+    # the sorted set), matching the single-level build
+    agg = per_key.groupBy("id").agg(
+        F.coalesce(
+            F.max(F.when(k == TYPE_KEY, F.col("_vals"))),
+            F.array().cast("array<string>"),
+        ).alias("labels"),
+        F.max(F.when(k == FROM_KEY, F.element_at(F.col("_vals"), -1))).alias("from"),
+        F.max(F.when(k == TO_KEY, F.element_at(F.col("_vals"), -1))).alias("to"),
+        F.array_sort(
+            F.collect_list(
+                F.when(
+                    is_prop,
+                    F.struct(k.alias("key"), F.col("_vals").alias("values")),
+                )
+            )
+        ).alias("_entries"),
+    )
+    return agg.select(
+        "id",
+        "labels",
+        "from",
+        "to",
+        F.map_from_entries(F.col("_entries")).alias("properties"),
+    )
 
 
 def dangling_edges(pg: DataFrame) -> DataFrame:

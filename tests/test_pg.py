@@ -58,6 +58,39 @@ class TestPGBuild:
         plan = triples_to_pg(triples)._jdf.queryExecution().executedPlan().toString()
         assert plan.count("Exchange") == 1  # one shuffle on id, no joins
 
+    def test_two_level_equals_single_level(self, spark, triples):
+        from pyspark.testing import assertDataFrameEqual
+
+        a = triples_to_pg(triples).orderBy("id")
+        b = triples_to_pg(triples, two_level=True).orderBy("id")
+        assertDataFrameEqual(a, b)
+
+    def test_two_level_handles_hot_element(self, spark):
+        """One element with 1M property rows: the (id,key) pre-agg dedups
+        map-side so the per-id reducer sees one row per key, not 1M raw
+        pairs. Asserts correctness of the skewed build (and that both the
+        hot and a normal element survive intact)."""
+        from pyspark.sql import functions as F
+
+        hot = (
+            spark.range(1_000_000)
+            .select(
+                F.lit("HOT").alias("id"),
+                F.concat(F.lit("k"), (F.col("id") % 10).cast("string")).alias("key"),
+                # 100 distinct values per key -> bounded post-dedup state
+                (F.col("id") % 1000).cast("string").alias("value"),
+            )
+        )
+        rest = spark.createDataFrame(
+            [("HOT", "@type", "Blob"), ("N1", "@type", "Gene"), ("N1", "p", "x")],
+            "id string, key string, value string",
+        )
+        pg = by_id(triples_to_pg(hot.unionByName(rest), two_level=True))
+        assert pg["HOT"]["labels"] == ["Blob"]
+        assert len(pg["HOT"]["properties"]) == 10
+        assert len(pg["HOT"]["properties"]["k0"]) == 100
+        assert pg["N1"]["properties"]["p"] == ["x"]
+
     def test_validate_missing_endpoint_raises(self, spark):
         bad = spark.createDataFrame(
             [("E9", "@type", "rel"), ("E9", "@from", "N1")],
