@@ -6,12 +6,15 @@ Arrow-batched Pandas iterators over ``mapInPandas`` — the only sane
 shape at 100 TB (no driver involvement, batch-columnar transfer, media
 libs imported once per executor, partition-parallel).
 
-The actual codec calls are **stubbed** (image/audio libraries are not in
-this environment): ``decode_fn=None`` selects a deterministic fake
-decoder so the Spark-side plumbing — schema, batching, partitioning, UDF
-signatures — is real and tested; pass a real ``decode_fn`` (e.g. PIL /
-torchaudio based) in production, or use :func:`real_decode_stub` to see
-the intended integration point raise ``NotImplementedError``.
+**Image metadata decode is real**: :func:`image_header_decode` parses
+PNG/JPEG/GIF width/height straight from the container headers with the
+stdlib (no codec library). Audio/video codec calls remain **stubbed**
+(those libraries are not in this environment): ``decode_fn=None``
+selects a deterministic fake decoder so the Spark-side plumbing —
+schema, batching, partitioning, UDF signatures — is real and tested;
+pass a real ``decode_fn`` (ffmpeg/torchaudio based) in production, or
+use :func:`real_decode_stub` to see the integration point raise
+``NotImplementedError``.
 """
 
 from __future__ import annotations
@@ -54,12 +57,71 @@ def attach_media_meta(
 
 
 def real_decode_stub(data: bytes, fmt: str) -> dict[str, Any]:
-    """The production integration point. Replace with a PIL/ffmpeg/
-    torchaudio call returning {width, height, duration_ms, features}."""
+    """The production integration point for **audio/video** (image
+    metadata has a real pure-Python decoder: :func:`image_header_decode`).
+    Replace with an ffmpeg/torchaudio call returning
+    {width, height, duration_ms, features}."""
     raise NotImplementedError(
-        "media codecs are not available in this environment; "
+        "audio/video codecs are not available in this environment; "
         "pass decode_fn= with a real decoder in production"
     )
+
+
+def parse_image_header(data: bytes) -> tuple[int, int, str] | None:
+    """(width, height, format) from PNG / JPEG / GIF container headers —
+    pure stdlib byte parsing, no codec library. Returns None if the bytes
+    match none of the three containers."""
+    # PNG: 8-byte signature, then the IHDR chunk: width/height are the
+    # first two big-endian u32s of its payload (offsets 16..24)
+    if data[:8] == b"\x89PNG\r\n\x1a\n" and len(data) >= 24:
+        return (
+            int.from_bytes(data[16:20], "big"),
+            int.from_bytes(data[20:24], "big"),
+            "png",
+        )
+    # GIF: 'GIF87a'/'GIF89a', logical-screen width/height little-endian
+    if data[:6] in (b"GIF87a", b"GIF89a") and len(data) >= 10:
+        return (
+            int.from_bytes(data[6:8], "little"),
+            int.from_bytes(data[8:10], "little"),
+            "gif",
+        )
+    # JPEG: walk the marker segments to the first SOFn frame header,
+    # whose payload is [precision u8, height u16, width u16, ...]
+    if data[:2] == b"\xff\xd8":
+        i, n = 2, len(data)
+        while i + 9 < n:
+            if data[i] != 0xFF:
+                i += 1
+                continue
+            marker = data[i + 1]
+            # standalone markers (no length field)
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7 or marker == 0xFF:
+                i += 2 if marker != 0xFF else 1
+                continue
+            if marker == 0xD9:  # EOI
+                break
+            seg_len = int.from_bytes(data[i + 2 : i + 4], "big")
+            is_sof = 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC)
+            if is_sof:
+                return (
+                    int.from_bytes(data[i + 7 : i + 9], "big"),
+                    int.from_bytes(data[i + 5 : i + 7], "big"),
+                    "jpeg",
+                )
+            i += 2 + seg_len
+    return None
+
+
+def image_header_decode(data: bytes, fmt: str) -> dict[str, Any]:
+    """Real image-metadata decode_fn (PNG/JPEG/GIF width/height from the
+    container header, stdlib-only — no codec dependency). Raises on
+    unrecognized bytes, mirroring a codec failure."""
+    meta = parse_image_header(data or b"")
+    if meta is None:
+        raise ValueError(f"unrecognized image container (fmt hint: {fmt})")
+    w, h, _ = meta
+    return {"width": w, "height": h, "duration_ms": None, "features": None}
 
 
 def _fake_decode(data: bytes, fmt: str) -> dict[str, Any]:
@@ -110,14 +172,22 @@ def decode_media(
 
     def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in it:
+            # zip over column arrays, not iterrows (~5-10x faster per
+            # batch; matters when the codec per-row cost is small, as with
+            # header-only image decode)
+            ids = pdf[id_col].to_numpy()
+            datas = pdf[binary_col].to_numpy()
+            fmts = (
+                pdf[fmt_col].astype(str).to_numpy()
+                if fmt_col
+                else ["bin"] * len(pdf)
+            )
             out = []
-            for _, row in pdf.iterrows():
-                fmt = str(row[fmt_col]) if fmt_col else "bin"
-                data = row[binary_col]
+            for mid, data, fmt in zip(ids, datas, fmts):
                 d = fn(bytes(data) if data is not None else b"", fmt)
                 out.append(
                     (
-                        int(row[id_col]),
+                        int(mid),
                         d.get("width"),
                         d.get("height"),
                         d.get("duration_ms"),

@@ -45,6 +45,62 @@ class TestPlumbing:
         got = MM.decode_media(df).first()
         assert got["width"] is not None  # fake decoder hashes empty bytes
 
+    def test_real_image_header_decode(self, spark):
+        """Real PNG/JPEG/GIF bytes through the real (stdlib) image
+        metadata decoder — the image decode path is no longer a stub."""
+        import struct
+        import zlib
+
+        def make_png(w, h):
+            def chunk(typ, payload):
+                return (
+                    struct.pack(">I", len(payload))
+                    + typ
+                    + payload
+                    + struct.pack(">I", zlib.crc32(typ + payload) & 0xFFFFFFFF)
+                )
+
+            ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+            raw = b"".join(b"\x00" + b"\x00\x00\x00" * w for _ in range(h))
+            return (
+                b"\x89PNG\r\n\x1a\n"
+                + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", zlib.compress(raw))
+                + chunk(b"IEND", b"")
+            )
+
+        def make_jpeg(w, h):
+            app0 = (
+                b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00"
+                + struct.pack(">HH", 1, 1) + b"\x00\x00"
+            )
+            sof0 = (
+                b"\xff\xc0" + struct.pack(">H", 11) + b"\x08"
+                + struct.pack(">HH", h, w) + b"\x01\x01\x11\x00"
+            )
+            return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+
+        def make_gif(w, h):
+            return b"GIF89a" + struct.pack("<HH", w, h) + b"\x00\x00\x00"
+
+        # pure parser first
+        assert MM.parse_image_header(make_png(640, 480)) == (640, 480, "png")
+        assert MM.parse_image_header(make_jpeg(31, 17)) == (31, 17, "jpeg")
+        assert MM.parse_image_header(make_gif(12, 34)) == (12, 34, "gif")
+        assert MM.parse_image_header(b"not an image") is None
+
+        # and through the Spark pipeline
+        df = spark.createDataFrame(
+            [(1, bytearray(make_png(640, 480))), (2, bytearray(make_jpeg(31, 17))),
+             (3, bytearray(make_gif(12, 34)))],
+            "media_id long, data binary",
+        )
+        got = {
+            r["media_id"]: (r["width"], r["height"])
+            for r in MM.decode_media(df, decode_fn=MM.image_header_decode).collect()
+        }
+        assert got == {1: (640, 480), 2: (31, 17), 3: (12, 34)}
+
     def test_frame_sample_plan(self, spark):
         df = spark.createDataFrame(
             [(1, 3500), (2, 0)], "media_id long, duration_ms long"
