@@ -96,18 +96,36 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "warmup_sec": warmup_sec,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    out = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "warmup_sec": warmup_sec,
+        "sf": sf_val,
+    }
+
+    # per-query ratio vs the recorded DuckDB single-node baseline
+    # (tools/measure_baseline.py writes BASELINE_DUCKDB.json; ratios are
+    # only emitted when the baseline was measured at the same sf)
+    base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BASELINE_DUCKDB.json")
+    if os.path.exists(base_path):
+        with open(base_path) as fh:
+            base = json.load(fh)
+        if base.get("sf") == sf_val:
+            ratios = {
+                n: round(timings[n] / base["queries"][n], 2)
+                for n in timings
+                if base["queries"].get(n)
             }
-        )
-    )
+            out["vs_baseline"] = ratios
+            out["baseline_engine"] = base.get("engine")
+            out["baseline_total"] = base.get("total")
+            out["vs_baseline_total"] = round(total / base["total"], 3)
+
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

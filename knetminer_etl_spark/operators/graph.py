@@ -87,17 +87,20 @@ def connected_components(
     when the per-round edge-set fingerprint (count + hash sum — one
     cheap agg action) stops changing.
     """
-    e0 = _sym_edges(edges, src, dst)
     # canonical orientation (u > v) + pin: the (possibly expensive)
-    # upstream pair pipeline must not re-execute per round
+    # upstream pair pipeline must not re-execute per round — and ids MUST
+    # derive from the pinned relation, or the upstream runs a second time
     e = (
-        e0.select(
+        _sym_edges(edges, src, dst)
+        .select(
             F.greatest("src", "dst").alias("u"), F.least("src", "dst").alias("v")
         )
         .distinct()
         .localCheckpoint(eager=True)
     )
-    ids = e0.select(F.col("src").alias("id"))
+    ids = e.select(F.col("u").alias("id")).unionByName(
+        e.select(F.col("v").alias("id"))
+    )
     if nodes is not None:
         ids = ids.unionByName(nodes.select(F.col(node_id).alias("id")))
     ids = ids.distinct().localCheckpoint(eager=True)
