@@ -8,6 +8,10 @@
   probes buckets at Hamming distance 1), exact scoring inside buckets
   only. The 100 TB path: scoring work drops by ~the bucket count, and
   the bucket join shuffles on bucket id instead of cross-joining.
+* :func:`ivf_topk` — IVF (inverted-file) ANN: a deterministic k-means
+  coarse quantizer (:func:`kmeans_fit`) partitions the corpus into
+  ``nlist`` cells; a query exactly scores only the ``nprobe`` nearest
+  cells. Unlike LSH, cell boundaries adapt to the data distribution.
 
 Scores are computed in double precision with sequential fold order —
 deterministic and oracle-reproducible; ties break by corpus id.
@@ -215,6 +219,178 @@ def lsh_topk(
             ),
         )
         .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF: k-means coarse quantizer + nprobe search
+# ---------------------------------------------------------------------------
+
+
+def _sq_dist(a: Column, b: Column) -> Column:
+    """Squared L2 distance, sequential fold (oracle-reproducible)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0).cast("double"),
+        lambda acc, v: acc + v,
+    )
+
+
+def kmeans_fit(
+    corpus: DataFrame,
+    nlist: int = 8,
+    iterations: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(cluster_id, centroid array<double>): deterministic Lloyd k-means.
+
+    Init is data-derived but seedless-reproducible: the ``nlist`` vectors
+    with the smallest ``(md5(id), id)`` key become the initial centroids
+    (SQL can replicate that choice exactly, unlike random sampling).
+    Fixed ``iterations`` Lloyd rounds: assign to the nearest centroid
+    (ties break by cluster id), recompute per-cell means; a cell that
+    loses all members keeps its previous centroid. Centroids are small
+    (``nlist`` rows) — every round broadcasts them, so the only shuffles
+    are the per-round (cluster, dim) mean aggregations.
+    """
+    v = corpus.select(
+        F.col(id_col).alias("_id"), _dvec(F.col(vec_col)).alias("_v")
+    ).localCheckpoint(eager=True)
+
+    w_init = Window.orderBy(F.md5(F.col("_id").cast("string")), F.col("_id"))
+    cents = (
+        v.withColumn("_rn", F.row_number().over(w_init))
+        .filter(F.col("_rn") <= nlist)
+        .select((F.col("_rn") - 1).alias("cluster_id"), F.col("_v").alias("centroid"))
+        .localCheckpoint(eager=True)
+    )
+
+    for _ in range(iterations):
+        assigned = assign_clusters(v, cents, id_col="_id", vec_col="_v")
+        new = (
+            v.join(assigned, on="_id")
+            .select("cluster_id", F.posexplode("_v").alias("_pos", "_x"))
+            .groupBy("cluster_id", "_pos")
+            .agg(F.avg("_x").alias("_m"))
+            .groupBy("cluster_id")
+            .agg(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("_pos"), F.col("_m")))
+                    ),
+                    lambda s: s["_m"],
+                ).alias("_new")
+            )
+        )
+        cents = (
+            cents.join(new, on="cluster_id", how="left")
+            .select(
+                "cluster_id",
+                F.coalesce("_new", "centroid").alias("centroid"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return cents
+
+
+def assign_clusters(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cluster_id): nearest centroid per vector (squared L2; ties by
+    cluster id). Centroids are broadcast — the corpus never shuffles."""
+    c = centroids.select(
+        F.col("cluster_id"), F.col("centroid").alias("_c")
+    )
+    scored = vectors.select(
+        F.col(id_col).alias("_id"), _dvec(F.col(vec_col)).alias("_vv")
+    ).crossJoin(F.broadcast(c)).select(
+        "_id",
+        F.struct(
+            _sq_dist(F.col("_vv"), F.col("_c")).alias("d2"),
+            F.col("cluster_id").alias("cid"),
+        ).alias("_dc"),
+    )
+    return (
+        scored.groupBy("_id")
+        .agg(F.min("_dc").alias("_best"))
+        .select(F.col("_id"), F.col("_best.cid").alias("cluster_id"))
+        .withColumnRenamed("_id", id_col)
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nlist: int = 8,
+    nprobe: int = 2,
+    iterations: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str | None = None,
+) -> DataFrame:
+    """IVF approximate top-k: exact cosine, scored only inside the
+    ``nprobe`` cells nearest each query.
+
+    The quantizer shrinks scored candidates by ~``nlist/nprobe``× while
+    adapting cell boundaries to the data (k-means), the standard ANN
+    trade-off ladder between brute force and LSH. Deterministic end to
+    end (init, assignment ties, rank ties) — oracle-reproducible.
+    Output: ``(query_id, neighbor_id, cosine, rank)``.
+    """
+    qid = query_id_col or id_col
+    cents = kmeans_fit(corpus, nlist, iterations, id_col, vec_col)
+
+    c_assigned = assign_clusters(corpus, cents, id_col, vec_col)
+    c = (
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), _dvec(F.col(vec_col)).alias("_cv")
+        )
+        .withColumn("_cn", _norm(F.col("_cv")))
+        .join(
+            c_assigned.select(
+                F.col(id_col).alias("neighbor_id"), "cluster_id"
+            ),
+            on="neighbor_id",
+        )
+    )
+
+    # nprobe nearest cells per query (centroids broadcast)
+    qv = queries.select(
+        F.col(qid).alias("query_id"), _dvec(F.col(vec_col)).alias("_qv")
+    ).withColumn("_qn", _norm(F.col("_qv")))
+    w_probe = Window.partitionBy("query_id").orderBy(
+        F.col("_d2"), F.col("cluster_id")
+    )
+    probes = (
+        qv.crossJoin(F.broadcast(cents))
+        .withColumn("_d2", _sq_dist(F.col("_qv"), F.col("centroid")))
+        .withColumn("_pr", F.row_number().over(w_probe))
+        .filter(F.col("_pr") <= nprobe)
+        .select("query_id", "_qv", "_qn", "cluster_id")
+    )
+
+    scored = (
+        c.join(probes, on="cluster_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "cosine",
+            F.round(
+                _dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn")), 6
+            ),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")

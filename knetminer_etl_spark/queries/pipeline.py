@@ -319,6 +319,109 @@ def _lsh_bucket_sql(vec: str, n_planes: int = 6) -> str:
     return " + ".join(bits)
 
 
+def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-k, oracle-checked end to end: the k-means quantizer is
+    deterministic (md5-ordered init, fixed Lloyd iterations, tie-broken
+    assignment), so DuckDB replicates the identical cells, probe set and
+    in-cell exact scoring via unrolled CTEs."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return SIM.ivf_topk(
+        emb, emb.filter("vec_id < 20"), k=5, nlist=8, nprobe=2, iterations=3
+    )
+
+
+def _ivf_sql(nlist: int = 8, nprobe: int = 2, iterations: int = 3, k: int = 5) -> str:
+    """DuckDB twin of operators.similarity.ivf_topk: Lloyd iterations
+    unrolled as chained CTEs (same shape as the PageRank oracle)."""
+
+    def d2(vec: str, cent: str) -> str:
+        return (
+            f"list_reduce([({vec}[i] - {cent}[i]) * ({vec}[i] - {cent}[i])"
+            f" for i in generate_series(1, len({vec}))], (x, y) -> x + y)"
+        )
+
+    def dot(a: str, b: str) -> str:
+        return (
+            f"list_reduce([{a}[i] * {b}[i]"
+            f" for i in generate_series(1, len({a}))], (x, y) -> x + y)"
+        )
+
+    parts = [
+        f"""WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb FROM embeddings
+),
+c0 AS (
+  SELECT cid, emb AS cv FROM (
+    SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cid,
+           emb
+    FROM v) WHERE cid < {nlist}
+)"""
+    ]
+    for t in range(1, iterations + 1):
+        parts.append(
+            f""",
+a{t} AS (
+  SELECT vec_id, emb, cid FROM (
+    SELECT v.vec_id, v.emb, c.cid,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY {d2('v.emb', 'c.cv')}, c.cid) AS rn
+    FROM v CROSS JOIN c{t - 1} c) WHERE rn = 1
+),
+m{t} AS (
+  SELECT cid, list(m ORDER BY i) AS cv
+  FROM (SELECT cid, i, avg(x) AS m
+        FROM (SELECT cid, unnest(emb) AS x,
+                     unnest(generate_series(1, len(emb))) AS i
+              FROM a{t})
+        GROUP BY cid, i)
+  GROUP BY cid
+),
+c{t} AS (
+  SELECT c.cid, COALESCE(m.cv, c.cv) AS cv
+  FROM c{t - 1} c LEFT JOIN m{t} m USING (cid)
+)"""
+        )
+    cf = f"c{iterations}"
+    parts.append(
+        f""",
+af AS (
+  SELECT vec_id, emb, cid FROM (
+    SELECT v.vec_id, v.emb, c.cid,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY {d2('v.emb', 'c.cv')}, c.cid) AS rn
+    FROM v CROSS JOIN {cf} c) WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, emb AS qv FROM v WHERE vec_id < 20),
+qp AS (
+  SELECT query_id, qv, cid FROM (
+    SELECT q.query_id, q.qv, c.cid,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY {d2('q.qv', 'c.cv')}, c.cid) AS rn
+    FROM q CROSS JOIN {cf} c) WHERE rn <= {nprobe}
+),
+scored AS (
+  SELECT qp.query_id, a.vec_id AS neighbor_id,
+         round({dot('qp.qv', 'a.emb')}
+               / (sqrt({dot('qp.qv', 'qp.qv')})
+                  * sqrt({dot('a.emb', 'a.emb')})), 6) AS cosine
+  FROM qp JOIN af a USING (cid)
+  WHERE a.vec_id <> qp.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {k}"""
+    )
+    return "".join(parts)
+
+
+EMBEDDING_IVF_TOPK_SQL = _ivf_sql(nlist=8, nprobe=2, iterations=3, k=5)
+
+
 EMBEDDING_LSH_TOPK_SQL = f"""
 WITH cb AS (
   SELECT vec_id, embedding, {_lsh_bucket_sql('embedding')} AS bkt
@@ -527,6 +630,7 @@ QUERIES = {
     "embedding_topk": embedding_topk,
     "embedding_dup_pairs": embedding_dup_pairs,
     "embedding_lsh_topk": embedding_lsh_topk,
+    "embedding_ivf_topk": embedding_ivf_topk,
     "events_tumbling_5m": events_tumbling_5m,
     "events_sliding_10m5m": events_sliding_10m5m,
     "events_sessionize": events_sessionize,
@@ -547,6 +651,7 @@ ORACLES = {
     "embedding_topk": EMBEDDING_TOPK_SQL,
     "embedding_dup_pairs": EMBEDDING_DUP_SQL,
     "embedding_lsh_topk": EMBEDDING_LSH_TOPK_SQL,
+    "embedding_ivf_topk": EMBEDDING_IVF_TOPK_SQL,
     "events_tumbling_5m": EVENTS_TUMBLING_SQL,
     "events_sliding_10m5m": EVENTS_SLIDING_SQL,
     "events_sessionize": EVENTS_SESSIONIZE_SQL,

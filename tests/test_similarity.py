@@ -96,6 +96,35 @@ class TestLSH:
         recall = len(brute & approx) / len(brute)
         assert recall >= 0.8, f"recall@5 = {recall}"
 
+    def test_ivf_recall_on_clusters(self, spark, vectors):
+        """IVF with nlist=6/nprobe=2 on 3 well-separated clusters: the
+        quantizer cells align with the plants, so recall@3 ~= 1."""
+        queries = vectors.filter("vec_id IN (0, 10, 20)")
+        brute = {
+            (r["query_id"], r["neighbor_id"])
+            for r in SIM.cosine_topk(vectors, queries, k=3).collect()
+        }
+        approx = {
+            (r["query_id"], r["neighbor_id"])
+            for r in SIM.ivf_topk(
+                vectors, queries, k=3, nlist=6, nprobe=2, iterations=3
+            ).collect()
+        }
+        assert len(brute & approx) / len(brute) >= 0.8
+
+    def test_kmeans_deterministic(self, spark, vectors):
+        a = {
+            r["cluster_id"]: r["centroid"]
+            for r in SIM.kmeans_fit(vectors, nlist=4, iterations=2).collect()
+        }
+        b = {
+            r["cluster_id"]: r["centroid"]
+            for r in SIM.kmeans_fit(vectors, nlist=4, iterations=2).collect()
+        }
+        assert set(a) == set(b) == {0, 1, 2, 3}
+        for cid in a:
+            assert a[cid] == pytest.approx(b[cid])
+
     def test_md5_bucket_variant_matches_contract(self, spark, vectors):
         got = SIM.lsh_topk(
             vectors,
