@@ -133,6 +133,52 @@ def drop_exact_dups(
     return df.join(keep, on=id_col, how="left_semi")
 
 
+def near_dup_clusters(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.5,
+    pairs_fn=None,
+) -> DataFrame:
+    """(keep_id, cluster_size): the end-to-end corpus-dedup composition —
+    near-dup pairs → connected components → one canonical representative
+    (the min id) per cluster. ``pairs_fn(df) -> (id_a, id_b, ...)``
+    overrides candidate generation (default word-k-shingle Jaccard;
+    plug :func:`minhash_lsh_pairs` for the 100 TB path — identical
+    downstream shape). Singleton documents appear with cluster_size 1.
+    """
+    from .graph import connected_components  # local: avoid cycle at import
+
+    gen = pairs_fn or (
+        lambda d: ngram_jaccard_pairs(d, id_col, text_col, k, threshold)
+    )
+    pairs = gen(df)
+    comp = connected_components(
+        pairs, "id_a", "id_b", nodes=df, node_id=id_col
+    )
+    return (
+        comp.groupBy("component")
+        .agg(F.count("*").alias("cluster_size"))
+        .select(F.col("component").alias("keep_id"), "cluster_size")
+    )
+
+
+def drop_near_dups(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.5,
+    pairs_fn=None,
+) -> DataFrame:
+    """The near-dup-filtered corpus: one representative per cluster."""
+    keep = near_dup_clusters(df, id_col, text_col, k, threshold, pairs_fn).select(
+        F.col("keep_id").alias(id_col)
+    )
+    return df.join(keep, on=id_col, how="left_semi")
+
+
 # ---------------------------------------------------------------------------
 # N-gram Jaccard
 # ---------------------------------------------------------------------------

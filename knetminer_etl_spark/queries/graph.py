@@ -27,7 +27,7 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-DEDUP_COMPONENTS_SQL = f"""
+_COMPONENTS_WALK = f"""
 WITH RECURSIVE
 {_SHINGLES_CTE},
 jpairs AS (
@@ -49,8 +49,26 @@ walk(id, comp) AS (
   SELECT doc_id, doc_id FROM documents
   UNION
   SELECT e.dst, w.comp FROM walk w JOIN gedges e ON e.src = w.id
-)
-SELECT id, min(comp) AS component FROM walk GROUP BY id
+),
+labels AS (SELECT id, min(comp) AS component FROM walk GROUP BY id)
+"""
+
+DEDUP_COMPONENTS_SQL = _COMPONENTS_WALK + """
+SELECT id, component FROM labels
+"""
+
+
+def dedup_corpus_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full corpus-dedup composition: near-dup pairs → components →
+    one canonical keeper per cluster with its cluster size — what an LLM
+    training-data pipeline actually runs to drop near-duplicates."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return DD.near_dup_clusters(docs, k=3, threshold=0.5)
+
+
+DEDUP_CORPUS_SQL = _COMPONENTS_WALK + """
+SELECT component AS keep_id, count(*) AS cluster_size
+FROM labels GROUP BY component
 """
 
 
@@ -141,12 +159,14 @@ KG_PAGERANK_SQL = _pagerank_sql(iterations=5, damping=0.85)
 
 QUERIES = {
     "dedup_components": dedup_components,
+    "dedup_corpus_clusters": dedup_corpus_clusters,
     "kg_degrees": kg_degrees,
     "kg_pagerank": kg_pagerank,
 }
 
 ORACLES = {
     "dedup_components": DEDUP_COMPONENTS_SQL,
+    "dedup_corpus_clusters": DEDUP_CORPUS_SQL,
     "kg_degrees": KG_DEGREES_SQL,
     "kg_pagerank": KG_PAGERANK_SQL,
 }

@@ -96,6 +96,28 @@ class TestSimHash:
         assert (1, 4) not in pairs and (4, 5) not in pairs
 
 
+class TestNearDupCorpus:
+    def test_clusters_and_drop(self, spark, corpus):
+        clusters = {
+            r["keep_id"]: r["cluster_size"]
+            for r in DD.near_dup_clusters(corpus, threshold=0.5).collect()
+        }
+        # docs 1,2,3 are near-dups of each other (see corpus fixture);
+        # the min id keeps, the others fold into its cluster
+        assert clusters[1] == 3
+        assert all(k not in clusters for k in (2, 3))
+        kept = {r["doc_id"] for r in DD.drop_near_dups(corpus, threshold=0.5).collect()}
+        assert 1 in kept and not {2, 3} & kept
+        assert kept | {2, 3} == {r["doc_id"] for r in corpus.collect()}
+
+    def test_pluggable_pair_generator(self, spark, corpus):
+        got = DD.near_dup_clusters(
+            corpus,
+            pairs_fn=lambda d: DD.minhash_lsh_pairs(d, threshold=0.5),
+        ).collect()
+        assert sum(r["cluster_size"] for r in got) == corpus.count()
+
+
 class TestEmbeddingDups:
     def test_identical_and_near_vectors(self, spark):
         base = [1.0, 0.5, -0.25, 0.125] * 4
