@@ -605,9 +605,13 @@ def embedding_dup_pairs(
         _norm(v).alias("_nrm"),
         sign_lsh_band_buckets(vec_col, n_planes, n_bands, seed).alias("_bkts"),
     )
+    # posexplode_outer, NOT posexplode: plain posexplode infers a
+    # size(_bkts)>0 filter that predicate pushdown moves below the
+    # fan_out exchange — re-evaluating the pandas-UDF projection a second
+    # time under the shuffle (observed: two ArrowEvalPython nodes)
     banded = base.select(
-        "doc_id", F.posexplode("_bkts").alias("band", "bucket")
-    )
+        "doc_id", F.posexplode_outer("_bkts").alias("band", "bucket")
+    ).filter(F.col("bucket").isNotNull())
     cands = candidate_pairs_from_buckets(banded, ["band", "bucket"])
     # column pruning drops _bkts from the join sides — the UDF runs once
     va = base.select(
