@@ -104,6 +104,34 @@ FROM documents
 GROUP BY 1, 2
 """
 
+def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace and BPE-ish token counts per document. The BPE-ish
+    segmentation (word pieces + isolated non-alnum chars, long words
+    charged ceil(len/4) subword pieces) uses lookaround splitting in
+    Spark; the oracle decomposes it equivalently into alnum runs +
+    non-alnum-non-space char counts, since RE2 lacks lookarounds."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    return d.select(
+        "doc_id",
+        TX.token_count(F.col("text")).alias("ws_tokens"),
+        TX.bpe_ish_token_count(F.col("text")).alias("bpe_tokens"),
+    )
+
+
+TOKEN_COUNTS_SQL = """
+SELECT doc_id,
+       CAST(len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS INT)
+         AS ws_tokens,
+       CAST(
+         coalesce(list_sum(list_transform(
+             regexp_extract_all(text, '[A-Za-z0-9]+'),
+             r -> greatest(1, CAST(ceil(length(r) / 4) AS INT)))), 0)
+         + length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))
+       AS INT) AS bpe_tokens
+FROM documents
+"""
+
+
 _NORM = (
     "trim(regexp_replace(regexp_replace(lower(text),"
     " '[^\\p{L}\\p{N}\\s]', ' ', 'g'), '\\s+', ' ', 'g'))"
@@ -621,6 +649,7 @@ QUERIES = {
     "events_asof_last_error": events_asof_last_error,
     "events_value_percentiles": events_value_percentiles,
     "text_stats": text_stats,
+    "token_counts": token_counts,
     "lang_id_counts": lang_id_counts,
     "doc_fingerprints": doc_fingerprints,
     "exact_dedup": exact_dedup,
@@ -642,6 +671,7 @@ ORACLES = {
     "events_asof_last_error": EVENTS_ASOF_SQL,
     "events_value_percentiles": EVENTS_PERCENTILES_SQL,
     "text_stats": TEXT_STATS_SQL,
+    "token_counts": TOKEN_COUNTS_SQL,
     "lang_id_counts": LANG_ID_SQL,
     "doc_fingerprints": DOC_FINGERPRINTS_SQL,
     "exact_dedup": EXACT_DEDUP_SQL,
