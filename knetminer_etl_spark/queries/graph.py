@@ -96,6 +96,46 @@ FROM o FULL OUTER JOIN i ON o.id = i.id
 """
 
 
+def kg_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed 2-hop BFS over the customer→order→part graph from a small
+    customer start set; (id, min_hops). Oracle = recursive-CTE BFS with
+    min discovery level."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    e1 = orders.select(
+        F.concat(F.lit("C:"), F.col("o_custkey").cast("string")).alias("src"),
+        F.concat(F.lit("O:"), F.col("o_orderkey").cast("string")).alias("dst"),
+    )
+    e2 = lineitem.select(
+        F.concat(F.lit("O:"), F.col("l_orderkey").cast("string")).alias("src"),
+        F.concat(F.lit("P:"), F.col("l_partkey").cast("string")).alias("dst"),
+    ).distinct()
+    start = customer.filter(F.col("c_custkey") < 5).select(
+        F.concat(F.lit("C:"), F.col("c_custkey").cast("string")).alias("id")
+    )
+    return G.k_hop_neighbors(e1.unionByName(e2), start, k=2)
+
+
+KG_2HOP_SQL = """
+WITH RECURSIVE
+gedges AS (
+  SELECT 'C:' || o_custkey AS src, 'O:' || o_orderkey AS dst FROM orders
+  UNION ALL
+  SELECT DISTINCT 'O:' || l_orderkey, 'P:' || l_partkey FROM lineitem
+),
+s AS (SELECT 'C:' || c_custkey AS id FROM customer WHERE c_custkey < 5),
+walk(id, lvl) AS (
+  SELECT id, 0 FROM s
+  UNION ALL
+  SELECT e.dst, w.lvl + 1
+  FROM walk w JOIN gedges e ON e.src = w.id
+  WHERE w.lvl < 2
+)
+SELECT id, CAST(min(lvl) AS INT) AS min_hops FROM walk GROUP BY id
+"""
+
+
 def kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the customer/order graph. Oracle-checked: the power
     iteration is deterministic for a fixed iteration count, and at
@@ -161,6 +201,7 @@ QUERIES = {
     "dedup_components": dedup_components,
     "dedup_corpus_clusters": dedup_corpus_clusters,
     "kg_degrees": kg_degrees,
+    "kg_2hop": kg_2hop,
     "kg_pagerank": kg_pagerank,
 }
 
@@ -168,5 +209,6 @@ ORACLES = {
     "dedup_components": DEDUP_COMPONENTS_SQL,
     "dedup_corpus_clusters": DEDUP_CORPUS_SQL,
     "kg_degrees": KG_DEGREES_SQL,
+    "kg_2hop": KG_2HOP_SQL,
     "kg_pagerank": KG_PAGERANK_SQL,
 }

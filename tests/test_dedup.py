@@ -136,6 +136,23 @@ class TestEmbeddingDups:
         assert (1, 3) in pairs
         assert not any(4 in p for p in pairs)
 
+    def test_projection_udf_evaluates_once(self, spark):
+        """Regression guard: posexplode (vs posexplode_outer) infers a
+        size>0 predicate whose pushdown re-evaluates the Arrow projection
+        UDF below the fan_out exchange - the plan must contain exactly
+        ONE ArrowEvalPython node."""
+        df = spark.createDataFrame(
+            [(i, [float(i), 1.0, 2.0, 3.0]) for i in range(8)],
+            "vec_id long, embedding array<float>",
+        )
+        plan = (
+            DD.embedding_dup_pairs(df, threshold=0.9)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert plan.count("ArrowEvalPython") == 1
+
     def test_planted_near_dup_recall(self, spark):
         """OR-amplified banding must recover ≥95% of true cosine-0.9 pairs
         (analytically ≥1-6e-6 at the 6x24 defaults; the old single
