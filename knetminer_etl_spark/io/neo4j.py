@@ -131,7 +131,21 @@ def coerce_property_values(
             f"multiple values aren't allowed for property '{prop_id}' "
             f"in element '{elem_id}'"
         )
-    return list(dict.fromkeys(vals))
+    try:
+        return list(dict.fromkeys(vals))
+    except TypeError:
+        # unhashable values (JSON arrays/objects): dedup by canonical
+        # serialization instead of crashing mid-load
+        import json as _json
+
+        seen: set[str] = set()
+        out = []
+        for v in vals:
+            key = _json.dumps(v, sort_keys=True, default=str)
+            if key not in seen:
+                seen.add(key)
+                out.append(v)
+        return out
 
 
 # ---------------------------------------------------------------------------

@@ -232,7 +232,6 @@ def pagerank(
     dst: str = "dst",
     damping: float = 0.85,
     iterations: int = 10,
-    checkpoint_every: int = 3,
 ) -> DataFrame:
     """(id, rank) by power iteration with uniform dangling redistribution:
 
@@ -246,7 +245,10 @@ def pagerank(
     crossJoined into the update), never collected on the driver — one
     Spark job per iteration (plus the periodic lineage checkpoint).
     Deterministic for a fixed iteration count; loop-invariant relations
-    (edges, node set, out-degrees) are pinned once with localCheckpoint.
+    (edges, node set, out-degrees) are pinned once with localCheckpoint,
+    and each iteration's result is pinned too — ``ranks`` is referenced
+    TWICE per round (contribs join + dangling aggregate), so an unpinned
+    chain would double the recomputed lineage every iteration.
     """
     e = (
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
@@ -292,7 +294,6 @@ def pagerank(
                     )
                 ).alias("rank"),
             )
+            .localCheckpoint(eager=True)
         )
-        if (i + 1) % checkpoint_every == 0:
-            ranks = ranks.localCheckpoint(eager=True)
     return ranks.select("id", F.round("rank", 8).alias("rank"))

@@ -72,8 +72,14 @@ def parse_image_header(data: bytes) -> tuple[int, int, str] | None:
     pure stdlib byte parsing, no codec library. Returns None if the bytes
     match none of the three containers."""
     # PNG: 8-byte signature, then the IHDR chunk: width/height are the
-    # first two big-endian u32s of its payload (offsets 16..24)
-    if data[:8] == b"\x89PNG\r\n\x1a\n" and len(data) >= 24:
+    # first two big-endian u32s of its payload (offsets 16..24). The
+    # chunk type is verified — nonstandard files (e.g. Apple CgBI before
+    # IHDR) must not have arbitrary payload bytes read as dimensions.
+    if (
+        data[:8] == b"\x89PNG\r\n\x1a\n"
+        and len(data) >= 24
+        and data[12:16] == b"IHDR"
+    ):
         return (
             int.from_bytes(data[16:20], "big"),
             int.from_bytes(data[20:24], "big"),

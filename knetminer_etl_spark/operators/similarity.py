@@ -266,10 +266,16 @@ def kmeans_fit(
         F.col(id_col).alias("_id"), _dvec(F.col(vec_col)).alias("_v")
     ).localCheckpoint(eager=True)
 
+    # seed selection via distributed TakeOrdered (orderBy+limit), NOT a
+    # global row_number window — a partitionBy-less window single-tasks
+    # the whole corpus; the limit keeps only nlist rows, over which the
+    # numbering window is then trivially cheap
+    seeds = v.orderBy(
+        F.md5(F.col("_id").cast("string")), F.col("_id")
+    ).limit(nlist)
     w_init = Window.orderBy(F.md5(F.col("_id").cast("string")), F.col("_id"))
     cents = (
-        v.withColumn("_rn", F.row_number().over(w_init))
-        .filter(F.col("_rn") <= nlist)
+        seeds.withColumn("_rn", F.row_number().over(w_init))
         .select((F.col("_rn") - 1).alias("cluster_id"), F.col("_v").alias("centroid"))
         .localCheckpoint(eager=True)
     )

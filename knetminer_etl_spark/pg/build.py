@@ -128,22 +128,41 @@ def _agg_single(triples: DataFrame) -> DataFrame:
 
 def _agg_two_level(triples: DataFrame) -> DataFrame:
     """Skew-safe twin of :func:`_agg_single`: pre-aggregate on (id, key) so
-    the per-id reducer sees one deduped row per key, not raw pairs."""
+    the per-id reducer sees one deduped row per key, not raw pairs.
+
+    NULL handling must mirror the single-level build exactly: values are
+    collected through a struct wrapper (collect_set/list drop bare NULLs
+    but keep structs with a NULL field), endpoints ignore NULL values
+    (``array_max`` skips them, like the single-level ``max``; NULL on an
+    empty set, never an ANSI element_at error), and NULL labels are
+    filtered as collect_list does.
+    """
     per_key = triples.groupBy("id", "key").agg(
-        F.array_sort(F.collect_set("value")).alias("_vals")
+        F.array_sort(
+            F.array_distinct(
+                F.transform(
+                    F.collect_list(F.struct(F.col("value").alias("v"))),
+                    lambda s: s["v"],
+                )
+            )
+        ).alias("_vals")
     )
     k = F.col("key")
     is_prop = ~k.isin(*SPECIAL_KEYS)
     # per id: at most one row per special key, so max() over the single
-    # candidate is deterministic; endpoints take the max value (= last of
-    # the sorted set), matching the single-level build
+    # candidate is deterministic
     agg = per_key.groupBy("id").agg(
         F.coalesce(
-            F.max(F.when(k == TYPE_KEY, F.col("_vals"))),
+            F.max(
+                F.when(
+                    k == TYPE_KEY,
+                    F.filter(F.col("_vals"), lambda x: x.isNotNull()),
+                )
+            ),
             F.array().cast("array<string>"),
         ).alias("labels"),
-        F.max(F.when(k == FROM_KEY, F.element_at(F.col("_vals"), -1))).alias("from"),
-        F.max(F.when(k == TO_KEY, F.element_at(F.col("_vals"), -1))).alias("to"),
+        F.max(F.when(k == FROM_KEY, F.array_max(F.col("_vals")))).alias("from"),
+        F.max(F.when(k == TO_KEY, F.array_max(F.col("_vals")))).alias("to"),
         F.array_sort(
             F.collect_list(
                 F.when(

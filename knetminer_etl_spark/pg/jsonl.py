@@ -152,9 +152,12 @@ def _split_json_array(col: Column) -> Column:
 
     JSON ``null`` elements come back as the literal 'null' (array<string>
     maps them to SQL NULL, hence the coalesce), matching the serializer.
+    try_parse_json, not parse_json: the outer line parse is PERMISSIVE
+    (malformed → NULL row), and a strict inner parse would fail the whole
+    read on one corrupt value array instead of nulling it.
     """
     raw = F.from_json(col, T.ArrayType(T.StringType()))
-    var = F.variant_get(F.parse_json(col), "$", "array<variant>")
+    var = F.variant_get(F.try_parse_json(col), "$", "array<variant>")
     return F.zip_with(
         raw,
         var,

@@ -72,6 +72,17 @@ class TestDistributedWriter:
         got = {r["id"]: r.asDict(recursive=True) for r in back.select(*pg.columns).collect()}
         assert got == orig
 
+    def test_malformed_value_array_nulls_not_fails(self, spark, tmp_path):
+        """A corrupt property value array must null out, not abort the
+        read (the outer line parse is PERMISSIVE; the inner split must
+        match)."""
+        line = '{"type":"node","id":"N1","labels":["X"],"properties":{"p":["a",}}'
+        p = tmp_path / "bad"
+        p.mkdir()
+        (p / "part-00000.txt").write_text(line + "\n")
+        rows = read_pg_jsonl(spark, str(p)).collect()
+        assert len(rows) == 1  # job completes; malformed bits are NULL
+
     def test_roundtrip_preserves_string_typing(self, spark, tmp_path):
         """String values that LOOK like numbers/booleans/null must come back
         as JSON strings, not be re-typed (numeric accession IDs are common)."""

@@ -88,6 +88,10 @@ class TestPlumbing:
         assert MM.parse_image_header(make_jpeg(31, 17)) == (31, 17, "jpeg")
         assert MM.parse_image_header(make_gif(12, 34)) == (12, 34, "gif")
         assert MM.parse_image_header(b"not an image") is None
+        # signature-valid but first chunk is not IHDR (e.g. Apple CgBI):
+        # must refuse rather than read chunk payload as dimensions
+        bogus = b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 4) + b"CgBI" + b"\x00" * 12
+        assert MM.parse_image_header(bogus) is None
 
         # and through the Spark pipeline
         df = spark.createDataFrame(

@@ -84,6 +84,13 @@ class TestMultiValueMode:
         assert N.coerce_property_values("p", "e", []) is None
         assert N.coerce_property_values("p", "e", [None, "x"]) == "x"
 
+    def test_unhashable_values_dedup_by_serialization(self):
+        cfg = self._cfg(p="multiple")
+        got = N.coerce_property_values(
+            "p", "e", [[1, 2], [1, 2], [3, 4]], cfg
+        )
+        assert got == [[1, 2], [3, 4]]
+
     def test_non_list_raises(self):
         with pytest.raises(ValueError, match="non-list"):
             N.coerce_property_values("p", "e", "scalar")  # type: ignore[arg-type]

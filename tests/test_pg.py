@@ -65,6 +65,25 @@ class TestPGBuild:
         b = triples_to_pg(triples, two_level=True).orderBy("id")
         assertDataFrameEqual(a, b)
 
+    def test_two_level_equals_single_level_with_nulls(self, spark):
+        """NULL triple values: endpoints ignore them (no ANSI element_at
+        crash), property value sets keep them — identical to the
+        single-level build."""
+        from pyspark.testing import assertDataFrameEqual
+
+        rows = [
+            ("E1", "@type", "rel"),
+            ("E1", "@from", None),
+            ("E1", "@to", "N1"),
+            ("N1", "@type", "Gene"),
+            ("N1", "p", None),
+            ("N1", "p", "x"),
+        ]
+        df = spark.createDataFrame(rows, "id string, key string, value string")
+        a = triples_to_pg(df).orderBy("id")
+        b = triples_to_pg(df, two_level=True).orderBy("id")
+        assertDataFrameEqual(a, b)
+
     def test_two_level_handles_hot_element(self, spark):
         """One element with 1M property rows: the (id,key) pre-agg dedups
         map-side so the per-id reducer sees one row per key, not 1M raw
