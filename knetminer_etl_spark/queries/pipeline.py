@@ -623,6 +623,45 @@ ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'error'
 """
 
 
+def events_error_window_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join: clicks falling inside any error's trailing
+    6-hour window, counted per user. Exercises the interval-bucketed
+    equi-join plan (BroadcastNestedLoopJoin avoided); the oracle is the
+    plain inequality join, tractable at oracle scale."""
+    from ..operators.rangejoin import range_join
+
+    e = _events(spark, sf_dir)
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts"
+    )
+    errors = e.filter(F.col("event_type") == "error").select(
+        "user_id",
+        (F.col("ts") - F.expr("INTERVAL 6 HOURS")).alias("w_start"),
+        F.col("ts").alias("w_end"),
+    )
+    j = range_join(
+        clicks,
+        errors,
+        point_ts="ts",
+        start_col="w_start",
+        end_col="w_end",
+        by="user_id",
+        bucket_secs=3600,
+    )
+    return j.groupBy("user_id").agg(F.count("*").alias("n_pairs"))
+
+
+EVENTS_RANGE_JOIN_SQL = """
+SELECT c.user_id, count(*) AS n_pairs
+FROM (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+JOIN (SELECT user_id, ts FROM events WHERE event_type = 'error') r
+  ON c.user_id = r.user_id
+ AND c.ts >= r.ts - INTERVAL 6 HOUR
+ AND c.ts <= r.ts
+GROUP BY c.user_id
+"""
+
+
 def events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles of value per event type."""
     e = _events(spark, sf_dir)
@@ -647,6 +686,7 @@ GROUP BY event_type
 
 QUERIES = {
     "events_asof_last_error": events_asof_last_error,
+    "events_error_window_clicks": events_error_window_clicks,
     "events_value_percentiles": events_value_percentiles,
     "text_stats": text_stats,
     "token_counts": token_counts,
@@ -669,6 +709,7 @@ QUERIES = {
 
 ORACLES = {
     "events_asof_last_error": EVENTS_ASOF_SQL,
+    "events_error_window_clicks": EVENTS_RANGE_JOIN_SQL,
     "events_value_percentiles": EVENTS_PERCENTILES_SQL,
     "text_stats": TEXT_STATS_SQL,
     "token_counts": TOKEN_COUNTS_SQL,
