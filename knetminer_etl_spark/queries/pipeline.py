@@ -1,11 +1,16 @@
 """LLM-data-pipeline query catalog: text analysis, dedup, similarity,
-event analytics — each with a DuckDB oracle where SQL-expressible.
+event analytics — **every entry DuckDB-oracle-checked**, including the
+approximate ones. The recipes that made the hard cases SQL-expressible:
 
-Non-SQL-expressible entries (seeded-xxhash MinHash/SimHash internals,
-LSH-approximate search) are exposed rows-only; the MinHash-LSH *verified*
-variant is oracle-checked against true shingle Jaccard (LSH affects
-recall only, and its parameters are chosen so miss probability at the
-threshold is ≈1e-6).
+* seeded-hash fingerprints/planes → md5-derived equivalents both engines
+  compute bit-identically (SimHash, LSH buckets);
+* probabilistic recall → OR-amplification tuned so the miss probability
+  at the queried threshold is ≈1e-6, then compared against the EXACT
+  result (MinHash-LSH vs true Jaccard, embedding near-dup vs all-pairs
+  cosine);
+* deterministic-approximation → the oracle replicates the same
+  approximation (LSH probe set, IVF k-means cells via unrolled CTEs)
+  rather than the exact answer.
 """
 
 from __future__ import annotations
