@@ -224,6 +224,36 @@ def stream_session_agg(
     )
 
 
+def stream_interval_join(
+    clicks: DataFrame,
+    errors: DataFrame,
+    window: str = "6 hours",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming twin of the batch range join (clicks matched to errors
+    whose trailing ``window`` contains them): a **stream-stream inner
+    join** with an event-time range condition. Both sides are
+    watermarked; Spark derives each side's state retention from the time
+    constraint, so join state is bounded and evicted as the watermark
+    advances — the scale-correct shape for unbounded interval matching.
+    Output: (user_id, c_ts, e_ts) per contained click/error pair.
+    """
+    c = clicks.select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+    ).withWatermark("c_ts", watermark)
+    r = errors.select(
+        F.col("user_id").alias("e_user"), F.col("ts").alias("e_ts")
+    ).withWatermark("e_ts", watermark)
+    return c.join(
+        r,
+        F.expr(
+            f"c_user = e_user AND c_ts >= e_ts - INTERVAL {window}"
+            " AND c_ts <= e_ts"
+        ),
+        "inner",
+    ).select(F.col("c_user").alias("user_id"), "c_ts", "e_ts")
+
+
 def stream_dedup(
     events: DataFrame,
     keys: list[str] | None = None,

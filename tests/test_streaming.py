@@ -57,6 +57,41 @@ class TestStreamingTwins:
         for k, v in got.items():
             assert want[k] == v  # everything emitted matches batch exactly
 
+    def test_stream_interval_join_matches_batch_range_join(self, spark, events):
+        """Stream-stream interval join pairs == batch range_join pairs
+        (modulo pairs held back by the watermark at EOF; everything
+        emitted must match the batch result exactly)."""
+        from knetminer_etl_spark.operators.rangejoin import range_join
+        from pyspark.sql import functions as F
+
+        stream = EV.read_event_stream(spark, f"{SF_DIR}/events*")
+        s_clicks = stream.filter("event_type = 'click'")
+        s_errors = stream.filter("event_type = 'error'")
+        EV.run_stream_to_memory(
+            EV.stream_interval_join(s_clicks, s_errors), "ij_out"
+        )
+        got = {
+            (r["user_id"], r["c_ts"], r["e_ts"])
+            for r in spark.sql("SELECT * FROM ij_out").collect()
+        }
+
+        clicks = events.filter("event_type = 'click'").select("user_id", "ts")
+        errors = events.filter("event_type = 'error'").select(
+            "user_id",
+            (F.col("ts") - F.expr("INTERVAL 6 HOURS")).alias("w_start"),
+            F.col("ts").alias("w_end"),
+        )
+        want = {
+            (r["user_id"], r["ts"], r["w_end"])
+            for r in range_join(
+                clicks, errors, point_ts="ts", start_col="w_start",
+                end_col="w_end", by="user_id", bucket_secs=3600,
+            ).collect()
+        }
+        assert got <= want  # no spurious stream pairs
+        # the bounded file stream still emits the overwhelming majority
+        assert len(got) >= max(len(want) - 50, 0)
+
     def test_stream_dedup_removes_replayed_events(self, spark, events, tmp_path):
         # replay the same file twice → every event is a duplicate
         import shutil
