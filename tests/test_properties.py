@@ -82,3 +82,67 @@ def test_asof_join_matches_pandas_merge_asof(spark, left_ts, right_ts):
         int(r.lid): (None if pd.isna(r.v) else r.v) for r in want_df.itertuples()
     }
     assert got == want
+
+
+# JSON value strategy: scalars, numeric-looking strings, shallow arrays/
+# objects — the shapes PG property values actually take
+_json_scalars = st.one_of(
+    st.integers(min_value=-(10**12), max_value=10**12),
+    st.booleans(),
+    st.none(),
+    texts,
+    texts.map(lambda s: s + "123"),  # numeric-looking suffixes
+    st.sampled_from(["123", "true", "false", "null", "1e5", "0.50"]),
+)
+_json_values = st.one_of(
+    _json_scalars,
+    st.lists(_json_scalars, max_size=3),
+    st.dictionaries(st.sampled_from(["a", "b"]), _json_scalars, max_size=2),
+)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    props=st.dictionaries(
+        st.text(
+            alphabet=st.characters(codec="utf-8", exclude_categories=("Cs",),
+                                   min_codepoint=0x21, max_codepoint=0x7E),
+            min_size=1,
+            max_size=8,
+        ),
+        st.lists(_json_values, min_size=1, max_size=4),
+        min_size=1,
+        max_size=4,
+    )
+)
+def test_pg_jsonl_roundtrip_preserves_value_types(spark, props, tmp_path_factory):
+    """write_pg_jsonl -> read_pg_jsonl must preserve every property
+    value's JSON TYPE and value (the quote-preserving split): a doc with
+    string '123' must not come back as number 123, and vice versa."""
+    from knetminer_etl_spark.pg.jsonl import read_pg_jsonl, write_pg_jsonl
+
+    serialized = {
+        k: [json.dumps(v) for v in vs] for k, vs in props.items()
+    }
+    pg = spark.createDataFrame(
+        [("N1", "node", ["L"], None, None, serialized)],
+        "id string, type string, labels array<string>, "
+        "`from` string, `to` string, properties map<string,array<string>>",
+    )
+    out = str(tmp_path_factory.mktemp("pgjsonl"))
+    write_pg_jsonl(pg, out)
+    back = read_pg_jsonl(spark, out).collect()[0]
+    got = {
+        k: [json.loads(v) for v in vs]
+        for k, vs in back["properties"].items()
+    }
+    want = {k: [json.loads(s) for s in vs] for k, vs in serialized.items()}
+    for k in want:
+        assert len(got[k]) == len(want[k])
+        for g, w in zip(got[k], want[k]):
+            assert g == w
+            assert type(g) is type(w)  # bool vs int, str '123' vs 123 …
