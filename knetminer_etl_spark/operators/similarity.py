@@ -308,6 +308,11 @@ def kmeans_fit(
     return cents
 
 
+#: use literal-centroid (narrow-map) assignment while the plan stays
+#: sane: nlist × dim literals embedded in one projection
+_LITERAL_ASSIGN_MAX = 50_000
+
+
 def assign_clusters(
     vectors: DataFrame,
     centroids: DataFrame,
@@ -315,13 +320,40 @@ def assign_clusters(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """(id, cluster_id): nearest centroid per vector (squared L2; ties by
-    cluster id). Centroids are broadcast — the corpus never shuffles."""
-    c = centroids.select(
-        F.col("cluster_id"), F.col("centroid").alias("_c")
-    )
-    scored = vectors.select(
+    cluster id).
+
+    The centroid relation is tiny (``nlist`` rows), so for moderate
+    nlist×dim it is collected and inlined as literal arrays: assignment
+    becomes a **narrow map** (argmin over an array of (d2, cid) structs)
+    — no join, no ``nlist``-fold row explosion, no shuffle; the same
+    shape MLlib's KMeans uses (broadcast centroid matrix). Beyond
+    ``_LITERAL_ASSIGN_MAX`` literals the broadcast-join + min-agg
+    fallback keeps the plan size bounded. Both paths produce identical
+    assignments (min over (d2, cid) struct ordering).
+    """
+    rows = centroids.select("cluster_id", "centroid").collect()
+    dim = len(rows[0]["centroid"]) if rows else 0
+    v = vectors.select(
         F.col(id_col).alias("_id"), _dvec(F.col(vec_col)).alias("_vv")
-    ).crossJoin(F.broadcast(c)).select(
+    )
+    if rows and len(rows) * dim <= _LITERAL_ASSIGN_MAX:
+        entries = [
+            F.struct(
+                _sq_dist(
+                    F.col("_vv"),
+                    F.array(*[F.lit(float(x)) for x in r["centroid"]]),
+                ).alias("d2"),
+                F.lit(r["cluster_id"]).alias("cid"),
+            )
+            for r in rows
+        ]
+        best = F.array_min(F.array(*entries))
+        return v.select(
+            F.col("_id").alias(id_col), best["cid"].alias("cluster_id")
+        )
+
+    c = centroids.select(F.col("cluster_id"), F.col("centroid").alias("_c"))
+    scored = v.crossJoin(F.broadcast(c)).select(
         "_id",
         F.struct(
             _sq_dist(F.col("_vv"), F.col("_c")).alias("d2"),
@@ -331,8 +363,7 @@ def assign_clusters(
     return (
         scored.groupBy("_id")
         .agg(F.min("_dc").alias("_best"))
-        .select(F.col("_id"), F.col("_best.cid").alias("cluster_id"))
-        .withColumnRenamed("_id", id_col)
+        .select(F.col("_id").alias(id_col), F.col("_best.cid").alias("cluster_id"))
     )
 
 
