@@ -112,9 +112,10 @@ def exact_dedup(
     shuffle on the content hash, with map-side partial aggregation.
     """
     content = normalize_text(F.col(text_col)) if normalize else F.col(text_col)
+    # no fan_out here: md5 is cheap, and the groupBy redistributes anyway —
+    # a pre-shuffle repartition would move the full text corpus for nothing
     return (
-        fan_out(df.select(F.col(id_col), F.col(text_col)))
-        .select(F.col(id_col), F.md5(content).alias("content_hash"))
+        df.select(F.col(id_col), F.md5(content).alias("content_hash"))
         .groupBy("content_hash")
         .agg(
             F.min(id_col).alias("keep_id"),
