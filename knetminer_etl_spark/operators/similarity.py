@@ -268,44 +268,54 @@ def kmeans_fit(
 
     # seed selection via distributed TakeOrdered (orderBy+limit), NOT a
     # global row_number window — a partitionBy-less window single-tasks
-    # the whole corpus; the limit keeps only nlist rows, over which the
-    # numbering window is then trivially cheap
-    seeds = v.orderBy(
-        F.md5(F.col("_id").cast("string")), F.col("_id")
-    ).limit(nlist)
-    w_init = Window.orderBy(F.md5(F.col("_id").cast("string")), F.col("_id"))
-    cents = (
-        seeds.withColumn("_rn", F.row_number().over(w_init))
-        .select((F.col("_rn") - 1).alias("cluster_id"), F.col("_v").alias("centroid"))
-        .localCheckpoint(eager=True)
+    # the whole corpus. The nlist seed rows are collected: centroids are
+    # driver-held for the whole fit (nlist × dim doubles — the standard
+    # k-means shape, what MLlib does with its broadcast centroid matrix).
+    seeds = (
+        v.orderBy(F.md5(F.col("_id").cast("string")), F.col("_id"))
+        .limit(nlist)
+        .collect()
     )
+    cents_rows: list[tuple[int, list[float]]] = [
+        (i, list(r["_v"])) for i, r in enumerate(seeds)
+    ]
+    dim = len(cents_rows[0][1]) if cents_rows else 0
 
     for _ in range(iterations):
-        assigned = assign_clusters(v, cents, id_col="_id", vec_col="_v")
-        new = (
-            v.join(assigned, on="_id")
-            .select("cluster_id", F.posexplode("_v").alias("_pos", "_x"))
-            .groupBy("cluster_id", "_pos")
-            .agg(F.avg("_x").alias("_m"))
-            .groupBy("cluster_id")
+        # each Lloyd round is ONE job: a narrow-map argmin assignment
+        # (literal centroids — no join, no nlist-fold row explosion)
+        # feeding a groupBy whose per-dimension sums partial-aggregate
+        # map-side, so the shuffle carries nlist×(dim+1) combined values
+        # per partition — not the n×dim exploded rows of a
+        # posexplode/avg formulation.
+        entries = [
+            F.struct(
+                _sq_dist(
+                    F.col("_v"), F.array(*[F.lit(x) for x in c])
+                ).alias("d2"),
+                F.lit(cid).alias("cid"),
+            )
+            for cid, c in cents_rows
+        ]
+        agg = (
+            v.withColumn("_cid", F.array_min(F.array(*entries))["cid"])
+            .groupBy("_cid")
             .agg(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct(F.col("_pos"), F.col("_m")))
-                    ),
-                    lambda s: s["_m"],
-                ).alias("_new")
+                F.count("*").alias("_n"),
+                *[F.sum(F.col("_v")[i]).alias(f"_s{i}") for i in range(dim)],
             )
+            .collect()
         )
-        cents = (
-            cents.join(new, on="cluster_id", how="left")
-            .select(
-                "cluster_id",
-                F.coalesce("_new", "centroid").alias("centroid"),
-            )
-            .localCheckpoint(eager=True)
-        )
-    return cents
+        means = {
+            r["_cid"]: [r[f"_s{i}"] / r["_n"] for i in range(dim)] for r in agg
+        }
+        # a cell that lost all members keeps its previous centroid
+        cents_rows = [(cid, means.get(cid, c)) for cid, c in cents_rows]
+
+    return corpus.sparkSession.createDataFrame(
+        [(cid, c) for cid, c in cents_rows],
+        "cluster_id int, centroid array<double>",
+    )
 
 
 #: use literal-centroid (narrow-map) assignment while the plan stays
