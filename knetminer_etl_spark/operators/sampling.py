@@ -1,0 +1,160 @@
+"""Deterministic, key-based sampling and dataset splitting.
+
+Training-data pipelines need samples and train/val/test splits that are
+
+* **stable** — re-running the pipeline (or backfilling one partition)
+  assigns every row the same way; `df.sample()` is seed-per-partition
+  and reshuffles assignments whenever partitioning changes;
+* **narrow** — assignment is a per-row hash, no shuffle, no state;
+* **nested** — a 10% sample is a subset of the 50% sample with the same
+  seed, so you can grow a sample without re-labelling anything;
+* **leak-proof** — membership depends only on the row KEY, so the same
+  document always lands in the same split even across corpus versions
+  (the standard guard against train/test contamination).
+
+Everything here is a bucket comparison over a 60-bit md5-derived hash
+(:func:`~knetminer_etl_spark.operators.dedup.md5_hash60`) of
+``seed || ':' || key`` — bit-reproducible in ANSI SQL
+(``('0x' || substr(md5(...), 1, 15))::BIGINT``), which is what lets the
+driver oracle-check sampling queries exactly instead of "roughly the
+right count".
+
+Scale: all assignment is a narrow map over the scan — 100 TB samples at
+scan speed, and a downstream filter on the split column prunes before
+any shuffle. No counterpart in the reference (its pipelines are
+full-corpus ETL); this is a north-star training-pipeline extension.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import md5_hash60
+
+#: Denominator for bucket arithmetic. 1e6 keeps fraction resolution at
+#: 1e-6 while `md5_hash60`'s 60-bit range divides into it ~1.15e12
+#: times, so bucket skew from the modulo is negligible.
+N_BUCKETS = 1_000_000
+
+
+def hash_bucket(key: Column, seed: str, n_buckets: int = N_BUCKETS) -> Column:
+    """Uniform bucket in ``[0, n_buckets)`` from a row key.
+
+    Deterministic in (key, seed): independent samples come from
+    different seeds, nested samples from the same seed.
+    """
+    tagged = F.concat(F.lit(f"{seed}:"), key.cast("string"))
+    return md5_hash60(tagged) % n_buckets
+
+
+def hash_sample(
+    df: DataFrame, key_col: str, fraction: float, seed: str = "sample"
+) -> DataFrame:
+    """Deterministic Bernoulli sample: keep rows whose bucket falls below
+    ``fraction``. Same seed + larger fraction ⟹ superset (nested samples).
+    """
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    bucket = hash_bucket(F.col(key_col), seed)
+    return df.filter(bucket < int(round(fraction * N_BUCKETS)))
+
+
+def split_column(
+    key: Column, weights: dict[str, float], seed: str = "split"
+) -> Column:
+    """Label each row with a split name by weighted hash-bucket ranges.
+
+    ``weights`` maps split name → weight; weights are normalized, so
+    ``{"train": 8, "val": 1, "test": 1}`` and ``{"train": .8, ...}``
+    are equivalent. Ranges are cumulative in the given dict order.
+    """
+    total = float(sum(weights.values()))
+    if total <= 0:
+        raise ValueError("split weights must sum to a positive value")
+    bucket = hash_bucket(key, seed)
+    expr: Column | None = None
+    acc = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        acc += weights[name] / total
+        bound = int(round(acc * N_BUCKETS))
+        expr = (
+            F.when(bucket < bound, F.lit(name))
+            if expr is None
+            else expr.when(bucket < bound, F.lit(name))
+        )
+    last = F.lit(names[-1])
+    return last if expr is None else expr.otherwise(last)
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    weights: dict[str, float],
+    seed: str = "split",
+    split_col: str = "split",
+) -> DataFrame:
+    """Add a train/val/test-style split column (see :func:`split_column`).
+
+    Every row gets exactly one label — splits partition the input — and
+    assignment depends only on (key, seed): stable across reruns,
+    repartitioning, and corpus versions.
+    """
+    return df.withColumn(split_col, split_column(F.col(key_col), weights, seed))
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+    seed: str = "strat",
+) -> DataFrame:
+    """Per-stratum deterministic sampling (e.g. language rebalancing:
+    keep 10% of English, 100% of low-resource languages).
+
+    Unlike ``df.sampleBy`` this is exact-deterministic per key and needs
+    no shuffle — the per-stratum threshold is a CASE expression over the
+    same narrow hash.
+    """
+    for name, f in fractions.items():
+        if not 0.0 <= f <= 1.0:
+            raise ValueError(f"fraction for stratum {name!r} must be in [0, 1]")
+    if not 0.0 <= default_fraction <= 1.0:
+        raise ValueError("default_fraction must be in [0, 1]")
+    bucket = hash_bucket(F.col(key_col), seed)
+    thresh: Column = F.lit(int(round(default_fraction * N_BUCKETS)))
+    for name, f in fractions.items():
+        thresh = F.when(
+            F.col(strata_col) == F.lit(name), F.lit(int(round(f * N_BUCKETS)))
+        ).otherwise(thresh)
+    return df.filter(bucket < thresh)
+
+
+# ---------------------------------------------------------------------------
+# SQL twins (DuckDB dialect) for oracle construction
+# ---------------------------------------------------------------------------
+
+
+def bucket_sql(key_expr: str, seed: str, n_buckets: int = N_BUCKETS) -> str:
+    """DuckDB expression computing exactly :func:`hash_bucket`."""
+    return (
+        f"(('0x' || substr(md5('{seed}:' || CAST({key_expr} AS VARCHAR)), 1, 15))"
+        f"::BIGINT % {n_buckets})"
+    )
+
+
+def split_sql(key_expr: str, weights: dict[str, float], seed: str = "split") -> str:
+    """DuckDB CASE expression computing exactly :func:`split_column`."""
+    total = float(sum(weights.values()))
+    parts = []
+    acc = 0.0
+    names = list(weights)
+    b = bucket_sql(key_expr, seed)
+    for name in names[:-1]:
+        acc += weights[name] / total
+        parts.append(f"WHEN {b} < {int(round(acc * N_BUCKETS))} THEN '{name}'")
+    clauses = " ".join(parts)
+    return f"CASE {clauses} ELSE '{names[-1]}' END"

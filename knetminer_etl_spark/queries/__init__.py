@@ -19,7 +19,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from . import analytics, graph, kg, pipeline
+from . import analytics, corpus, graph, kg, pipeline
 
 _REQUIRED_CONFS = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
@@ -48,6 +48,7 @@ QUERIES = {
         **kg.QUERIES,
         **pipeline.QUERIES,
         **graph.QUERIES,
+        **corpus.QUERIES,
     }.items()
 }
 ORACLES = {
@@ -55,4 +56,5 @@ ORACLES = {
     **kg.ORACLES,
     **pipeline.ORACLES,
     **graph.ORACLES,
+    **corpus.ORACLES,
 }

@@ -1,0 +1,63 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from knetminer_etl_spark.operators import sampling as SP
+
+
+@pytest.fixture(scope="module")
+def ids_df(spark):
+    return spark.range(0, 2000).withColumn(
+        "grp", (F.col("id") % 4).cast("string")
+    )
+
+
+def test_hash_split_partitions_input(ids_df):
+    out = SP.hash_split(ids_df, "id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert sum(counts.values()) == 2000  # every row exactly one label
+    assert 0.75 < counts["train"] / 2000 < 0.85
+    assert 0.06 < counts["val"] / 2000 < 0.14
+    assert 0.06 < counts["test"] / 2000 < 0.14
+
+
+def test_hash_split_deterministic_and_weight_scale_invariant(ids_df):
+    a = SP.hash_split(ids_df, "id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    b = SP.hash_split(ids_df, "id", {"train": 8, "val": 1, "test": 1})
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_hash_sample_nested_and_deterministic(ids_df):
+    small = set(r["id"] for r in SP.hash_sample(ids_df, "id", 0.2, seed="s").collect())
+    big = set(r["id"] for r in SP.hash_sample(ids_df, "id", 0.5, seed="s").collect())
+    assert small <= big  # same seed ⟹ nested samples
+    assert 0.15 < len(small) / 2000 < 0.25
+    again = set(r["id"] for r in SP.hash_sample(ids_df, "id", 0.2, seed="s").collect())
+    assert small == again
+    other = set(r["id"] for r in SP.hash_sample(ids_df, "id", 0.2, seed="t").collect())
+    assert small != other  # different seed ⟹ different draw
+
+
+def test_stratified_fractions(ids_df):
+    out = SP.stratified_hash_sample(
+        ids_df, "id", "grp", {"0": 1.0, "1": 0.5}, default_fraction=0.0
+    )
+    counts = {r["grp"]: r["n"] for r in out.groupBy("grp").agg(F.count("*").alias("n")).collect()}
+    assert counts["0"] == 500  # fraction 1.0 keeps the whole stratum
+    assert 0.4 < counts["1"] / 500 < 0.6
+    assert "2" not in counts and "3" not in counts  # default 0 drops the rest
+
+
+def test_split_is_narrow_no_shuffle(ids_df):
+    plan = SP.hash_split(ids_df, "id", {"a": 0.5, "b": 0.5})._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_bad_args_rejected(ids_df):
+    with pytest.raises(ValueError):
+        SP.hash_sample(ids_df, "id", 1.5)
+    with pytest.raises(ValueError):
+        SP.split_column(F.col("id"), {"a": 0.0})
+    with pytest.raises(ValueError):
+        SP.stratified_hash_sample(ids_df, "id", "grp", {"0": 2.0})
