@@ -138,6 +138,99 @@ def language_id(
     return df.withColumn(out_col, pred)
 
 
+def quality_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    min_tokens: int = 25,
+    max_tokens: int = 500,
+    min_avg_token: float = 2.0,
+    max_avg_token: float = 12.0,
+    max_digit_ratio: float = 0.2,
+    max_punct_ratio: float = 0.1,
+    min_stopword_hits: int = 2,
+) -> DataFrame:
+    """Gopher-style rule-based quality filter (Rae et al. 2021 §A1.1):
+    explicit named rules instead of one opaque score, so curation
+    decisions are auditable.
+
+    Adds ``n_tokens``, ``fail_reasons`` (sorted array of the rule names
+    the document violates) and ``passes``. All rules are per-row Column
+    arithmetic — a narrow map, no shuffle; at 100 TB the filter runs at
+    scan speed and downstream operators see only survivors.
+    """
+    df = fan_out(df)
+    c = F.col(text_col)
+    n_chars = F.length(c)
+    toks = tokens(c)
+    n_tokens = F.size(toks)
+    n_ws = F.length(F.regexp_replace(c, r"[^\s]", ""))
+    avg_tok = F.when(n_tokens > 0, (n_chars - n_ws) / n_tokens).otherwise(F.lit(0.0))
+    n_digit = F.length(F.regexp_replace(c, r"[^0-9]", ""))
+    n_punct = F.length(F.regexp_replace(c, r"[^\.,;:!\?'\"()\[\]-]", ""))
+    denom = F.greatest(n_chars, F.lit(1))
+    sw = sum((stopword_hits(c, lg) for lg in STOPWORDS), F.lit(0))
+
+    rules: list[tuple[str, Column]] = [
+        ("too_short", n_tokens < min_tokens),
+        ("too_long", n_tokens > max_tokens),
+        ("avg_token_len", (avg_tok < min_avg_token) | (avg_tok > max_avg_token)),
+        ("digit_soup", n_digit / denom > max_digit_ratio),
+        ("punct_soup", n_punct / denom > max_punct_ratio),
+        ("low_stopwords", sw < min_stopword_hits),
+    ]
+    reasons = F.array_sort(
+        F.array_compact(
+            F.array(*[F.when(cond, F.lit(name)) for name, cond in rules])
+        )
+    )
+    return df.withColumns(
+        {
+            "n_tokens": n_tokens.cast("int"),
+            "fail_reasons": reasons,
+            "passes": F.size(reasons) == 0,
+        }
+    )
+
+
+def quality_filter(df: DataFrame, text_col: str = "text", **thresholds) -> DataFrame:
+    """Keep only documents passing every :func:`quality_rules` rule."""
+    cols = df.columns
+    return quality_rules(df, text_col, **thresholds).filter("passes").select(*cols)
+
+
+#: PII redaction patterns, applied in order (URLs first so their
+#: embedded emails/digits are gone before the later passes). Regexes are
+#: deliberately lookaround-free so RE2 engines (DuckDB, Go) compute the
+#: same matches as Java — which is what makes redaction oracle-checkable.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("url", r"https?://\S+", "<URL>"),
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"(?:[0-9]{1,3}\.){3}[0-9]{1,3}", "<IP>"),
+    ("phone", r"\+?[0-9][0-9() -]{5,}[0-9]", "<PHONE>"),
+)
+
+
+def redact_pii(col: Column) -> Column:
+    """Replace URLs / emails / IPv4s / phone-like digit runs with typed
+    placeholder tokens. Pure regexp_replace chain: JVM-side, narrow."""
+    out = col
+    for _, pat, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def pii_counts(col: Column) -> dict[str, Column]:
+    """Per-type PII match counts (``{"url": Column, ...}``). Counts are
+    taken on the progressively-redacted text exactly like
+    :func:`redact_pii`, so an email inside a URL counts once as URL."""
+    out = col
+    counts: dict[str, Column] = {}
+    for name, pat, repl in PII_PATTERNS:
+        counts[name] = F.size(F.regexp_extract_all(out, F.lit(pat), 0))
+        out = F.regexp_replace(out, pat, repl)
+    return counts
+
+
 def normalize_text(col: Column) -> Column:
     """Canonical form for fingerprinting/dedup: lowercase, collapse
     whitespace, strip punctuation."""

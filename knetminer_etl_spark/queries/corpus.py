@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import sampling as SP
+from ..operators import text as TX
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -102,12 +103,157 @@ ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Gopher-style quality-rule filter
+# ---------------------------------------------------------------------------
+
+
+def doc_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-based quality audit of every document: which named Gopher-style
+    rules it violates and whether it survives the filter."""
+    out = TX.quality_rules(_docs(spark, sf_dir).select("doc_id", "text"))
+    return out.select("doc_id", "n_tokens", "fail_reasons", "passes").orderBy(
+        "doc_id"
+    )
+
+
+_TOKS = "list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')"
+_SW_HITS_TOTAL = " + ".join(
+    f"len(list_filter({_TOKS}, t -> list_contains(["
+    + ", ".join(f"'{w}'" for w in words)
+    + "], lower(t))))"
+    for words in TX.STOPWORDS.values()
+)
+
+DOC_QUALITY_FILTER_SQL = f"""
+WITH feat AS (
+  SELECT doc_id,
+         len({_TOKS}) AS n_tokens,
+         length(text) AS n_chars,
+         length(text) - length(regexp_replace(text, '[^\\s]', '', 'g')) AS n_nonws,
+         length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit,
+         length(regexp_replace(text, '[^\\.,;:!\\?''"()\\[\\]-]', '', 'g')) AS n_punct,
+         ({_SW_HITS_TOTAL}) AS sw
+  FROM documents
+), rules AS (
+  SELECT doc_id, n_tokens,
+         list_sort(list_filter([
+           CASE WHEN n_tokens < 25 THEN 'too_short' END,
+           CASE WHEN n_tokens > 500 THEN 'too_long' END,
+           CASE WHEN (CASE WHEN n_tokens > 0 THEN n_nonws * 1.0 / n_tokens ELSE 0.0 END) < 2.0
+                  OR (CASE WHEN n_tokens > 0 THEN n_nonws * 1.0 / n_tokens ELSE 0.0 END) > 12.0
+                THEN 'avg_token_len' END,
+           CASE WHEN n_digit * 1.0 / greatest(n_chars, 1) > 0.2 THEN 'digit_soup' END,
+           CASE WHEN n_punct * 1.0 / greatest(n_chars, 1) > 0.1 THEN 'punct_soup' END,
+           CASE WHEN sw < 2 THEN 'low_stopwords' END
+         ], x -> x IS NOT NULL)) AS fail_reasons
+  FROM feat
+)
+SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens, fail_reasons,
+       len(fail_reasons) = 0 AS passes
+FROM rules
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+
+def _augmented_text_spark() -> object:
+    """documents.text with deterministic synthetic PII appended (the corpus
+    itself is PII-free): emails / URLs / phones / IPs derived from doc_id,
+    reproduced verbatim by the oracle so redaction parity is exact."""
+    d = F.col("doc_id")
+    s = d.cast("string")
+    return F.concat(
+        F.col("text"),
+        F.when(d % 3 == 0, F.concat(F.lit(" contact user"), s, F.lit("@example.com now"))).otherwise(F.lit("")),
+        F.when(d % 5 == 0, F.concat(F.lit(" see https://data.example.org/doc/"), s)).otherwise(F.lit("")),
+        F.when(
+            d % 7 == 0,
+            F.concat(F.lit(" call +1 (555) 010-"), F.lpad((d % 10000).cast("string"), 4, "0")),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 11 == 0,
+            F.concat(F.lit(" host 10.0."), (d % 256).cast("string"), F.lit("."), ((d * 7) % 256).cast("string")),
+        ).otherwise(F.lit("")),
+    )
+
+
+def doc_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed PII redaction over the (synthetically PII-augmented) corpus:
+    per-type match counts plus an md5 of the fully-redacted text, so the
+    oracle checks the exact redacted output, not just the counts."""
+    docs = _docs(spark, sf_dir).withColumn("aug", _augmented_text_spark())
+    counts = TX.pii_counts(F.col("aug"))
+    return (
+        docs.select(
+            "doc_id",
+            counts["url"].alias("n_urls"),
+            counts["email"].alias("n_emails"),
+            counts["ip"].alias("n_ips"),
+            counts["phone"].alias("n_phones"),
+            F.md5(TX.redact_pii(F.col("aug"))).alias("redacted_md5"),
+        )
+        .filter("n_urls + n_emails + n_ips + n_phones > 0")
+        .orderBy("doc_id")
+    )
+
+
+_URL_RE = "https?://\\S+"
+_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_IP_RE = "(?:[0-9]{1,3}\\.){3}[0-9]{1,3}"
+_PHONE_RE = "\\+?[0-9][0-9() -]{5,}[0-9]"
+
+DOC_PII_REDACTION_SQL = f"""
+WITH aug AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now' ELSE '' END
+         || CASE WHEN doc_id % 5 = 0 THEN ' see https://data.example.org/doc/' || CAST(doc_id AS VARCHAR) ELSE '' END
+         || CASE WHEN doc_id % 7 = 0 THEN ' call +1 (555) 010-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+         || CASE WHEN doc_id % 11 = 0 THEN ' host 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST((doc_id * 7) % 256 AS VARCHAR) ELSE '' END
+         AS t0
+  FROM documents
+), s1 AS (
+  SELECT doc_id, t0,
+         len(regexp_extract_all(t0, '{_URL_RE}', 0)) AS n_urls,
+         regexp_replace(t0, '{_URL_RE}', '<URL>', 'g') AS t1
+  FROM aug
+), s2 AS (
+  SELECT *, len(regexp_extract_all(t1, '{_EMAIL_RE}', 0)) AS n_emails,
+         regexp_replace(t1, '{_EMAIL_RE}', '<EMAIL>', 'g') AS t2
+  FROM s1
+), s3 AS (
+  SELECT *, len(regexp_extract_all(t2, '{_IP_RE}', 0)) AS n_ips,
+         regexp_replace(t2, '{_IP_RE}', '<IP>', 'g') AS t3
+  FROM s2
+), s4 AS (
+  SELECT *, len(regexp_extract_all(t3, '{_PHONE_RE}', 0)) AS n_phones,
+         regexp_replace(t3, '{_PHONE_RE}', '<PHONE>', 'g') AS t4
+  FROM s3
+)
+SELECT doc_id, CAST(n_urls AS INT) AS n_urls, CAST(n_emails AS INT) AS n_emails,
+       CAST(n_ips AS INT) AS n_ips, CAST(n_phones AS INT) AS n_phones,
+       md5(t4) AS redacted_md5
+FROM s4
+WHERE n_urls + n_emails + n_ips + n_phones > 0
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "doc_split_counts": doc_split_counts,
     "doc_stratified_sample": doc_stratified_sample,
+    "doc_quality_filter": doc_quality_filter,
+    "doc_pii_redaction": doc_pii_redaction,
 }
 
 ORACLES = {
     "doc_split_counts": DOC_SPLIT_COUNTS_SQL,
     "doc_stratified_sample": DOC_STRATIFIED_SAMPLE_SQL,
+    "doc_quality_filter": DOC_QUALITY_FILTER_SQL,
+    "doc_pii_redaction": DOC_PII_REDACTION_SQL,
 }

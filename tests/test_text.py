@@ -91,3 +91,49 @@ class TestShingles:
             .collect()
         ]
         assert fps[0] == fps[1] != fps[2]
+
+
+class TestQualityRules:
+    def test_rules_and_reasons(self, spark):
+        long_good = " ".join(["the quick brown fox and a dog"] * 5)  # 35 toks, stopwords
+        df = spark.createDataFrame(
+            [
+                (1, long_good),
+                (2, "tiny doc"),  # too_short + low_stopwords
+                (3, " ".join(["12345 678 90"] * 12)),  # digit_soup (+ low_stopwords)
+            ],
+            "doc_id long, text string",
+        )
+        rows = {r["doc_id"]: r for r in TX.quality_rules(df).collect()}
+        assert rows[1]["passes"] and rows[1]["fail_reasons"] == []
+        assert not rows[2]["passes"]
+        assert "too_short" in rows[2]["fail_reasons"]
+        assert "digit_soup" in rows[3]["fail_reasons"]
+
+    def test_quality_filter_keeps_schema(self, spark):
+        df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        out = TX.quality_filter(df)
+        assert out.columns == ["doc_id", "text"]
+        assert out.count() == 0  # the one doc fails
+
+
+class TestRedactPII:
+    def test_redaction_and_counts(self, spark):
+        txt = "mail a@b.com or visit https://x.org/y?z=1 call +1 (555) 010-1234 ip 10.0.0.1 end"
+        df = spark.createDataFrame([(1, txt)], "id long, text string")
+        cnt = TX.pii_counts(F.col("text"))
+        row = df.select(
+            TX.redact_pii(F.col("text")).alias("red"),
+            cnt["url"].alias("u"), cnt["email"].alias("e"),
+            cnt["ip"].alias("i"), cnt["phone"].alias("p"),
+        ).first()
+        assert row["u"] == 1 and row["e"] == 1 and row["i"] == 1 and row["p"] == 1
+        assert row["red"] == "mail <EMAIL> or visit <URL> call <PHONE> ip <IP> end"
+
+    def test_url_embedded_email_counts_once(self, spark):
+        df = spark.createDataFrame(
+            [(1, "see https://x.org/mail/a@b.com only")], "id long, text string"
+        )
+        cnt = TX.pii_counts(F.col("text"))
+        row = df.select(cnt["url"].alias("u"), cnt["email"].alias("e")).first()
+        assert row["u"] == 1 and row["e"] == 0
