@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import sampling as SP
+from ..operators import packing as PK
 from ..operators import text as TX
 
 
@@ -244,11 +245,54 @@ ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Context-window packing
+# ---------------------------------------------------------------------------
+
+_PACK_W = 128
+
+
+def doc_context_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global token-stream placement of every document: exclusive
+    cumulative token offset in doc_id order and the 128-token training
+    windows the document spans. Uses the two-phase distributed scan
+    (operators/packing.py) — no single-reducer global window."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", TX.token_count(F.col("text")).cast("int").alias("n_tokens")
+    )
+    out = PK.with_pack_windows(docs, "doc_id", "n_tokens", _PACK_W)
+    return out.select(
+        "doc_id", "n_tokens", "start_offset", "first_window", "last_window", "n_windows"
+    ).orderBy("doc_id")
+
+
+DOC_CONTEXT_WINDOWS_SQL = f"""
+WITH t AS (
+  SELECT doc_id, CAST(len({_TOKS}) AS INT) AS n_tokens FROM documents
+), c AS (
+  SELECT doc_id, n_tokens,
+         CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS start_offset
+  FROM t
+)
+SELECT doc_id, n_tokens, start_offset,
+       CASE WHEN n_tokens > 0 THEN CAST(floor(start_offset / {_PACK_W}) AS BIGINT) END AS first_window,
+       CASE WHEN n_tokens > 0 THEN CAST(floor((start_offset + n_tokens - 1) / {_PACK_W}) AS BIGINT) END AS last_window,
+       CAST(CASE WHEN n_tokens > 0
+            THEN floor((start_offset + n_tokens - 1) / {_PACK_W}) - floor(start_offset / {_PACK_W}) + 1
+            ELSE 0 END AS BIGINT) AS n_windows
+FROM c
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "doc_split_counts": doc_split_counts,
     "doc_stratified_sample": doc_stratified_sample,
     "doc_quality_filter": doc_quality_filter,
     "doc_pii_redaction": doc_pii_redaction,
+    "doc_context_windows": doc_context_windows,
 }
 
 ORACLES = {
@@ -256,4 +300,5 @@ ORACLES = {
     "doc_stratified_sample": DOC_STRATIFIED_SAMPLE_SQL,
     "doc_quality_filter": DOC_QUALITY_FILTER_SQL,
     "doc_pii_redaction": DOC_PII_REDACTION_SQL,
+    "doc_context_windows": DOC_CONTEXT_WINDOWS_SQL,
 }
