@@ -19,7 +19,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from . import analytics, corpus, graph, kg, pipeline
+from . import analytics, analytics2, corpus, graph, kg, pipeline
 
 _REQUIRED_CONFS = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
@@ -45,6 +45,7 @@ QUERIES = {
     name: _pin_confs(fn)
     for name, fn in {
         **analytics.QUERIES,
+        **analytics2.QUERIES,
         **kg.QUERIES,
         **pipeline.QUERIES,
         **graph.QUERIES,
@@ -53,6 +54,7 @@ QUERIES = {
 }
 ORACLES = {
     **analytics.ORACLES,
+    **analytics2.ORACLES,
     **kg.ORACLES,
     **pipeline.ORACLES,
     **graph.ORACLES,
