@@ -328,3 +328,328 @@ ORACLES = {
     "q13_customer_distribution": Q13_SQL,
     "q15_top_supplier": Q15_SQL,
 }
+
+
+# -- Q16: supplier counts by part attributes ----------------------------------
+
+
+def q16_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape adapted (supply relation = observed lineitem
+    pairs, complaint filter = negative account balance): distinct
+    supplier count per (brand, type, size) for non-excluded parts."""
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#5")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45)
+    )
+    l = _t(spark, sf_dir, "lineitem")
+    bad = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    return (
+        l.join(p, l["l_partkey"] == p["p_partkey"])
+        .join(bad, l["l_suppkey"] == bad["s_suppkey"], "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+Q16_SQL = """
+SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO'
+  AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+# -- Q17: small-quantity revenue ----------------------------------------------
+
+
+def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17: average yearly revenue lost if small-quantity orders
+    (below 20% of the part's average quantity) were not filled. The
+    correlated per-part average is a groupBy + re-join, not a window —
+    the aggregate side is tiny (one row per part) and AQE broadcasts it
+    when it fits."""
+    p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23")
+    l = _t(spark, sf_dir, "lineitem")
+    lp = l.join(p, l["l_partkey"] == p["p_partkey"]).select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    avg_q = lp.groupBy(F.col("l_partkey").alias("ak")).agg(
+        (F.avg("l_quantity") * 0.2).alias("qty_cut")
+    )
+    return (
+        lp.join(avg_q, F.col("l_partkey") == F.col("ak"))
+        .filter(F.col("l_quantity") < F.col("qty_cut"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+Q17_SQL = """
+SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#23'
+  AND l_quantity < (
+    SELECT 0.2 * avg(l2.l_quantity)
+    FROM lineitem l2 JOIN part p2 ON p2.p_partkey = l2.l_partkey
+    WHERE l2.l_partkey = lineitem.l_partkey AND p2.p_brand = 'Brand#23'
+  )
+"""
+
+
+# -- Q19: discounted revenue (OR-of-conjuncts pushdown) -----------------------
+
+
+def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19: revenue from three OR'd (brand, size-range,
+    quantity-range) conjunct groups — the classic complex-predicate
+    pushdown test, one broadcast-able dimension join."""
+    p = _t(spark, sf_dir, "part")
+    l = _t(spark, sf_dir, "lineitem")
+    j = l.join(p, l["l_partkey"] == p["p_partkey"])
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return j.filter(cond).agg(F.round(F.sum(_REV), 2).alias("revenue"))
+
+
+Q19_SQL = """
+SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+# -- Q21: suppliers who kept orders waiting -----------------------------------
+
+
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape adapted (lateness = shipped >60 days after order
+    date; no commit/receipt dates): for finished orders, suppliers whose
+    line was late while some OTHER supplier's line was on time (semi)
+    and no OTHER supplier was late (anti) — the double-correlated
+    exists/not-exists shape."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    ld = (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            (F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) > 60).alias(
+                "late"
+            ),
+        )
+    )
+    l1 = ld.filter(F.col("late"))
+    other_ontime = ld.filter(~F.col("late")).select(
+        F.col("l_orderkey").alias("ok2"), F.col("l_suppkey").alias("sk2")
+    )
+    other_late = l1.select(
+        F.col("l_orderkey").alias("ok3"), F.col("l_suppkey").alias("sk3")
+    )
+    waiting = (
+        l1.join(
+            other_ontime,
+            (F.col("l_orderkey") == F.col("ok2"))
+            & (F.col("l_suppkey") != F.col("sk2")),
+            "left_semi",
+        ).join(
+            other_late,
+            (F.col("l_orderkey") == F.col("ok3"))
+            & (F.col("l_suppkey") != F.col("sk3")),
+            "left_anti",
+        )
+    )
+    return (
+        waiting.join(s, F.col("l_suppkey") == s["s_suppkey"])
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
+    )
+
+
+Q21_SQL = """
+WITH ld AS (
+  SELECT l_orderkey, l_suppkey,
+         date_diff('day', o_orderdate, l_shipdate) > 60 AS late
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+  WHERE o_orderstatus = 'F'
+)
+SELECT s_name, count(*) AS numwait
+FROM ld l1 JOIN supplier ON s_suppkey = l1.l_suppkey
+WHERE l1.late
+  AND EXISTS (SELECT 1 FROM ld l2 WHERE l2.l_orderkey = l1.l_orderkey
+              AND l2.l_suppkey <> l1.l_suppkey AND NOT l2.late)
+  AND NOT EXISTS (SELECT 1 FROM ld l3 WHERE l3.l_orderkey = l1.l_orderkey
+                  AND l3.l_suppkey <> l1.l_suppkey AND l3.late)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 20
+"""
+
+
+# -- Q22: idle high-balance customers -----------------------------------------
+
+
+def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape adapted (country code → nation key): customers
+    with above-average positive balance and NO orders since 1999,
+    counted per nation — scalar subquery + anti-join."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1999-01-01")
+    )
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("ab")
+    )
+    return (
+        c.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("ab"))
+        .join(o, c["c_custkey"] == o["o_custkey"], "left_anti")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+Q22_SQL = """
+SELECT c_nationkey AS nationkey, count(*) AS numcust,
+       round(sum(c_acctbal), 2) AS totacctbal
+FROM customer
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+GROUP BY c_nationkey
+ORDER BY nationkey
+"""
+
+
+# -- Q2: cheapest observed supplier per part ----------------------------------
+
+
+def q2_min_price_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape adapted (no partsupp: the supply relation is the
+    observed (part, supplier) unit price from lineitem): for STANDARD
+    size-15 parts, the EUROPE supplier(s) offering the minimum unit
+    price — correlated-min via per-part aggregate + re-join; nation and
+    region broadcast, everything else AQE."""
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "STANDARD") & (F.col("p_size") == 15)
+    )
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eur_nations = F.broadcast(
+        n.join(r, n["n_regionkey"] == r["r_regionkey"]).select(
+            "n_nationkey", "n_name"
+        )
+    )
+    eur_sup = s.join(eur_nations, s["s_nationkey"] == F.col("n_nationkey"))
+    offers = (
+        l.join(p, l["l_partkey"] == p["p_partkey"])
+        .join(eur_sup, l["l_suppkey"] == eur_sup["s_suppkey"])
+        .select(
+            "p_partkey",
+            "p_name",
+            "s_suppkey",
+            "s_name",
+            "s_acctbal",
+            "n_name",
+            F.round(F.col("l_extendedprice") / F.col("l_quantity"), 4).alias(
+                "unit_price"
+            ),
+        )
+    )
+    min_pp = offers.groupBy(F.col("p_partkey").alias("mk")).agg(
+        F.min("unit_price").alias("min_price")
+    )
+    return (
+        offers.join(
+            min_pp,
+            (F.col("p_partkey") == F.col("mk"))
+            & (F.col("unit_price") == F.col("min_price")),
+        )
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_name", "unit_price"
+        )
+        .distinct()
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+Q2_SQL = """
+WITH offers AS (
+  SELECT p_partkey, p_name, s_suppkey, s_name, s_acctbal, n_name,
+         round(l_extendedprice / l_quantity, 4) AS unit_price
+  FROM lineitem
+  JOIN part ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation ON n_nationkey = s_nationkey
+  JOIN region ON r_regionkey = n_regionkey
+  WHERE p_type = 'STANDARD' AND p_size = 15 AND r_name = 'EUROPE'
+)
+SELECT DISTINCT s_acctbal, s_name, n_name, p_partkey, p_name, unit_price
+FROM offers o
+WHERE unit_price = (SELECT min(unit_price) FROM offers i
+                    WHERE i.p_partkey = o.p_partkey)
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+
+
+QUERIES.update(
+    {
+        "q16_supplier_counts": q16_supplier_counts,
+        "q17_small_qty_revenue": q17_small_qty_revenue,
+        "q19_discounted_revenue": q19_discounted_revenue,
+        "q21_waiting_suppliers": q21_waiting_suppliers,
+        "q22_idle_customers": q22_idle_customers,
+        "q2_min_price_supplier": q2_min_price_supplier,
+    }
+)
+
+ORACLES.update(
+    {
+        "q16_supplier_counts": Q16_SQL,
+        "q17_small_qty_revenue": Q17_SQL,
+        "q19_discounted_revenue": Q19_SQL,
+        "q21_waiting_suppliers": Q21_SQL,
+        "q22_idle_customers": Q22_SQL,
+        "q2_min_price_supplier": Q2_SQL,
+    }
+)
