@@ -17,7 +17,11 @@ from pyspark.sql import functions as F
 
 from .analytics import _t
 
-_REV = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+def _rev():
+    # built lazily: a module-level Column would require an active
+    # SparkContext at import time and break importing the registry
+    # before the session exists
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
 
 
 # -- Q7: volume shipping between two nations ---------------------------------
@@ -41,8 +45,8 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
     )
     pair = (
-        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
-    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        (F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_17")
+    ) | ((F.col("supp_nation") == "NATION_17") & (F.col("cust_nation") == "NATION_3"))
     return (
         l.join(s, l["l_suppkey"] == s["s_suppkey"])
         .join(o, l["l_orderkey"] == o["o_orderkey"])
@@ -53,7 +57,7 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(
             "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
         )
-        .agg(F.round(F.sum(_REV), 2).alias("revenue"))
+        .agg(F.round(F.sum(_rev()), 2).alias("revenue"))
         .orderBy("supp_nation", "cust_nation", "l_year")
     )
 
@@ -70,8 +74,8 @@ FROM (
   JOIN customer ON c_custkey = o_custkey
   JOIN nation n1 ON n1.n_nationkey = s_nationkey
   JOIN nation n2 ON n2.n_nationkey = c_nationkey
-  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
-      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+  WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_17')
+      OR (n1.n_name = 'NATION_17' AND n2.n_name = 'NATION_3'))
     AND l_shipdate BETWEEN TIMESTAMP '1995-01-01 00:00:00'
                        AND TIMESTAMP '1996-12-31 00:00:00'
 )
@@ -106,7 +110,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         c["c_nationkey"] == F.col("n_nationkey"),
     ).select("c_custkey")
-    vol = _REV
+    vol = _rev()
     return (
         l.join(p, l["l_partkey"] == p["p_partkey"])
         .join(o, l["l_orderkey"] == o["o_orderkey"])
@@ -170,7 +174,7 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(o, l["l_orderkey"] == o["o_orderkey"])
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("s_nk"))
         .groupBy("nation", F.year("o_orderdate").alias("o_year"))
-        .agg(F.round(F.sum(_REV), 2).alias("sum_profit"))
+        .agg(F.round(F.sum(_rev()), 2).alias("sum_profit"))
         .orderBy("nation", F.col("o_year").desc())
     )
 
@@ -283,7 +287,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s = _t(spark, sf_dir, "supplier")
     rev = l.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
-        F.round(F.sum(_REV), 2).alias("total_revenue")
+        F.round(F.sum(_rev()), 2).alias("total_revenue")
     )
     mx = rev.agg(F.max("total_revenue").alias("mx"))
     return (
@@ -373,19 +377,19 @@ ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
 def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17: average yearly revenue lost if small-quantity orders
     (below 20% of the part's average quantity) were not filled. The
-    correlated per-part average is a groupBy + re-join, not a window —
-    the aggregate side is tiny (one row per part) and AQE broadcasts it
-    when it fits."""
+    correlated per-part average is a window over the SAME joined slice —
+    not an aggregate + self-join, which would execute the part⋈lineitem
+    join twice (each self-join side re-runs its upstream; see SCALE.md).
+    One scan, one shuffle on l_partkey, per-part window state is one
+    running (sum, count)."""
     p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23")
     l = _t(spark, sf_dir, "lineitem")
     lp = l.join(p, l["l_partkey"] == p["p_partkey"]).select(
         "l_partkey", "l_quantity", "l_extendedprice"
     )
-    avg_q = lp.groupBy(F.col("l_partkey").alias("ak")).agg(
-        (F.avg("l_quantity") * 0.2).alias("qty_cut")
-    )
+    qty_cut = F.avg("l_quantity").over(Window.partitionBy("l_partkey")) * 0.2
     return (
-        lp.join(avg_q, F.col("l_partkey") == F.col("ak"))
+        lp.withColumn("qty_cut", qty_cut)
         .filter(F.col("l_quantity") < F.col("qty_cut"))
         .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
     )
@@ -431,7 +435,7 @@ def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & F.col("l_quantity").between(20, 30)
         )
     )
-    return j.filter(cond).agg(F.round(F.sum(_REV), 2).alias("revenue"))
+    return j.filter(cond).agg(F.round(F.sum(_rev()), 2).alias("revenue"))
 
 
 Q19_SQL = """
@@ -452,46 +456,45 @@ WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
 def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21 shape adapted (lateness = shipped >60 days after order
     date; no commit/receipt dates): for finished orders, suppliers whose
-    line was late while some OTHER supplier's line was on time (semi)
-    and no OTHER supplier was late (anti) — the double-correlated
-    exists/not-exists shape."""
+    line was late while some OTHER supplier's line was on time and no
+    OTHER supplier was late.
+
+    The textbook form is a semi-join + anti-join against two more copies
+    of the same lineitem⋈orders relation — three executions of the fact
+    join. Here the double-correlated exists/not-exists collapses into
+    ONE per-order aggregate: "no other late supplier" ⟺ the order has
+    exactly one distinct late supplier, and "some other on-time
+    supplier" is a distinct-count + identity check. One pass, two
+    shuffles (orderkey, then suppkey)."""
     o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     l = _t(spark, sf_dir, "lineitem")
     s = _t(spark, sf_dir, "supplier")
-    ld = (
-        l.join(o, l["l_orderkey"] == o["o_orderkey"])
-        .select(
-            "l_orderkey",
-            "l_suppkey",
-            (F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) > 60).alias(
-                "late"
-            ),
-        )
+    late = F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) > 60
+    ld = l.join(o, l["l_orderkey"] == o["o_orderkey"]).select(
+        "l_orderkey", "l_suppkey", late.alias("late")
     )
-    l1 = ld.filter(F.col("late"))
-    other_ontime = ld.filter(~F.col("late")).select(
-        F.col("l_orderkey").alias("ok2"), F.col("l_suppkey").alias("sk2")
+    supp_if = lambda cond: F.when(cond, F.col("l_suppkey"))  # noqa: E731
+    per_order = ld.groupBy("l_orderkey").agg(
+        F.countDistinct(supp_if(F.col("late"))).alias("n_late_supp"),
+        F.max(supp_if(F.col("late"))).alias("late_supp"),
+        F.sum(F.when(F.col("late"), 1).otherwise(0)).alias("late_lines"),
+        F.countDistinct(supp_if(~F.col("late"))).alias("n_ontime_supp"),
+        F.max(supp_if(~F.col("late"))).alias("some_ontime_supp"),
     )
-    other_late = l1.select(
-        F.col("l_orderkey").alias("ok3"), F.col("l_suppkey").alias("sk3")
-    )
-    waiting = (
-        l1.join(
-            other_ontime,
-            (F.col("l_orderkey") == F.col("ok2"))
-            & (F.col("l_suppkey") != F.col("sk2")),
-            "left_semi",
-        ).join(
-            other_late,
-            (F.col("l_orderkey") == F.col("ok3"))
-            & (F.col("l_suppkey") != F.col("sk3")),
-            "left_anti",
+    waiting = per_order.filter(
+        (F.col("n_late_supp") == 1)
+        & (
+            (F.col("n_ontime_supp") >= 2)
+            | (
+                (F.col("n_ontime_supp") == 1)
+                & (F.col("some_ontime_supp") != F.col("late_supp"))
+            )
         )
     )
     return (
-        waiting.join(s, F.col("l_suppkey") == s["s_suppkey"])
+        waiting.join(s, F.col("late_supp") == s["s_suppkey"])
         .groupBy("s_name")
-        .agg(F.count("*").alias("numwait"))
+        .agg(F.sum("late_lines").alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(20)
     )
@@ -564,8 +567,9 @@ def q2_min_price_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q2 shape adapted (no partsupp: the supply relation is the
     observed (part, supplier) unit price from lineitem): for STANDARD
     size-15 parts, the EUROPE supplier(s) offering the minimum unit
-    price — correlated-min via per-part aggregate + re-join; nation and
-    region broadcast, everything else AQE."""
+    price — correlated-min as a per-part window over the joined offers
+    (an aggregate + self-join would run the whole join twice); nation
+    and region broadcast, everything else AQE."""
     p = _t(spark, sf_dir, "part").filter(
         (F.col("p_type") == "STANDARD") & (F.col("p_size") == 15)
     )
@@ -594,15 +598,10 @@ def q2_min_price_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    min_pp = offers.groupBy(F.col("p_partkey").alias("mk")).agg(
-        F.min("unit_price").alias("min_price")
-    )
+    min_price = F.min("unit_price").over(Window.partitionBy("p_partkey"))
     return (
-        offers.join(
-            min_pp,
-            (F.col("p_partkey") == F.col("mk"))
-            & (F.col("unit_price") == F.col("min_price")),
-        )
+        offers.withColumn("min_price", min_price)
+        .filter(F.col("unit_price") == F.col("min_price"))
         .select(
             "s_acctbal", "s_name", "n_name", "p_partkey", "p_name", "unit_price"
         )
