@@ -34,6 +34,14 @@ HEADLINE = [
     "events_asof_last_error",
     "dedup_components",
     "kg_degrees",
+    # round-2 additions: the heavier new join shapes + corpus-prep ops
+    "q8_market_share",
+    "q13_customer_distribution",
+    "q21_waiting_suppliers",
+    "doc_split_counts",
+    "doc_quality_filter",
+    "doc_pii_redaction",
+    "doc_context_windows",
 ]
 
 

@@ -667,6 +667,39 @@ GROUP BY c.user_id
 """
 
 
+def events_latest_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC latest-wins compaction: the newest event per (user, type),
+    deterministic via the unique event_id tiebreak. Implemented as a
+    struct-max aggregate (map-side combining) rather than a
+    row_number window — see operators/cdc.py."""
+    from ..operators.cdc import latest_by_key
+
+    e = _events(spark, sf_dir).select(
+        "user_id", "event_type", "event_id", "ts", "value"
+    )
+    latest = latest_by_key(e, ["user_id", "event_type"], ["ts", "event_id"])
+    return latest.select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.col("ts").cast("long").alias("ts"),
+        "value",
+    ).orderBy("user_id", "event_type")
+
+
+EVENTS_LATEST_SQL = """
+SELECT user_id, event_type, event_id,
+       CAST(floor(epoch(ts)) AS BIGINT) AS ts, value
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                               ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+WHERE rn = 1
+ORDER BY user_id, event_type
+"""
+
+
 def events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles of value per event type."""
     e = _events(spark, sf_dir)
@@ -693,6 +726,7 @@ QUERIES = {
     "events_asof_last_error": events_asof_last_error,
     "events_error_window_clicks": events_error_window_clicks,
     "events_value_percentiles": events_value_percentiles,
+    "events_latest_compaction": events_latest_compaction,
     "text_stats": text_stats,
     "token_counts": token_counts,
     "lang_id_counts": lang_id_counts,
@@ -716,6 +750,7 @@ ORACLES = {
     "events_asof_last_error": EVENTS_ASOF_SQL,
     "events_error_window_clicks": EVENTS_RANGE_JOIN_SQL,
     "events_value_percentiles": EVENTS_PERCENTILES_SQL,
+    "events_latest_compaction": EVENTS_LATEST_SQL,
     "text_stats": TEXT_STATS_SQL,
     "token_counts": TOKEN_COUNTS_SQL,
     "lang_id_counts": LANG_ID_SQL,
