@@ -130,6 +130,49 @@ def image_header_decode(data: bytes, fmt: str) -> dict[str, Any]:
     return {"width": w, "height": h, "duration_ms": None, "features": None}
 
 
+def parse_wav_header(data: bytes) -> tuple[int, int, int, int] | None:
+    """(sample_rate, channels, bits_per_sample, duration_ms) from a
+    RIFF/WAVE container — pure byte walking over the chunk list, no
+    codec library. Returns None if the bytes are not a WAV."""
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        return None
+    rate = channels = bits = None
+    data_size = None
+    i, n = 12, len(data)
+    while i + 8 <= n:
+        cid = data[i : i + 4]
+        size = int.from_bytes(data[i + 4 : i + 8], "little")
+        if cid == b"fmt " and i + 24 <= n:
+            channels = int.from_bytes(data[i + 10 : i + 12], "little")
+            rate = int.from_bytes(data[i + 12 : i + 16], "little")
+            bits = int.from_bytes(data[i + 22 : i + 24], "little")
+        elif cid == b"data":
+            data_size = size
+        # chunks are word-aligned: odd sizes carry a pad byte
+        i += 8 + size + (size & 1)
+    if not rate or not channels or not bits or data_size is None:
+        return None
+    frames = data_size // (channels * (bits // 8))
+    return rate, channels, bits, int(frames * 1000 // rate)
+
+
+def audio_header_decode(data: bytes, fmt: str) -> dict[str, Any]:
+    """Real audio-metadata decode_fn for WAV (sample rate, channels,
+    duration from the RIFF header, stdlib-only). Compressed formats
+    (mp3/ogg/flac) still need a codec library — those raise, mirroring
+    :func:`real_decode_stub`'s integration point."""
+    meta = parse_wav_header(data or b"")
+    if meta is None:
+        raise ValueError(f"not a RIFF/WAVE container (fmt hint: {fmt})")
+    rate, channels, _bits, duration_ms = meta
+    return {
+        "width": rate,  # sample_rate rides the width slot of DECODED_SCHEMA
+        "height": channels,  # channel count rides the height slot
+        "duration_ms": duration_ms,
+        "features": None,
+    }
+
+
 def _fake_decode(data: bytes, fmt: str) -> dict[str, Any]:
     """Deterministic fake decoder: derives pseudo-dimensions and a fixed-
     length feature vector purely from the bytes, so tests exercise the

@@ -115,3 +115,41 @@ class TestPlumbing:
             by_id.setdefault(r["media_id"], []).append(r["frame_ts_ms"])
         assert sorted(by_id[1]) == [0, 1000, 2000, 3000]
         assert by_id[2] == [0]
+
+
+class TestWavDecode:
+    @staticmethod
+    def _wav_bytes(rate=8000, channels=2, n_frames=4000):
+        import io
+        import wave
+
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(channels)
+            w.setsampwidth(2)
+            w.setframerate(rate)
+            w.writeframes(b"\x00\x00" * channels * n_frames)
+        return buf.getvalue()
+
+    def test_parse_wav_header(self):
+        data = self._wav_bytes(rate=16000, channels=1, n_frames=16000)
+        assert MM.parse_wav_header(data) == (16000, 1, 16, 1000)
+        assert MM.parse_wav_header(b"not a wav") is None
+
+    def test_decode_media_with_wav(self, spark):
+        rows = [(1, self._wav_bytes(8000, 2, 4000)), (2, self._wav_bytes(44100, 1, 44100))]
+        df = spark.createDataFrame(rows, "media_id long, data binary")
+        got = {
+            r["media_id"]: r
+            for r in MM.decode_media(df, decode_fn=MM.audio_header_decode).collect()
+        }
+        assert got[1]["width"] == 8000 and got[1]["height"] == 2
+        assert got[1]["duration_ms"] == 500  # 4000 frames @ 8 kHz
+        assert got[2]["duration_ms"] == 1000
+
+    def test_non_wav_raises(self, spark):
+        import pytest as _pytest
+
+        df = spark.createDataFrame([(1, b"\xff\xd8junk")], "media_id long, data binary")
+        with _pytest.raises(Exception):
+            MM.decode_media(df, decode_fn=MM.audio_header_decode).collect()
