@@ -1,0 +1,95 @@
+"""Benchmark decontamination: find training documents sharing word
+n-grams with a held-out/evaluation set.
+
+The standard pretraining hygiene step (GPT-3 App. C, PaLM §7, Llama):
+any training document containing an n-gram that also occurs in an
+evaluation document is flagged (and usually dropped) so benchmark
+numbers aren't inflated by memorized test data.
+
+Spark shape: explode distinct n-grams on both sides, equi-join on the
+gram, aggregate hits per training doc. The join key is the gram string —
+high cardinality, well distributed, so the shuffle partitions evenly; the
+eval side is typically tiny (benchmarks are KBs, the corpus is TBs), so
+AQE turns the join into a broadcast automatically. No UDFs anywhere.
+
+Extension beyond the reference (north-star per BASELINE.json); the
+reference has no corpus operators.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text import word_shingles
+
+
+def ngram_contamination(
+    train: DataFrame,
+    test: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Per-training-document contamination report against `test`.
+
+    Returns ``(id_col, n_hits, total_ngrams, contamination)`` for every
+    training document sharing at least one word `n`-gram with any test
+    document: ``n_hits`` distinct contaminated grams, ``total_ngrams``
+    the doc's distinct gram count, ``contamination`` their ratio.
+
+    Plan: one narrow gram-explode per side, one equi-join shuffle on the
+    gram (AQE broadcasts the test side when it is small), one group-by
+    on the training doc id. Gram explosion uses ``explode_outer`` +
+    null-filter so the shingle expression is never inlined below an
+    exchange (see memory: explode() infers a size>0 filter).
+    """
+    t_grams = (
+        train.select(
+            F.col(id_col),
+            F.explode_outer(word_shingles(F.col(text_col), n)).alias("gram"),
+        )
+        .filter(F.col("gram").isNotNull())
+    )
+    eval_grams = (
+        test.select(
+            F.explode_outer(word_shingles(F.col(text_col), n)).alias("gram")
+        )
+        .filter(F.col("gram").isNotNull())
+        .distinct()
+    )
+    hits = t_grams.join(eval_grams, "gram").groupBy(id_col).agg(
+        F.count("*").alias("n_hits")
+    )
+    totals = train.select(
+        F.col(id_col),
+        F.size(word_shingles(F.col(text_col), n)).alias("total_ngrams"),
+    )
+    return (
+        hits.join(totals, id_col)
+        .select(
+            id_col,
+            "n_hits",
+            "total_ngrams",
+            F.round(
+                F.col("n_hits") / F.greatest(F.col("total_ngrams"), F.lit(1)), 6
+            ).alias("contamination"),
+        )
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    test: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    max_hits: int = 0,
+) -> DataFrame:
+    """Drop training documents with more than `max_hits` contaminated
+    n-grams (default: any overlap). Left-anti join against the flagged
+    id set — the flagged side is small, AQE broadcasts it."""
+    flagged = ngram_contamination(train, test, id_col, text_col, n).filter(
+        F.col("n_hits") > max_hits
+    )
+    return train.join(flagged.select(id_col), id_col, "left_anti")

@@ -198,6 +198,62 @@ def quality_filter(df: DataFrame, text_col: str = "text", **thresholds) -> DataF
     return quality_rules(df, text_col, **thresholds).filter("passes").select(*cols)
 
 
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Top-`k` TF-IDF terms per document over the whole corpus.
+
+    ``tfidf = tf × (ln((1 + N) / (1 + df)) + 1)`` (smoothed idf, sklearn
+    convention) with `tf` the raw in-document term count, `df` the number
+    of documents containing the term, `N` the corpus size.
+
+    Plan: explode tokens (narrow) → one groupBy (doc, term) shuffle for
+    tf → term-level df as a second small agg joined back on the term →
+    per-doc window for the top-k. N arrives via a 1-row crossJoin (no
+    driver action, stays one job). Ties rank deterministically
+    (score desc, term asc). At 100 TB the (doc, term) agg is the big
+    shuffle — key cardinality |docs|×|vocab| is high and even, the
+    partial map-side agg collapses repeats, and nothing here is skewed
+    worse than the corpus' own term distribution.
+    """
+    from pyspark.sql import Window
+
+    terms = df.select(
+        F.col(id_col),
+        F.explode_outer(tokens(normalize_text(F.col(text_col)))).alias("term"),
+    ).filter(F.col("term").isNotNull())
+    tf = terms.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    docfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = df.select(F.count("*").alias("__n"))
+    scored = (
+        tf.join(docfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.col("tf")
+            * (F.log((1 + F.col("__n")) / (1 + F.col("df"))) + F.lit(1.0)),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            id_col,
+            "rank",
+            "term",
+            F.col("tf").cast("int").alias("tf"),
+            F.col("df").cast("int").alias("df"),
+            F.round("tfidf", 6).alias("tfidf"),
+        )
+    )
+
+
 #: PII redaction patterns, applied in order (URLs first so their
 #: embedded emails/digits are gone before the later passes). Regexes are
 #: deliberately lookaround-free so RE2 engines (DuckDB, Go) compute the
@@ -229,6 +285,169 @@ def pii_counts(col: Column) -> dict[str, Column]:
         counts[name] = F.size(F.regexp_extract_all(out, F.lit(pat), 0))
         out = F.regexp_replace(out, pat, repl)
     return counts
+
+
+def _grams_with_multiplicity(toks: Column, k: int) -> Column:
+    """Word k-grams WITH multiplicity (unlike :func:`shingles_from_tokens`,
+    which deduplicates) — repetition measurement needs the counts."""
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(n - k + 1, F.lit(1)))
+    return F.when(n < k, F.array().cast("array<string>")).otherwise(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
+    )
+
+
+def _top_gram_chars(grams: Column) -> Column:
+    """Characters covered by the single most-repeated k-gram:
+    max over distinct grams of count(gram) × non-space length."""
+    return F.coalesce(
+        F.array_max(
+            F.transform(
+                F.array_distinct(grams),
+                lambda g: F.size(F.filter(grams, lambda x: x == g))
+                * F.length(F.replace(g, F.lit(" "), F.lit(""))),
+            )
+        ),
+        F.lit(0),
+    )
+
+
+def _dup_gram_chars(grams: Column) -> Column:
+    """Characters covered by k-grams occurring more than once (all
+    occurrences counted; overlaps not collapsed — a deterministic,
+    oracle-reproducible proxy for Gopher's duplicate-n-gram fraction)."""
+    counted = F.transform(
+        F.array_distinct(grams),
+        lambda g: F.struct(
+            F.size(F.filter(grams, lambda x: x == g)).alias("cnt"),
+            F.length(F.replace(g, F.lit(" "), F.lit(""))).alias("chars"),
+        ),
+    )
+    return F.aggregate(
+        counted,
+        F.lit(0),
+        lambda acc, s: acc
+        + F.when(s["cnt"] > 1, s["cnt"] * s["chars"]).otherwise(F.lit(0)),
+    )
+
+
+#: (rule name, threshold) defaults for :func:`repetition_stats` — the
+#: Gopher §A1.1 repetition thresholds (dup lines/paragraphs 0.30, dup
+#: line chars 0.20, top 2/3-gram 0.20/0.18, dup 5-gram 0.15).
+REPETITION_THRESHOLDS: dict[str, float] = {
+    "dup_line_frac": 0.30,
+    "dup_para_frac": 0.30,
+    "dup_line_char_frac": 0.20,
+    "top_2gram_char_frac": 0.20,
+    "top_3gram_char_frac": 0.18,
+    "dup_5gram_char_frac": 0.15,
+}
+
+
+def repetition_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    thresholds: dict[str, float] | None = None,
+) -> DataFrame:
+    """Gopher-style repetition features (Rae et al. 2021 §A1.1): duplicate
+    line / paragraph fractions, duplicate-line character fraction, most-
+    common 2-/3-gram character fractions, duplicate 5-gram character
+    fraction — plus ``fail_reasons`` / ``passes`` against `thresholds`.
+
+    Everything is per-row Column arithmetic over split arrays (narrow map,
+    no shuffle, scan-speed at 100 TB). The per-gram counting is O(d·g) in
+    the doc's gram counts via nested higher-order lambdas — fine for
+    documents up to ~10k tokens; chunk longer docs first. Expressions are
+    staged through two selects so codegen sees materialized arrays instead
+    of an exponentially-inlined tree.
+    """
+    th = dict(REPETITION_THRESHOLDS)
+    if thresholds:
+        th.update(thresholds)
+    df = fan_out(df)
+    c = F.col(text_col)
+
+    staged = df.withColumns(
+        {
+            "__lines": F.filter(
+                F.transform(F.split(c, r"\n"), lambda l: F.trim(l)),
+                lambda l: l != F.lit(""),
+            ),
+            "__paras": F.filter(
+                F.transform(F.split(c, r"\n\s*\n"), lambda p: F.trim(p)),
+                lambda p: p != F.lit(""),
+            ),
+            "__toks": tokens(normalize_text(c)),
+        }
+    )
+    toks = F.col("__toks")
+    staged = staged.withColumns(
+        {
+            "__g2": _grams_with_multiplicity(toks, 2),
+            "__g3": _grams_with_multiplicity(toks, 3),
+            "__g5": _grams_with_multiplicity(toks, 5),
+            "__word_chars": F.aggregate(
+                toks, F.lit(0), lambda a, t: a + F.length(t)
+            ),
+        }
+    )
+
+    lines, paras = F.col("__lines"), F.col("__paras")
+    n_lines, n_paras = F.size(lines), F.size(paras)
+    line_chars = F.aggregate(lines, F.lit(0), lambda a, l: a + F.length(l))
+    dup_line_chars = F.aggregate(
+        lines,
+        F.lit(0),
+        lambda a, l: a
+        + F.when(
+            F.size(F.filter(lines, lambda x: x == l)) > 1, F.length(l)
+        ).otherwise(F.lit(0)),
+    )
+    wc = F.greatest(F.col("__word_chars"), F.lit(1)).cast("double")
+
+    feats = {
+        "dup_line_frac": F.when(
+            n_lines > 0,
+            1 - F.size(F.array_distinct(lines)).cast("double") / n_lines,
+        ).otherwise(F.lit(0.0)),
+        "dup_para_frac": F.when(
+            n_paras > 0,
+            1 - F.size(F.array_distinct(paras)).cast("double") / n_paras,
+        ).otherwise(F.lit(0.0)),
+        "dup_line_char_frac": dup_line_chars
+        / F.greatest(line_chars, F.lit(1)).cast("double"),
+        "top_2gram_char_frac": _top_gram_chars(F.col("__g2")) / wc,
+        "top_3gram_char_frac": _top_gram_chars(F.col("__g3")) / wc,
+        "dup_5gram_char_frac": _dup_gram_chars(F.col("__g5")) / wc,
+    }
+    reasons = F.array_sort(
+        F.array_compact(
+            F.array(
+                *[
+                    F.when(feats[name] > th[name], F.lit(name))
+                    for name in sorted(feats)
+                ]
+            )
+        )
+    )
+    out = staged.withColumns(
+        {**{k: F.round(v, 4) for k, v in feats.items()},
+         "fail_reasons": reasons,
+         "passes": F.size(reasons) == 0}
+    )
+    return out.drop("__lines", "__paras", "__toks", "__g2", "__g3", "__g5",
+                    "__word_chars")
+
+
+def repetition_filter(
+    df: DataFrame, text_col: str = "text",
+    thresholds: dict[str, float] | None = None,
+) -> DataFrame:
+    """Keep only documents passing every :func:`repetition_stats` rule."""
+    cols = df.columns
+    return (
+        repetition_stats(df, text_col, thresholds).filter("passes").select(*cols)
+    )
 
 
 def normalize_text(col: Column) -> Column:

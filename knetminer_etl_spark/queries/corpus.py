@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators import contamination as CT
 from ..operators import sampling as SP
 from ..operators import packing as PK
 from ..operators import text as TX
@@ -287,12 +288,225 @@ ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Gopher repetition rules
+# ---------------------------------------------------------------------------
+
+
+def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition audit of every document: duplicate line/paragraph
+    fractions and repeated-n-gram character fractions with Gopher §A1.1
+    thresholds (operators/text.py:repetition_stats)."""
+    out = TX.repetition_stats(_docs(spark, sf_dir).select("doc_id", "text"))
+    return out.select(
+        "doc_id",
+        "dup_line_frac",
+        "dup_para_frac",
+        "dup_line_char_frac",
+        "top_2gram_char_frac",
+        "top_3gram_char_frac",
+        "dup_5gram_char_frac",
+        "fail_reasons",
+        "passes",
+    ).orderBy("doc_id")
+
+
+_NORM_SQL = (
+    "trim(regexp_replace(regexp_replace(lower(text),"
+    " '[^\\p{L}\\p{N}\\s]', ' ', 'g'), '\\s+', ' ', 'g'))"
+)
+
+
+def _grams_sql(toks: str, k: int) -> str:
+    return (
+        f"CASE WHEN len({toks}) < {k} THEN CAST([] AS VARCHAR[]) "
+        f"ELSE [array_to_string({toks}[i:i+{k - 1}], ' ') "
+        f"for i in generate_series(1, len({toks}) - {k - 1})] END"
+    )
+
+
+def _top_gram_chars_sql(g: str) -> str:
+    return (
+        f"coalesce(list_max(list_transform(list_distinct({g}), "
+        f"g -> len(list_filter({g}, x -> x = g)) * length(replace(g, ' ', '')))), 0)"
+    )
+
+
+def _dup_gram_chars_sql(g: str) -> str:
+    return (
+        f"coalesce(list_sum(list_transform(list_distinct({g}), "
+        f"g -> CASE WHEN len(list_filter({g}, x -> x = g)) > 1 "
+        f"THEN len(list_filter({g}, x -> x = g)) * length(replace(g, ' ', '')) "
+        f"ELSE 0 END)), 0)"
+    )
+
+
+DOC_REPETITION_STATS_SQL = f"""
+WITH staged AS (
+  SELECT doc_id,
+    list_filter(list_transform(string_split_regex(text, '\\n'), l -> trim(l)),
+                l -> l <> '') AS lines,
+    list_filter(list_transform(string_split_regex(text, '\\n\\s*\\n'), p -> trim(p)),
+                p -> p <> '') AS paras,
+    list_filter(string_split({_NORM_SQL}, ' '), x -> x <> '') AS toks
+  FROM documents
+), grams AS (
+  SELECT doc_id, lines, paras,
+    {_grams_sql("toks", 2)} AS g2,
+    {_grams_sql("toks", 3)} AS g3,
+    {_grams_sql("toks", 5)} AS g5,
+    greatest(coalesce(list_sum(list_transform(toks, t -> length(t))), 0), 1) AS wc
+  FROM staged
+), feats AS (
+  SELECT doc_id,
+    CASE WHEN len(lines) > 0
+         THEN 1 - len(list_distinct(lines)) * 1.0 / len(lines) ELSE 0.0 END
+      AS dup_line_frac,
+    CASE WHEN len(paras) > 0
+         THEN 1 - len(list_distinct(paras)) * 1.0 / len(paras) ELSE 0.0 END
+      AS dup_para_frac,
+    coalesce(list_sum(list_transform(lines,
+        l -> CASE WHEN len(list_filter(lines, x -> x = l)) > 1
+             THEN length(l) ELSE 0 END)), 0) * 1.0
+      / greatest(coalesce(list_sum(list_transform(lines, l -> length(l))), 0), 1)
+      AS dup_line_char_frac,
+    {_top_gram_chars_sql("g2")} * 1.0 / wc AS top_2gram_char_frac,
+    {_top_gram_chars_sql("g3")} * 1.0 / wc AS top_3gram_char_frac,
+    {_dup_gram_chars_sql("g5")} * 1.0 / wc AS dup_5gram_char_frac
+  FROM grams
+)
+SELECT doc_id,
+  round(dup_line_frac, 4) AS dup_line_frac,
+  round(dup_para_frac, 4) AS dup_para_frac,
+  round(dup_line_char_frac, 4) AS dup_line_char_frac,
+  round(top_2gram_char_frac, 4) AS top_2gram_char_frac,
+  round(top_3gram_char_frac, 4) AS top_3gram_char_frac,
+  round(dup_5gram_char_frac, 4) AS dup_5gram_char_frac,
+  list_sort(list_filter([
+    CASE WHEN dup_5gram_char_frac > 0.15 THEN 'dup_5gram_char_frac' END,
+    CASE WHEN dup_line_char_frac > 0.20 THEN 'dup_line_char_frac' END,
+    CASE WHEN dup_line_frac > 0.30 THEN 'dup_line_frac' END,
+    CASE WHEN dup_para_frac > 0.30 THEN 'dup_para_frac' END,
+    CASE WHEN top_2gram_char_frac > 0.20 THEN 'top_2gram_char_frac' END,
+    CASE WHEN top_3gram_char_frac > 0.18 THEN 'top_3gram_char_frac' END
+  ], x -> x IS NOT NULL)) AS fail_reasons,
+  len(list_filter([
+    CASE WHEN dup_5gram_char_frac > 0.15 THEN 'x' END,
+    CASE WHEN dup_line_char_frac > 0.20 THEN 'x' END,
+    CASE WHEN dup_line_frac > 0.30 THEN 'x' END,
+    CASE WHEN dup_para_frac > 0.30 THEN 'x' END,
+    CASE WHEN top_2gram_char_frac > 0.20 THEN 'x' END,
+    CASE WHEN top_3gram_char_frac > 0.18 THEN 'x' END
+  ], x -> x IS NOT NULL)) = 0 AS passes
+FROM feats
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination
+# ---------------------------------------------------------------------------
+
+_DECON_N = 4
+
+
+def doc_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination report: training documents (of the deterministic
+    80/10/10 split) sharing any word 4-gram with the held-out test split —
+    the benchmark-decontamination hygiene step of a pretraining pipeline
+    (operators/contamination.py)."""
+    docs = SP.hash_split(
+        _docs(spark, sf_dir), "doc_id", _SPLIT_WEIGHTS, seed=_SPLIT_SEED
+    )
+    train = docs.filter(F.col("split") == "train")
+    test = docs.filter(F.col("split") == "test")
+    return CT.ngram_contamination(
+        train, test, "doc_id", "text", n=_DECON_N
+    ).orderBy("doc_id")
+
+
+DOC_DECONTAMINATION_SQL = f"""
+WITH split AS (
+  SELECT doc_id, text,
+         {SP.split_sql("doc_id", _SPLIT_WEIGHTS, _SPLIT_SEED)} AS split
+  FROM documents
+), toks AS (
+  SELECT doc_id, split,
+         list_filter(string_split({_NORM_SQL}, ' '), x -> x <> '') AS t
+  FROM split
+), sh AS (
+  SELECT doc_id, split,
+         CASE WHEN len(t) < {_DECON_N} THEN
+                (CASE WHEN len(t) > 0 THEN [array_to_string(t, ' ')] ELSE [] END)
+              ELSE list_distinct([array_to_string(t[i:i+{_DECON_N - 1}], ' ')
+                                  for i in generate_series(1, len(t) - {_DECON_N - 1})])
+         END AS sh
+  FROM toks
+), train_ex AS (
+  SELECT doc_id, len(sh) AS total_ngrams, unnest(sh) AS g
+  FROM sh WHERE split = 'train'
+), test_g AS (
+  SELECT DISTINCT unnest(sh) AS g FROM sh WHERE split = 'test'
+)
+SELECT doc_id, count(*) AS n_hits, CAST(any_value(total_ngrams) AS INT) AS total_ngrams,
+       round(count(*) * 1.0 / greatest(any_value(total_ngrams), 1), 6) AS contamination
+FROM train_ex JOIN test_g USING (g)
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top terms
+# ---------------------------------------------------------------------------
+
+
+def doc_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (smoothed idf, deterministic
+    tie-break) — the keyword-extraction building block
+    (operators/text.py:tfidf_top_terms)."""
+    return TX.tfidf_top_terms(
+        _docs(spark, sf_dir).select("doc_id", "text"), "doc_id", "text", k=3
+    ).orderBy("doc_id", "rank")
+
+
+DOC_TFIDF_TERMS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split({_NORM_SQL}, ' '), x -> x <> '')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+), dfreq AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY 1
+), n AS (
+  SELECT count(*) AS n FROM documents
+), scored AS (
+  SELECT doc_id, term, tf, df,
+         tf * (ln((1 + n.n) / (1 + df)) + 1.0) AS tfidf
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+             ORDER BY tfidf DESC, term ASC) AS rank
+  FROM scored
+)
+SELECT doc_id, CAST(rank AS INT) AS rank, term,
+       CAST(tf AS INT) AS tf, CAST(df AS INT) AS df,
+       round(tfidf, 6) AS tfidf
+FROM ranked WHERE rank <= 3
+ORDER BY doc_id, rank
+"""
+
+
 QUERIES = {
     "doc_split_counts": doc_split_counts,
     "doc_stratified_sample": doc_stratified_sample,
     "doc_quality_filter": doc_quality_filter,
     "doc_pii_redaction": doc_pii_redaction,
     "doc_context_windows": doc_context_windows,
+    "doc_repetition_stats": doc_repetition_stats,
+    "doc_decontamination": doc_decontamination,
+    "doc_tfidf_terms": doc_tfidf_terms,
 }
 
 ORACLES = {
@@ -301,4 +515,7 @@ ORACLES = {
     "doc_quality_filter": DOC_QUALITY_FILTER_SQL,
     "doc_pii_redaction": DOC_PII_REDACTION_SQL,
     "doc_context_windows": DOC_CONTEXT_WINDOWS_SQL,
+    "doc_repetition_stats": DOC_REPETITION_STATS_SQL,
+    "doc_decontamination": DOC_DECONTAMINATION_SQL,
+    "doc_tfidf_terms": DOC_TFIDF_TERMS_SQL,
 }

@@ -137,3 +137,128 @@ class TestRedactPII:
         cnt = TX.pii_counts(F.col("text"))
         row = df.select(cnt["url"].alias("u"), cnt["email"].alias("e")).first()
         assert row["u"] == 1 and row["e"] == 0
+
+
+class TestRepetition:
+    def test_dup_line_fraction(self, spark):
+        txt = "same line\nsame line\nother line\n\nsame line"
+        df = spark.createDataFrame([(1, txt)], "doc_id long, text string")
+        row = TX.repetition_stats(df).first()
+        # 4 non-empty lines, 2 distinct -> dup fraction 0.5
+        assert row["dup_line_frac"] == 0.5
+        # duplicated line "same line" covers 27 of 37 line chars
+        assert row["dup_line_char_frac"] == round(27 / 37, 4)
+        assert "dup_line_frac" in row["fail_reasons"]
+        assert not row["passes"]
+
+    def test_paragraph_fraction_counts_blocks(self, spark):
+        txt = "para one\n\npara one\n\npara two"
+        df = spark.createDataFrame([(1, txt)], "doc_id long, text string")
+        row = TX.repetition_stats(df).first()
+        assert row["dup_para_frac"] == round(1 - 2 / 3, 4)
+
+    def test_top_2gram_fraction(self, spark):
+        # "ab cd" twice among 4 bigram slots; word chars = 10
+        txt = "ab cd ab cd xy"
+        df = spark.createDataFrame([(1, txt)], "doc_id long, text string")
+        row = TX.repetition_stats(df).first()
+        # top bigram "ab cd": count 2 x 4 chars = 8 of 10 word chars
+        assert row["top_2gram_char_frac"] == 0.8
+        assert "top_2gram_char_frac" in row["fail_reasons"]
+
+    def test_dup_5gram_fraction_zero_when_unique(self, spark):
+        txt = "a b c d e f g h i j"
+        df = spark.createDataFrame([(1, txt)], "doc_id long, text string")
+        row = TX.repetition_stats(df).first()
+        assert row["dup_5gram_char_frac"] == 0.0
+
+    def test_clean_doc_passes_and_filter_keeps_schema(self, spark):
+        # long enough that no single bigram dominates the char mass
+        clean = " ".join(f"word{i} item{i}" for i in range(30))
+        spam = " ".join(["buy now"] * 30)
+        df = spark.createDataFrame(
+            [(1, clean), (2, spam)], "doc_id long, text string"
+        )
+        stats = {r["doc_id"]: r for r in TX.repetition_stats(df).collect()}
+        assert stats[1]["passes"]
+        assert not stats[2]["passes"]
+        kept = TX.repetition_filter(df)
+        assert kept.columns == ["doc_id", "text"]
+        assert [r["doc_id"] for r in kept.collect()] == [1]
+
+    def test_empty_text_is_all_zero(self, spark):
+        df = spark.createDataFrame([(1, "")], "doc_id long, text string")
+        row = TX.repetition_stats(df).first()
+        assert row["dup_line_frac"] == 0.0
+        assert row["top_2gram_char_frac"] == 0.0
+        assert row["passes"]
+
+
+class TestTfIdf:
+    def test_scores_and_ranks(self, spark):
+        import math
+
+        df = spark.createDataFrame(
+            [(1, "apple apple banana"), (2, "banana cherry"), (3, "cherry date")],
+            "doc_id long, text string",
+        )
+        rows = TX.tfidf_top_terms(df, k=2).collect()
+        by_doc = {}
+        for r in rows:
+            by_doc.setdefault(r["doc_id"], []).append(r)
+        # doc 1: apple tf=2 df=1 beats banana tf=1 df=2
+        assert [r["term"] for r in by_doc[1]] == ["apple", "banana"]
+        apple = by_doc[1][0]
+        assert apple["tf"] == 2 and apple["df"] == 1
+        assert apple["tfidf"] == round(2 * (math.log(4 / 2) + 1.0), 6)
+
+    def test_tie_breaks_lexicographically(self, spark):
+        df = spark.createDataFrame(
+            [(1, "zebra apple"), (2, "zebra apple")], "doc_id long, text string"
+        )
+        rows = TX.tfidf_top_terms(df, k=2).collect()
+        for doc in (1, 2):
+            terms = [r["term"] for r in rows if r["doc_id"] == doc]
+            assert terms == ["apple", "zebra"]
+
+
+class TestContamination:
+    def test_planted_overlap_found(self, spark):
+        from knetminer_etl_spark.operators import contamination as CT
+
+        train = spark.createDataFrame(
+            [
+                (1, "alpha beta gamma delta epsilon zeta"),
+                (2, "one two three four five six seven"),
+                (3, "totally different words entirely here now"),
+            ],
+            "doc_id long, text string",
+        )
+        test = spark.createDataFrame(
+            [(100, "xx alpha beta gamma delta yy")], "doc_id long, text string"
+        )
+        out = {r["doc_id"]: r for r in
+               CT.ngram_contamination(train, test, n=4).collect()}
+        assert list(out) == [1]
+        assert out[1]["n_hits"] == 1  # "alpha beta gamma delta"
+        assert out[1]["total_ngrams"] == 3
+        assert out[1]["contamination"] == round(1 / 3, 6)
+
+    def test_decontaminate_drops_flagged(self, spark):
+        from knetminer_etl_spark.operators import contamination as CT
+
+        train = spark.createDataFrame(
+            [(1, "a b c d e"), (2, "p q r s t")], "doc_id long, text string"
+        )
+        test = spark.createDataFrame([(9, "zz a b c d zz")], "doc_id long, text string")
+        kept = CT.decontaminate(train, test, n=4)
+        assert [r["doc_id"] for r in kept.collect()] == [2]
+        assert kept.columns == ["doc_id", "text"]
+
+    def test_short_doc_whole_text_gram(self, spark):
+        from knetminer_etl_spark.operators import contamination as CT
+
+        train = spark.createDataFrame([(1, "tiny doc")], "doc_id long, text string")
+        test = spark.createDataFrame([(9, "tiny doc")], "doc_id long, text string")
+        out = CT.ngram_contamination(train, test, n=8).collect()
+        assert len(out) == 1 and out[0]["n_hits"] == 1
