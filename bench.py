@@ -42,6 +42,9 @@ HEADLINE = [
     "doc_quality_filter",
     "doc_pii_redaction",
     "doc_context_windows",
+    "doc_repetition_stats",
+    "doc_decontamination",
+    "doc_tfidf_terms",
 ]
 
 
