@@ -226,6 +226,57 @@ def k_hop_neighbors(
     return visited
 
 
+def triangle_counts(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """(id, triangles) — number of triangles each node participates in
+    (undirected; parallel edges / self-loops ignored).
+
+    Degree-ordered orientation (the MapReduce-standard trick): orient
+    every undirected edge from the endpoint that is *smaller* in the
+    total order (degree, id) to the larger one. Each triangle then has
+    exactly ONE apex with two outgoing oriented edges, so wedges are
+    enumerated once — and the per-node wedge fan-out is bounded by the
+    oriented out-degree, which is O(sqrt(m)) even for celebrity nodes.
+    On a skewed 100 TB graph the naive adjacency self-join explodes on
+    the hub nodes; orientation caps exactly that term. Shapes: two
+    shuffles (degree agg, wedge join) plus one semi-join against the
+    oriented edge set; no UDFs.
+    """
+    sym = _sym_edges(edges, src, dst)
+    deg = sym.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("deg"))
+    # attach (deg, id) order keys to both endpoints; orient small -> large
+    e = (
+        sym.join(deg.select(F.col("id").alias("src"), F.col("deg").alias("ds")), on="src")
+        .join(deg.select(F.col("id").alias("dst"), F.col("deg").alias("dd")), on="dst")
+        .filter(
+            (F.col("ds") < F.col("dd"))
+            | ((F.col("ds") == F.col("dd")) & (F.col("src") < F.col("dst")))
+        )
+        .select(
+            F.col("src").alias("u"),
+            F.col("dst").alias("v"),
+            F.struct(F.col("dd").alias("d"), F.col("dst").alias("i")).alias("vkey"),
+        )
+    )
+    # wedges at apex u: unordered pairs of oriented out-neighbors
+    e1 = e.select(F.col("u"), F.col("v").alias("a"), F.col("vkey").alias("akey"))
+    e2 = e.select(F.col("u"), F.col("v").alias("b"), F.col("vkey").alias("bkey"))
+    wedges = e1.join(e2, on="u").filter(F.col("akey") < F.col("bkey"))
+    # a triangle = a wedge whose (a, b) pair is itself an oriented edge
+    tri = wedges.join(
+        e.select(F.col("u").alias("a"), F.col("v").alias("b")),
+        on=["a", "b"],
+        how="left_semi",
+    ).select("u", "a", "b")
+    per_node = (
+        tri.select(F.explode(F.array("u", "a", "b")).alias("id"))
+        .groupBy("id")
+        .agg(F.count("*").alias("triangles"))
+    )
+    return per_node
+
+
 def pagerank(
     edges: DataFrame,
     src: str = "src",

@@ -136,6 +136,44 @@ SELECT id, CAST(min(lvl) AS INT) AS min_hops FROM walk GROUP BY id
 """
 
 
+def kg_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-part triangle counts over the part co-order graph (two parts
+    are adjacent when some order contains both). Triangle counting is the
+    clustering-coefficient / community-density primitive; the operator
+    uses degree-ordered orientation so hub parts don't explode the wedge
+    join. Oracle = brute-force 3-way self-join on the u<v edge list."""
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    op = lineitem.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    edges = (
+        op.alias("a")
+        .join(op.alias("b"), on="o")
+        .filter(F.col("a.p") < F.col("b.p"))
+        .select(F.col("a.p").alias("src"), F.col("b.p").alias("dst"))
+        .distinct()
+    )
+    return G.triangle_counts(edges)
+
+
+KG_TRIANGLES_SQL = """
+WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+pe AS (
+  SELECT DISTINCT a.p AS u, b.p AS v
+  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+),
+tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM pe e1
+  JOIN pe e2 ON e2.u = e1.v
+  JOIN pe e3 ON e3.u = e1.u AND e3.v = e2.v
+)
+SELECT id, count(*) AS triangles
+FROM (SELECT unnest([a, b, c]) AS id FROM tri)
+GROUP BY id
+"""
+
+
 def kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the customer/order graph. Oracle-checked: the power
     iteration is deterministic for a fixed iteration count, and at
@@ -202,10 +240,12 @@ QUERIES = {
     "dedup_corpus_clusters": dedup_corpus_clusters,
     "kg_degrees": kg_degrees,
     "kg_2hop": kg_2hop,
+    "kg_triangles": kg_triangles,
     "kg_pagerank": kg_pagerank,
 }
 
 ORACLES = {
+    "kg_triangles": KG_TRIANGLES_SQL,
     "dedup_components": DEDUP_COMPONENTS_SQL,
     "dedup_corpus_clusters": DEDUP_CORPUS_SQL,
     "kg_degrees": KG_DEGREES_SQL,

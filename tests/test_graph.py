@@ -79,3 +79,21 @@ class TestPageRank:
         got = {r["id"]: r["rank"] for r in G.pagerank(e, iterations=5).collect()}
         assert abs(sum(got.values()) - 1.0) < 1e-6
         assert got[0] == max(got.values())
+
+
+class TestTriangles:
+    def test_k4_plus_pendant(self, spark):
+        # K4 on {0,1,2,3}: each node in C(3,2)=3 triangles; then one extra
+        # triangle {3,4,5} hanging off node 3; pendant node 6 in none.
+        k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+        extra = [(3, 4), (4, 5), (3, 5), (5, 6)]
+        e = spark.createDataFrame(k4 + extra, "src long, dst long")
+        got = {r["id"]: r["triangles"] for r in G.triangle_counts(e).collect()}
+        assert got == {0: 3, 1: 3, 2: 3, 3: 4, 4: 1, 5: 1}
+
+    def test_direction_and_duplicates_ignored(self, spark):
+        e = spark.createDataFrame(
+            [(1, 2), (2, 1), (2, 3), (3, 1), (1, 1)], "src long, dst long"
+        )
+        got = {r["id"]: r["triangles"] for r in G.triangle_counts(e).collect()}
+        assert got == {1: 1, 2: 1, 3: 1}
