@@ -124,6 +124,60 @@ def exact_dedup(
     )
 
 
+def segment_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_words: int = 10,
+) -> DataFrame:
+    """Corpus-wide exact *segment* dedup — the CCNet paragraph-hash
+    pattern (ref paragraph dedup has no counterpart in the reference
+    repo; this is the LLM-pipeline extension), with fixed
+    ``chunk_words``-word segments standing in for paragraphs when the
+    corpus has no newline structure.
+
+    Every document is split into consecutive word chunks; only the
+    globally-FIRST occurrence of each distinct segment (ordered by
+    (doc_id, position)) survives, and each document's text is
+    reassembled from its surviving segments. Removes boilerplate
+    repeated across documents, not just whole-document dups.
+
+    Returns ``(doc_id, clean_text, n_segments, n_dropped)``. Documents
+    with no tokens are dropped. Plan: one explode + one window shuffle
+    on the segment text + one groupBy shuffle on the doc id — all
+    JVM-side Column work, deterministic, partitioning-independent.
+    """
+    w = chunk_words
+    toks = (
+        df.select(F.col(id_col), tokens(F.col(text_col)).alias("_t"))
+        .filter(F.size("_t") > 0)
+    )
+    n_seg = F.ceil(F.size("_t") / F.lit(float(w))).cast("int")
+    segs = F.transform(
+        F.sequence(F.lit(1), n_seg),
+        lambda i: F.array_join(F.slice(F.col("_t"), (i - 1) * w + 1, w), " "),
+    )
+    # posexplode_outer: explode() would infer a size>0 filter that gets
+    # pushed below the exchange and re-inlines the chunk expression
+    ex = (
+        toks.select(F.col(id_col), F.posexplode_outer(segs).alias("pos", "seg"))
+        .filter(F.col("seg").isNotNull())
+    )
+    from pyspark.sql.window import Window
+
+    win = Window.partitionBy("seg").orderBy(id_col, "pos")
+    ranked = ex.withColumn("_rn", F.row_number().over(win))
+    kept = F.when(F.col("_rn") == 1, F.struct(F.col("pos"), F.col("seg")))
+    return ranked.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list(kept)), lambda s: s["seg"]),
+            " ",
+        ).alias("clean_text"),
+        F.count("*").alias("n_segments"),
+        (F.count("*") - F.count(kept)).alias("n_dropped"),
+    )
+
+
 def drop_exact_dups(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

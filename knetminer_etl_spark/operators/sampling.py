@@ -133,17 +133,61 @@ def stratified_hash_sample(
     return df.filter(bucket < thresh)
 
 
+def quota_cap(
+    df: DataFrame,
+    group_col: str,
+    k: int,
+    key_col: str,
+    seed: str = "quota",
+) -> DataFrame:
+    """Keep at most ``k`` rows per group (e.g. per-domain document caps —
+    the anti-monoculture step of web-corpus curation), chosen
+    deterministically: priority = 60-bit md5 key hash, so the survivors
+    are a uniform within-group sample, stable across reruns and corpus
+    re-partitioning (a doc that survives today survives tomorrow unless
+    higher-priority docs arrive).
+
+    One shuffle on the group column. A pathologically hot group funnels
+    through one reducer for the window rank; at 100 TB pre-thin hot
+    groups first with :func:`hash_sample` at a fraction ≈ (a few × k) /
+    group_size (the hash-priority semantics compose: uniform thinning
+    keeps the top-k-by-hash set intact with overwhelming probability).
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    from pyspark.sql.window import Window
+
+    pri = md5_hash60(
+        F.concat(F.lit(f"{seed}:"), F.col(key_col).cast("string"))
+    )
+    win = Window.partitionBy(group_col).orderBy(
+        pri.asc(), F.col(key_col).asc()
+    )
+    return (
+        df.withColumn("_qrn", F.row_number().over(win))
+        .filter(F.col("_qrn") <= k)
+        .drop("_qrn")
+    )
+
+
 # ---------------------------------------------------------------------------
 # SQL twins (DuckDB dialect) for oracle construction
 # ---------------------------------------------------------------------------
 
 
-def bucket_sql(key_expr: str, seed: str, n_buckets: int = N_BUCKETS) -> str:
-    """DuckDB expression computing exactly :func:`hash_bucket`."""
+def hash60_sql(key_expr: str, seed: str) -> str:
+    """DuckDB expression computing exactly the seeded 60-bit key hash
+    (:func:`~knetminer_etl_spark.operators.dedup.md5_hash60` of
+    ``seed:key``)."""
     return (
         f"(('0x' || substr(md5('{seed}:' || CAST({key_expr} AS VARCHAR)), 1, 15))"
-        f"::BIGINT % {n_buckets})"
+        f"::BIGINT)"
     )
+
+
+def bucket_sql(key_expr: str, seed: str, n_buckets: int = N_BUCKETS) -> str:
+    """DuckDB expression computing exactly :func:`hash_bucket`."""
+    return f"({hash60_sql(key_expr, seed)} % {n_buckets})"
 
 
 def split_sql(key_expr: str, weights: dict[str, float], seed: str = "split") -> str:

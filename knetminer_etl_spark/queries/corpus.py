@@ -498,8 +498,86 @@ ORDER BY doc_id, rank
 """
 
 
+# ---------------------------------------------------------------------------
+# Segment-level exact dedup (CCNet paragraph-hash pattern)
+# ---------------------------------------------------------------------------
+
+
+def doc_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide 10-word-segment dedup: only the globally-first
+    occurrence of each distinct segment survives; documents are
+    reassembled from surviving segments (drops cross-document
+    boilerplate, not just whole-document duplicates)."""
+    from ..operators import dedup as DD
+
+    return DD.segment_dedup(_docs(spark, sf_dir), chunk_words=10)
+
+
+DOC_SEGMENT_DEDUP_SQL = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM documents
+),
+nz AS (SELECT doc_id, t FROM toks WHERE len(t) > 0),
+segd AS (
+  SELECT doc_id,
+         [array_to_string(t[(i-1)*10+1:i*10], ' ')
+          for i in generate_series(1, CAST(ceil(len(t)/10.0) AS BIGINT))] AS segs
+  FROM nz
+),
+ex AS (
+  SELECT doc_id,
+         unnest(generate_series(1, len(segs))) AS pos,
+         unnest(segs) AS seg
+  FROM segd
+),
+ranked AS (
+  SELECT doc_id, pos, seg,
+         row_number() OVER (PARTITION BY seg ORDER BY doc_id, pos) AS rn
+  FROM ex
+)
+SELECT doc_id,
+       coalesce(string_agg(seg, ' ' ORDER BY pos) FILTER (WHERE rn = 1), '')
+         AS clean_text,
+       count(*) AS n_segments,
+       count(*) - count(*) FILTER (WHERE rn = 1) AS n_dropped
+FROM ranked
+GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Per-source quota cap
+# ---------------------------------------------------------------------------
+
+
+def doc_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At most 15 documents per source (the per-domain cap of web-corpus
+    curation), chosen by deterministic key-hash priority; returns the
+    surviving (doc_id, source) pairs."""
+    capped = SP.quota_cap(
+        _docs(spark, sf_dir), group_col="source", k=15, key_col="doc_id"
+    )
+    return capped.select("doc_id", "source")
+
+
+DOC_SOURCE_QUOTA_SQL = f"""
+WITH ranked AS (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY {SP.hash60_sql("doc_id", "quota")}, doc_id
+         ) AS rn
+  FROM documents
+)
+SELECT doc_id, source FROM ranked WHERE rn <= 15
+"""
+
+
 QUERIES = {
     "doc_split_counts": doc_split_counts,
+    "doc_segment_dedup": doc_segment_dedup,
+    "doc_source_quota": doc_source_quota,
     "doc_stratified_sample": doc_stratified_sample,
     "doc_quality_filter": doc_quality_filter,
     "doc_pii_redaction": doc_pii_redaction,
@@ -511,6 +589,8 @@ QUERIES = {
 
 ORACLES = {
     "doc_split_counts": DOC_SPLIT_COUNTS_SQL,
+    "doc_segment_dedup": DOC_SEGMENT_DEDUP_SQL,
+    "doc_source_quota": DOC_SOURCE_QUOTA_SQL,
     "doc_stratified_sample": DOC_STRATIFIED_SAMPLE_SQL,
     "doc_quality_filter": DOC_QUALITY_FILTER_SQL,
     "doc_pii_redaction": DOC_PII_REDACTION_SQL,

@@ -190,3 +190,44 @@ class TestEmbeddingDups:
         assert not (got - truth)  # exact verify -> no false positives
         recall = len(got & truth) / len(truth)
         assert recall >= 0.95
+
+
+class TestSegmentDedup:
+    def test_cross_doc_boilerplate_removed(self, spark):
+        boiler = "all rights reserved contact us at example dot com now"  # 10 words
+        a = "alpha beta gamma delta epsilon zeta eta theta iota kappa " + boiler
+        b = "one two three four five six seven eight nine ten " + boiler
+        df = spark.createDataFrame(
+            [(1, a), (2, b)], "doc_id long, text string"
+        )
+        got = {r["doc_id"]: r for r in DD.segment_dedup(df, chunk_words=10).collect()}
+        # doc 1 keeps everything (first occurrence of the boilerplate)
+        assert got[1]["clean_text"] == a
+        assert got[1]["n_dropped"] == 0
+        # doc 2 loses the repeated segment but keeps its own words
+        assert got[2]["clean_text"] == "one two three four five six seven eight nine ten"
+        assert got[2]["n_dropped"] == 1
+        assert got[2]["n_segments"] == 2
+
+    def test_within_doc_repeat_kept_once(self, spark):
+        seg = "a b c d e f g h i j"
+        df = spark.createDataFrame(
+            [(7, seg + " " + seg)], "doc_id long, text string"
+        )
+        row = DD.segment_dedup(df, chunk_words=10).collect()[0]
+        assert row["clean_text"] == seg
+        assert row["n_segments"] == 2 and row["n_dropped"] == 1
+
+    def test_short_tail_segment(self, spark):
+        df = spark.createDataFrame(
+            [(1, "one two three four five six seven eight nine ten eleven twelve")],
+            "doc_id long, text string",
+        )
+        row = DD.segment_dedup(df, chunk_words=10).collect()[0]
+        assert row["n_segments"] == 2  # 10-word chunk + 2-word tail
+        assert row["clean_text"].endswith("eleven twelve")
+
+    def test_empty_doc_dropped(self, spark):
+        df = spark.createDataFrame([(1, "   "), (2, "x y z")], "doc_id long, text string")
+        got = DD.segment_dedup(df, chunk_words=10).collect()
+        assert [r["doc_id"] for r in got] == [2]

@@ -61,3 +61,27 @@ def test_bad_args_rejected(ids_df):
         SP.split_column(F.col("id"), {"a": 0.0})
     with pytest.raises(ValueError):
         SP.stratified_hash_sample(ids_df, "id", "grp", {"0": 2.0})
+
+
+class TestQuotaCap:
+    def test_cap_and_determinism(self, spark):
+        rows = [(i, f"g{i % 3}") for i in range(60)]
+        df = spark.createDataFrame(rows, "id long, grp string")
+        a = SP.quota_cap(df, "grp", 5, "id")
+        got = a.groupBy("grp").count().collect()
+        assert {r["grp"]: r["count"] for r in got} == {"g0": 5, "g1": 5, "g2": 5}
+        # deterministic: same survivors on rerun and under repartitioning
+        ids1 = sorted(r["id"] for r in a.collect())
+        ids2 = sorted(
+            r["id"] for r in SP.quota_cap(df.repartition(7), "grp", 5, "id").collect()
+        )
+        assert ids1 == ids2
+
+    def test_under_quota_groups_untouched(self, spark):
+        df = spark.createDataFrame([(1, "a"), (2, "a"), (3, "b")], "id long, grp string")
+        assert SP.quota_cap(df, "grp", 10, "id").count() == 3
+
+    def test_bad_k(self, spark):
+        df = spark.createDataFrame([(1, "a")], "id long, grp string")
+        with pytest.raises(ValueError):
+            SP.quota_cap(df, "grp", 0, "id")
