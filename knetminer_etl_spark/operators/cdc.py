@@ -46,6 +46,63 @@ def latest_by_key(
     return out.select(*df.columns)
 
 
+def scd2(
+    changes: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    order_by: list[str] | None = None,
+    dedup_consecutive: list[str] | None = None,
+) -> DataFrame:
+    """Build a type-2 slowly-changing dimension from a change stream:
+    one validity interval per accepted change, with
+    ``valid_from`` = the change timestamp, ``valid_to`` = the next
+    change's timestamp (NULL while current) and ``is_current``.
+
+    ``order_by`` (default ``[ts_col]``) must order changes totally per
+    key — add a sequence/event id as tiebreak when timestamps can
+    collide; only the winning row per (keys, order tuple) is kept
+    (latest-wins, same rule as :func:`latest_by_key`). With
+    ``dedup_consecutive`` set, a change whose listed attribute values
+    equal the previous accepted row's is collapsed into it (standard
+    SCD2 no-op-change suppression).
+
+    Plan: one combining hash-agg shuffle (collision dedup, map-side
+    combined) + one key-partitioned sort for the window passes — the
+    no-op filter and the lead() share the same Exchange. No driver
+    actions; deterministic, hence oracle-reproducible.
+    """
+    order_by = order_by or [ts_col]
+    from pyspark.sql.window import Window
+
+    win = Window.partitionBy(*keys).orderBy(*[F.col(c) for c in order_by])
+    # defensive latest-wins on colliding order tuples: struct-max over the
+    # payload (same map-side-combining shape as latest_by_key), so results
+    # stay deterministic even when the caller's order is not total
+    payload = [c for c in changes.columns if c not in keys and c not in order_by]
+    if payload:
+        packed = changes.groupBy(*keys, *order_by).agg(
+            F.max(F.struct(*[F.col(c) for c in payload])).alias(_PAY)
+        )
+        deduped = packed.select(
+            *keys, *order_by, *[F.col(f"{_PAY}.{c}").alias(c) for c in payload]
+        ).select(*changes.columns)
+    else:
+        deduped = changes.dropDuplicates(keys + order_by)
+    if dedup_consecutive:
+        # suppress no-op changes: keep the first row per key and any row
+        # where a tracked attribute actually changed
+        changed = F.row_number().over(win) == 1
+        for c in dedup_consecutive:
+            changed = changed | ~F.col(c).eqNullSafe(F.lag(F.col(c)).over(win))
+        deduped = deduped.withColumn("_chg", changed).filter("_chg").drop("_chg")
+    nxt = F.lead(F.col(ts_col)).over(win)
+    return (
+        deduped.withColumn("valid_from", F.col(ts_col))
+        .withColumn("valid_to", nxt)
+        .withColumn("is_current", nxt.isNull())
+    )
+
+
 def merge_upsert(
     base: DataFrame,
     updates: DataFrame,

@@ -700,6 +700,53 @@ ORDER BY user_id, event_type
 """
 
 
+def events_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing dimension of each user's event_type: one
+    validity interval per accepted change, consecutive same-type events
+    suppressed (SCD2 no-op-change rule), ordered by (ts, event_id).
+    See operators/cdc.py:scd2."""
+    from ..operators.cdc import scd2
+
+    e = _events(spark, sf_dir).select("user_id", "ts", "event_id", "event_type")
+    dim = scd2(
+        e,
+        keys=["user_id"],
+        ts_col="ts",
+        order_by=["ts", "event_id"],
+        dedup_consecutive=["event_type"],
+    )
+    return dim.select(
+        "user_id",
+        "event_type",
+        F.col("valid_from").cast("long").alias("valid_from"),
+        F.col("valid_to").cast("long").alias("valid_to"),
+        "is_current",
+    )
+
+
+EVENTS_SCD2_SQL = """
+WITH seq AS (
+  SELECT user_id, ts, event_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+),
+kept AS (
+  SELECT user_id, ts, event_id, event_type FROM seq
+  WHERE prev IS NULL OR event_type <> prev
+),
+iv AS (
+  SELECT user_id, event_type, ts,
+         lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+  FROM kept
+)
+SELECT user_id, event_type,
+       CAST(floor(epoch(ts)) AS BIGINT) AS valid_from,
+       CAST(floor(epoch(nxt)) AS BIGINT) AS valid_to,
+       nxt IS NULL AS is_current
+FROM iv
+"""
+
+
 def events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles of value per event type."""
     e = _events(spark, sf_dir)
@@ -727,6 +774,7 @@ QUERIES = {
     "events_error_window_clicks": events_error_window_clicks,
     "events_value_percentiles": events_value_percentiles,
     "events_latest_compaction": events_latest_compaction,
+    "events_scd2": events_scd2,
     "text_stats": text_stats,
     "token_counts": token_counts,
     "lang_id_counts": lang_id_counts,
@@ -751,6 +799,7 @@ ORACLES = {
     "events_error_window_clicks": EVENTS_RANGE_JOIN_SQL,
     "events_value_percentiles": EVENTS_PERCENTILES_SQL,
     "events_latest_compaction": EVENTS_LATEST_SQL,
+    "events_scd2": EVENTS_SCD2_SQL,
     "text_stats": TEXT_STATS_SQL,
     "token_counts": TOKEN_COUNTS_SQL,
     "lang_id_counts": LANG_ID_SQL,

@@ -62,3 +62,47 @@ def test_merge_upsert_tombstones(spark):
     # k1's tombstone is newest -> dropped; k2's tombstone is older than base -> kept
     assert got == {"k2": "b"}
     assert "deleted" not in out.columns
+
+
+def test_scd2_intervals_and_current(spark):
+    rows = [
+        ("u1", 100, 1, "bronze"),
+        ("u1", 200, 2, "silver"),
+        ("u1", 300, 3, "gold"),
+        ("u2", 150, 4, "bronze"),
+    ]
+    df = spark.createDataFrame(rows, "key string, ts long, seq long, tier string")
+    out = cdc.scd2(df, ["key"], "ts", order_by=["ts", "seq"]).collect()
+    by = {(r["key"], r["ts"]): r for r in out}
+    assert by[("u1", 100)]["valid_to"] == 200 and not by[("u1", 100)]["is_current"]
+    assert by[("u1", 200)]["valid_to"] == 300
+    assert by[("u1", 300)]["valid_to"] is None and by[("u1", 300)]["is_current"]
+    assert by[("u2", 150)]["is_current"]
+
+
+def test_scd2_noop_suppression(spark):
+    rows = [
+        ("u1", 100, 1, "a"),
+        ("u1", 200, 2, "a"),   # no-op: suppressed
+        ("u1", 300, 3, "b"),
+        ("u1", 400, 4, "a"),   # back to a: a real change, kept
+    ]
+    df = spark.createDataFrame(rows, "key string, ts long, seq long, v string")
+    out = sorted(
+        cdc.scd2(df, ["key"], "ts", order_by=["ts", "seq"], dedup_consecutive=["v"]).collect(),
+        key=lambda r: r["ts"],
+    )
+    assert [(r["ts"], r["v"], r["valid_to"]) for r in out] == [
+        (100, "a", 300),  # interval extends over the suppressed row
+        (300, "b", 400),
+        (400, "a", None),
+    ]
+
+
+def test_scd2_collision_latest_wins_deterministic(spark):
+    # two rows with the SAME (key, ts, seq): struct-max picks one winner
+    rows = [("u1", 100, 1, "x"), ("u1", 100, 1, "y")]
+    df = spark.createDataFrame(rows, "key string, ts long, seq long, v string")
+    for _ in range(2):
+        out = cdc.scd2(df, ["key"], "ts", order_by=["ts", "seq"]).collect()
+        assert len(out) == 1 and out[0]["v"] == "y"
