@@ -1,5 +1,7 @@
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from knetminer_etl_spark.streaming import events as EV
@@ -36,3 +38,60 @@ def test_running_totals_converge_to_batch(spark):
     got = {r["user_id"]: (r["n_events"], r["sum_value"], r["max_value"]) for r in final.collect()}
     want = {r["user_id"]: (r["n_events"], r["sum_value"], r["max_value"]) for r in batch.collect()}
     assert got == want
+
+
+def _has_protobuf() -> bool:
+    try:
+        import google.protobuf  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _has_protobuf(),
+    reason="transformWithState's Python driver worker needs protobuf, "
+    "not installed in this container",
+)
+def test_tws_running_totals_match_batch(spark):
+    from knetminer_etl_spark.streaming.stateful import stream_running_totals_tws
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = EV.read_event_stream(
+            spark, f"{SF_DIR}/events*", max_files_per_trigger=1
+        )
+        out = stream_running_totals_tws(stream)
+        EV.run_stream_to_memory(out, "running_totals_tws", output_mode="update")
+        final = spark.sql(
+            """
+            SELECT user_id, n_events, sum_value, max_value FROM (
+              SELECT *, row_number() OVER (PARTITION BY user_id
+                                           ORDER BY n_events DESC) AS rn
+              FROM running_totals_tws
+            ) WHERE rn = 1
+            """
+        )
+        batch = (
+            EV.load_events(spark, f"{SF_DIR}/events.parquet")
+            .groupBy("user_id")
+            .agg(
+                F.count("*").alias("n_events"),
+                F.round(F.sum("value"), 4).alias("sum_value"),
+                F.max("value").alias("max_value"),
+            )
+        )
+        got = {r["user_id"]: (r["n_events"], r["sum_value"], r["max_value"])
+               for r in final.collect()}
+        want = {r["user_id"]: (r["n_events"], r["sum_value"], r["max_value"])
+                for r in batch.collect()}
+        assert got == want
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
