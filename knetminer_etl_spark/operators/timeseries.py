@@ -1,0 +1,148 @@
+"""Time-series regularization: date spines, gap filling (LOCF / linear
+interpolation), and time-weighted averages.
+
+The hypertable-style operations an event pipeline needs before
+resampling or feature extraction: turn an irregular event stream into a
+regular per-key grid, carry observations forward across gaps, and
+average values weighted by how long they were current rather than by
+how often they were sampled.
+
+No counterpart in the reference (its ETL is table-shaped, not
+time-shaped); modeled on the TimescaleDB `time_bucket_gapfill` /
+`locf` / `interpolate` / `time_weight` surface, re-expressed as Spark
+Column arithmetic.
+
+Scale shape (``gap_fill``):
+
+1. bucket + aggregate: ONE shuffle on (keys, bucket), partial
+   aggregation map-side;
+2. per-key assembly: ONE shuffle on keys only — the input is already
+   one bounded row per (key, bucket), and the per-key state
+   (`map<bucket, value>` + bounds) is bounded by the spine length, the
+   same bound the *output* must satisfy per key;
+3. spine explosion (`sequence` + `explode_outer`) and fill are narrow;
+   the LOCF/interp window partitions by the same keys the step-2
+   groupBy hashed on, so Catalyst reuses the partitioning — a local
+   sort, not a third Exchange (asserted in tests/test_timeseries.py).
+
+A spine is per-key (each key's own [min, max] bucket range), which is
+what dashboards and feature matrices want; keys with one observation
+yield a single-cell spine. Empty-input keys cannot appear (no rows, no
+bounds) — matching SQL `generate_series` oracle semantics.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def time_bucket(ts: Column, step_seconds: int) -> Column:
+    """Floor ``ts`` to a ``step_seconds`` grid (timestamp-typed)."""
+    return F.timestamp_seconds(
+        (ts.cast("long") - (ts.cast("long") % F.lit(step_seconds)))
+    )
+
+
+def gap_fill(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    step_seconds: int,
+    agg: str | Column = "sum",
+) -> DataFrame:
+    """Regularize an event stream onto a per-key time grid and fill gaps.
+
+    Aggregates ``value_col`` per (keys, bucket) with ``agg`` — either a
+    function name (sum/avg/max/min/count) or a ready aggregate Column
+    (e.g. ``F.round(F.sum("v"), 6)``, which pins the observation values
+    against summation-order float drift before they feed the
+    interpolation) — explodes each key's [min, max] bucket spine, and
+    returns one row per (keys, bucket) with:
+
+    * ``v`` — the aggregated observation, NULL on gap buckets;
+    * ``v_locf`` — last observation carried forward;
+    * ``v_interp`` — linear interpolation between the neighbouring
+      observations (LOCF at the trailing edge, NULL before the first
+      observation — TimescaleDB `interpolate` semantics).
+    """
+    bucket = time_bucket(F.col(ts_col), step_seconds).alias("bucket")
+    agg_col = getattr(F, agg)(value_col) if isinstance(agg, str) else agg
+    per_bucket = df.groupBy(*keys, bucket).agg(agg_col.alias("v"))
+
+    per_key = per_bucket.groupBy(*keys).agg(
+        F.map_from_entries(F.collect_list(F.struct("bucket", "v"))).alias("_m"),
+        F.min("bucket").alias("_lo"),
+        F.max("bucket").alias("_hi"),
+    )
+    step = F.expr(f"INTERVAL {step_seconds} SECONDS")
+    spine = per_key.select(
+        *keys,
+        F.explode(F.sequence(F.col("_lo"), F.col("_hi"), step)).alias("bucket"),
+        F.col("_m"),
+    ).select(*keys, "bucket", F.element_at("_m", F.col("bucket")).alias("v"))
+
+    w = Window.partitionBy(*keys).orderBy("bucket")
+    back = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    fwd = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    obs_ts = F.when(F.col("v").isNotNull(), F.col("bucket").cast("long"))
+    prev_v = F.last("v", ignorenulls=True).over(back)
+    prev_t = F.last(obs_ts, ignorenulls=True).over(back)
+    next_v = F.first("v", ignorenulls=True).over(fwd)
+    next_t = F.first(obs_ts, ignorenulls=True).over(fwd)
+    t = F.col("bucket").cast("long")
+
+    interp = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(
+            prev_v.isNotNull() & next_v.isNotNull(),
+            prev_v + (next_v - prev_v) * (t - prev_t) / (next_t - prev_t),
+        )
+        .otherwise(prev_v)  # trailing edge: carry forward; leading: NULL
+    )
+    return spine.select(
+        *keys,
+        "bucket",
+        "v",
+        prev_v.alias("v_locf"),
+        interp.alias("v_interp"),
+    )
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    tiebreak_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Duration-weighted mean of ``value_col`` per key group.
+
+    Each observation is weighted by how long it stayed current (the
+    interval to the next observation, last-observation-carried-forward
+    semantics); the final observation of a key carries zero weight, as
+    in TimescaleDB's `time_weight('locf', ...)` over a closed interval.
+    Keys with a single observation (total weight 0) return NULL.
+
+    One window pass (shuffle on keys) + one aggregate that reuses the
+    window's partitioning — the `lead` is computed per key slice, never
+    materializing a self-join.
+
+    ``tiebreak_cols`` pins the order of equal timestamps (ties carry
+    zero weight themselves, but which *neighbour* gets the non-zero
+    interval depends on their order — pass a unique id for
+    deterministic, oracle-reproducible results).
+    """
+    w = Window.partitionBy(*keys).orderBy(ts_col, *tiebreak_cols)
+    t = F.col(ts_col).cast("double")
+    dt = F.lead(t).over(w) - t
+    weighted = df.select(
+        *keys, (F.col(value_col) * dt).alias("_wv"), dt.alias("_dt")
+    )
+    return weighted.groupBy(*keys).agg(
+        (F.sum("_wv") / F.sum("_dt")).alias("twa"),
+        F.sum("_dt").alias("span_seconds"),
+    )

@@ -19,7 +19,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from . import analytics, analytics2, corpus, graph, kg, pipeline
+from . import analytics, analytics2, behavior, corpus, graph, kg, olap, pipeline
 
 _REQUIRED_CONFS = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
@@ -50,6 +50,8 @@ QUERIES = {
         **pipeline.QUERIES,
         **graph.QUERIES,
         **corpus.QUERIES,
+        **behavior.QUERIES,
+        **olap.QUERIES,
     }.items()
 }
 ORACLES = {
@@ -59,4 +61,6 @@ ORACLES = {
     **pipeline.ORACLES,
     **graph.ORACLES,
     **corpus.ORACLES,
+    **behavior.ORACLES,
+    **olap.ORACLES,
 }

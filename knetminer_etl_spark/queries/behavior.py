@@ -1,0 +1,233 @@
+"""Behavioral / time-series queries over ``events``: gap-filled daily
+series, time-weighted averages, ordered funnels, retention cohorts.
+
+All timestamps are emitted as BIGINT epoch seconds (the registry
+convention — both engines stringify them identically), and double
+aggregates are rounded so partial-aggregation summation order cannot
+flip the value hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import funnel as FN
+from ..operators import timeseries as TS
+from ..streaming import events as EV
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return EV.load_events(spark, f"{sf_dir}/events.parquet")
+
+
+# ---------------------------------------------------------------------------
+# Gap-filled daily purchase series (LOCF + linear interpolation)
+# ---------------------------------------------------------------------------
+
+
+def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily purchase value per user on each user's own [first, last]
+    day spine — gap days carry NULL observations, filled by LOCF and by
+    linear interpolation (`operators.timeseries.gap_fill`)."""
+    ev = _events(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    # bucket sums rounded to 6 dp BEFORE interpolation: partial-agg
+    # summation order differs between engines. From there the interp
+    # arithmetic is bit-identical IEEE ops on identical inputs in both
+    # engines, so the outputs are emitted UNROUNDED — a final round()
+    # would reintroduce divergence exactly on the decimal ties the
+    # 6 dp inputs make common (Spark HALF_UP vs DuckDB float rounding
+    # disagree on e.g. 5.21625 → .2163 / .2162).
+    out = TS.gap_fill(
+        ev, ["user_id"], "ts", "value", 86_400, agg=F.round(F.sum("value"), 6)
+    )
+    return out.select(
+        "user_id",
+        F.col("bucket").cast("long").alias("bucket_s"),
+        "v",
+        "v_locf",
+        "v_interp",
+    ).orderBy("user_id", "bucket_s")
+
+
+EVENTS_GAP_FILL_SQL = """
+WITH daily AS (
+  SELECT user_id,
+         CAST(floor(epoch(ts)) AS BIGINT) // 86400 * 86400 AS b,
+         round(sum(value), 6) AS v
+  FROM events
+  WHERE event_type = 'purchase'
+  GROUP BY 1, 2
+),
+bounds AS (SELECT user_id, min(b) AS lo, max(b) AS hi FROM daily GROUP BY 1),
+spine AS (
+  SELECT user_id, unnest(generate_series(lo, hi, 86400)) AS b FROM bounds
+),
+j AS (
+  SELECT s.user_id, s.b, d.v
+  FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.b = d.b
+),
+f AS (
+  SELECT user_id, b, v,
+    last_value(v IGNORE NULLS) OVER (
+      PARTITION BY user_id ORDER BY b
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf,
+    last_value(CASE WHEN v IS NOT NULL THEN b END IGNORE NULLS) OVER (
+      PARTITION BY user_id ORDER BY b
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+    first_value(v IGNORE NULLS) OVER (
+      PARTITION BY user_id ORDER BY b
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+    first_value(CASE WHEN v IS NOT NULL THEN b END IGNORE NULLS) OVER (
+      PARTITION BY user_id ORDER BY b
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+  FROM j
+)
+SELECT user_id, b AS bucket_s,
+       v,
+       locf AS v_locf,
+       CASE WHEN v IS NOT NULL THEN v
+            WHEN locf IS NOT NULL AND nv IS NOT NULL
+                 THEN locf + (nv - locf) * (b - pt) / (nt - pt)
+            ELSE locf END AS v_interp
+FROM f
+ORDER BY user_id, bucket_s
+"""
+
+
+# ---------------------------------------------------------------------------
+# Time-weighted average value per (user, event_type)
+# ---------------------------------------------------------------------------
+
+
+def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duration-weighted mean of `value` per user × event type (LOCF
+    weighting: each observation counts for the interval it was
+    current). Groups with a single observation have zero total weight
+    and yield NULL."""
+    out = TS.time_weighted_avg(
+        _events(spark, sf_dir),
+        ["user_id", "event_type"],
+        "ts",
+        "value",
+        tiebreak_cols=["event_id"],
+    )
+    return out.select(
+        "user_id",
+        "event_type",
+        F.round("twa", 4).alias("twa"),
+        F.round("span_seconds", 4).alias("span_seconds"),
+    ).orderBy("user_id", "event_type")
+
+
+EVENTS_TWA_SQL = """
+WITH d AS (
+  SELECT user_id, event_type, value,
+         lead(epoch(ts)) OVER (
+           PARTITION BY user_id, event_type ORDER BY ts, event_id
+         ) - epoch(ts) AS dt
+  FROM events
+)
+SELECT user_id, event_type,
+       round(sum(value * dt) / sum(dt), 4) AS twa,
+       round(sum(dt), 4) AS span_seconds
+FROM d
+GROUP BY user_id, event_type
+ORDER BY user_id, event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Ordered funnel: signup → view → click → purchase
+# ---------------------------------------------------------------------------
+
+_FUNNEL_STAGES = ["signup", "view", "click", "purchase"]
+
+
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Users reaching each stage of the strictly-ordered funnel
+    (`t_{k+1} = min{ts : type = stage_{k+1}, ts > t_k}`), computed as a
+    per-user sorted-array fold (`operators.funnel`); the oracle
+    replicates the cascade with nested min-joins."""
+    return FN.funnel_counts(
+        _events(spark, sf_dir), "user_id", "ts", "event_type", _FUNNEL_STAGES
+    )
+
+
+EVENTS_FUNNEL_SQL = """
+WITH t1 AS (
+  SELECT user_id, min(ts) AS t FROM events
+  WHERE event_type = 'signup' GROUP BY 1
+),
+t2 AS (
+  SELECT e.user_id, min(e.ts) AS t
+  FROM events e JOIN t1 ON e.user_id = t1.user_id AND e.ts > t1.t
+  WHERE e.event_type = 'view' GROUP BY 1
+),
+t3 AS (
+  SELECT e.user_id, min(e.ts) AS t
+  FROM events e JOIN t2 ON e.user_id = t2.user_id AND e.ts > t2.t
+  WHERE e.event_type = 'click' GROUP BY 1
+),
+t4 AS (
+  SELECT e.user_id, min(e.ts) AS t
+  FROM events e JOIN t3 ON e.user_id = t3.user_id AND e.ts > t3.t
+  WHERE e.event_type = 'purchase' GROUP BY 1
+),
+counts(stage_idx, stage, n_users) AS (
+  SELECT 1, 'signup', (SELECT count(*) FROM t1)
+  UNION ALL SELECT 2, 'view', (SELECT count(*) FROM t2)
+  UNION ALL SELECT 3, 'click', (SELECT count(*) FROM t3)
+  UNION ALL SELECT 4, 'purchase', (SELECT count(*) FROM t4)
+)
+SELECT stage_idx, stage, n_users FROM counts
+WHERE n_users > 0
+ORDER BY stage_idx
+"""
+
+
+# ---------------------------------------------------------------------------
+# Retention cohorts (daily)
+# ---------------------------------------------------------------------------
+
+
+def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention triangle: users grouped by first-activity day, counted
+    per day-offset they returned on (distinct active days per user)."""
+    out = FN.retention_cohorts(_events(spark, sf_dir), "user_id", "ts", 86_400)
+    return out.select(
+        F.col("cohort").cast("long").alias("cohort_s"),
+        "period_offset",
+        "n_users",
+    ).orderBy("cohort_s", "period_offset")
+
+
+EVENTS_RETENTION_SQL = """
+WITH p AS (
+  SELECT DISTINCT user_id,
+         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS p
+  FROM events
+),
+u AS (
+  SELECT user_id, p, min(p) OVER (PARTITION BY user_id) AS cp FROM p
+)
+SELECT cp * 86400 AS cohort_s, p - cp AS period_offset, count(*) AS n_users
+FROM u
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+QUERIES = {
+    "events_gap_fill": events_gap_fill,
+    "events_time_weighted_avg": events_time_weighted_avg,
+    "events_funnel": events_funnel,
+    "events_retention": events_retention,
+}
+
+ORACLES = {
+    "events_gap_fill": EVENTS_GAP_FILL_SQL,
+    "events_time_weighted_avg": EVENTS_TWA_SQL,
+    "events_funnel": EVENTS_FUNNEL_SQL,
+    "events_retention": EVENTS_RETENTION_SQL,
+}

@@ -18,13 +18,15 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-#: on-disk schema: ``ts`` arrives as int64 *nanoseconds* (parquet
-#: TIMESTAMP(NANOS) is unsupported by the Spark vectorized reader; the
-#: session sets ``spark.sql.legacy.parquet.nanosAsLong``)
+#: on-disk schema: parquet TIMESTAMP(NANOS). Spark 4.1+ reads it as
+#: TIMESTAMP_NTZ (micro-truncated); ``_nanos_to_ts`` reinterprets the
+#: NTZ wall-clock in the session timezone (pinned UTC). On ≤4.0 the
+#: batch reader honoured ``spark.sql.legacy.parquet.nanosAsLong``
+#: (int64 nanos) instead — both arrivals are normalized below.
 EVENTS_RAW_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
+        T.StructField("ts", T.TimestampNTZType()),
         T.StructField("user_id", T.LongType()),
         T.StructField("event_type", T.StringType()),
         T.StructField("value", T.DoubleType()),
@@ -34,10 +36,20 @@ EVENTS_RAW_SCHEMA = T.StructType(
 
 
 def _nanos_to_ts(df: DataFrame) -> DataFrame:
-    """int64 nanos → timestamp, exactly (integer division to micros;
-    a double roundtrip would lose precision above 2^53 ns)."""
-    if isinstance(df.schema["ts"].dataType, T.LongType):
+    """Normalize the on-disk ``ts`` to a session-tz TIMESTAMP.
+
+    Parquet TIMESTAMP(NANOS) arrives differently per Spark version:
+    ≤4.0 honours ``spark.sql.legacy.parquet.nanosAsLong`` (int64
+    nanos — converted exactly with integer division; a double roundtrip
+    would lose precision above 2^53 ns), 4.1+ ignores that conf and
+    reads TIMESTAMP_NTZ. The NTZ wall-clock is reinterpreted in the
+    session timezone (pinned UTC by the registry), which reproduces the
+    epoch-nanos semantics bit-for-bit."""
+    dt = df.schema["ts"].dataType
+    if isinstance(dt, T.LongType):
         return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(dt, T.TimestampNTZType):
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -1,0 +1,135 @@
+"""Unit tests for operators/timeseries.py and operators/funnel.py
+(registry-level oracle equivalence is covered by the driver gate)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from knetminer_etl_spark.operators import funnel as FN
+from knetminer_etl_spark.operators import timeseries as TS
+
+
+def _t(minute: int, second: int = 0) -> dt.datetime:
+    return dt.datetime(2024, 1, 1, 0, minute, second)
+
+
+@pytest.fixture()
+def series_df(spark):
+    # key "a": observations in minute-buckets 0, 3 (gap 1-2), value 10 → 40
+    # key "b": single observation (single-cell spine)
+    rows = [
+        ("a", _t(0, 10), 10.0),
+        ("a", _t(0, 40), 2.0),  # same bucket as the first → sum 12
+        ("a", _t(3, 5), 40.0),
+        ("b", _t(2, 0), 7.0),
+    ]
+    return spark.createDataFrame(rows, "k string, ts timestamp, v double")
+
+
+def test_gap_fill_locf_and_interp(series_df):
+    out = TS.gap_fill(series_df, ["k"], "ts", "v", 60, agg="sum")
+    rows = {
+        (r["k"], r["bucket"].minute): (r["v"], r["v_locf"], r["v_interp"])
+        for r in out.collect()
+    }
+    assert len(rows) == 5  # a: minutes 0-3, b: minute 2
+    assert rows[("a", 0)] == (12.0, 12.0, 12.0)
+    # gap minutes: LOCF carries 12.0; interp walks linearly toward 40
+    assert rows[("a", 1)][1] == 12.0
+    assert rows[("a", 1)][2] == pytest.approx(12 + (40 - 12) / 3)
+    assert rows[("a", 2)][2] == pytest.approx(12 + 2 * (40 - 12) / 3)
+    assert rows[("a", 3)] == (40.0, 40.0, 40.0)
+    assert rows[("b", 2)] == (7.0, 7.0, 7.0)
+
+
+def test_gap_fill_leading_gap_is_null_locf_none(spark):
+    # first bucket observed late → no leading rows at all (spine starts
+    # at the key's min bucket); interior gap before any obs impossible.
+    df = spark.createDataFrame(
+        [("x", _t(1), 5.0), ("x", _t(3), 9.0)],
+        "k string, ts timestamp, v double",
+    )
+    out = TS.gap_fill(df, ["k"], "ts", "v", 60).orderBy("bucket").collect()
+    assert [r["bucket"].minute for r in out] == [1, 2, 3]
+    assert out[1]["v"] is None and out[1]["v_locf"] == 5.0
+
+
+def test_gap_fill_reuses_groupby_partitioning(series_df):
+    """The LOCF window must not add a third Exchange: it partitions by
+    the same keys the per-key groupBy hashed on."""
+    out = TS.gap_fill(series_df, ["k"], "ts", "v", 60)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 2
+
+
+def test_time_weighted_avg_matches_hand_calc(spark):
+    # value 10 held 30 s, then 20 held 10 s → twa = (10*30+20*10)/40
+    df = spark.createDataFrame(
+        [
+            ("u", _t(0, 0), 10.0, 1),
+            ("u", _t(0, 30), 20.0, 2),
+            ("u", _t(0, 40), 99.0, 3),  # last obs: zero weight
+            ("solo", _t(0, 0), 5.0, 4),  # single obs → NULL twa
+        ],
+        "k string, ts timestamp, v double, id int",
+    )
+    out = {
+        r["k"]: (r["twa"], r["span_seconds"])
+        for r in TS.time_weighted_avg(
+            df, ["k"], "ts", "v", tiebreak_cols=["id"]
+        ).collect()
+    }
+    assert out["u"][0] == pytest.approx((10 * 30 + 20 * 10) / 40)
+    assert out["u"][1] == pytest.approx(40.0)
+    assert out["solo"] == (None, None)
+
+
+@pytest.fixture()
+def funnel_df(spark):
+    rows = [
+        # u1 completes a->b->c in order
+        (1, _t(0), "a"), (1, _t(1), "b"), (1, _t(2), "c"),
+        # u2: b before a — only reaches depth 1 (a at minute 3, no b after)
+        (2, _t(0), "b"), (2, _t(3), "a"),
+        # u3: a then c (skips b) → depth 1
+        (3, _t(0), "a"), (3, _t(1), "c"),
+        # u4: same-timestamp b does NOT advance (strict >)
+        (4, _t(5), "a"), (4, _t(5), "b"),
+        # u5: never enters
+        (5, _t(0), "c"),
+    ]
+    return spark.createDataFrame(rows, "user bigint, ts timestamp, etype string")
+
+
+def test_funnel_stages_cascade(funnel_df):
+    out = {
+        r["user"]: r["deepest"]
+        for r in FN.funnel_stages(
+            funnel_df, "user", "ts", "etype", ["a", "b", "c"]
+        ).collect()
+    }
+    # u5 has no stage-relevant progress but did emit a stage event type 'c'
+    assert out == {1: 3, 2: 1, 3: 1, 4: 1, 5: 0}
+
+
+def test_funnel_counts_monotone(funnel_df):
+    out = FN.funnel_counts(funnel_df, "user", "ts", "etype", ["a", "b", "c"])
+    rows = [(r["stage_idx"], r["stage"], r["n_users"]) for r in out.collect()]
+    assert rows == [(1, "a", 4), (2, "b", 1), (3, "c", 1)]
+
+
+def test_retention_cohorts_distinct_periods(spark):
+    rows = [
+        (1, _t(0)), (1, _t(1)),                      # two events, same period
+        (1, dt.datetime(2024, 1, 3, 0, 0)),          # returns at offset 2
+        (2, dt.datetime(2024, 1, 3, 5, 0)),          # cohort day 3
+    ]
+    df = spark.createDataFrame(rows, "user bigint, ts timestamp")
+    out = {
+        (r["cohort"].day, r["period_offset"]): r["n_users"]
+        for r in FN.retention_cohorts(df, "user", "ts", 86_400).collect()
+    }
+    assert out == {(1, 0): 1, (1, 2): 1, (3, 0): 1}
