@@ -328,9 +328,10 @@ def assign_clusters(
     centroids: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    return_dist: bool = False,
 ) -> DataFrame:
-    """(id, cluster_id): nearest centroid per vector (squared L2; ties by
-    cluster id).
+    """(id, cluster_id[, d2]): nearest centroid per vector (squared L2;
+    ties by cluster id). ``return_dist`` adds the squared distance.
 
     The centroid relation is tiny (``nlist`` rows), so for moderate
     nlist×dim it is collected and inlined as literal arrays: assignment
@@ -358,9 +359,10 @@ def assign_clusters(
             for r in rows
         ]
         best = F.array_min(F.array(*entries))
-        return v.select(
-            F.col("_id").alias(id_col), best["cid"].alias("cluster_id")
-        )
+        cols = [F.col("_id").alias(id_col), best["cid"].alias("cluster_id")]
+        if return_dist:
+            cols.append(best["d2"].alias("d2"))
+        return v.select(*cols)
 
     c = centroids.select(F.col("cluster_id"), F.col("centroid").alias("_c"))
     scored = v.crossJoin(F.broadcast(c)).select(
@@ -370,10 +372,13 @@ def assign_clusters(
             F.col("cluster_id").alias("cid"),
         ).alias("_dc"),
     )
+    out_cols = [F.col("_id").alias(id_col), F.col("_best.cid").alias("cluster_id")]
+    if return_dist:
+        out_cols.append(F.col("_best.d2").alias("d2"))
     return (
         scored.groupBy("_id")
         .agg(F.min("_dc").alias("_best"))
-        .select(F.col("_id").alias(id_col), F.col("_best.cid").alias("cluster_id"))
+        .select(*out_cols)
     )
 
 

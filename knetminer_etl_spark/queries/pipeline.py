@@ -363,22 +363,19 @@ def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivf_sql(nlist: int = 8, nprobe: int = 2, iterations: int = 3, k: int = 5) -> str:
-    """DuckDB twin of operators.similarity.ivf_topk: Lloyd iterations
-    unrolled as chained CTEs (same shape as the PageRank oracle)."""
+def _km_d2_sql(vec: str, cent: str) -> str:
+    """Squared-L2 list fold (sequential — matches the Spark fold order)."""
+    return (
+        f"list_reduce([({vec}[i] - {cent}[i]) * ({vec}[i] - {cent}[i])"
+        f" for i in generate_series(1, len({vec}))], (x, y) -> x + y)"
+    )
 
-    def d2(vec: str, cent: str) -> str:
-        return (
-            f"list_reduce([({vec}[i] - {cent}[i]) * ({vec}[i] - {cent}[i])"
-            f" for i in generate_series(1, len({vec}))], (x, y) -> x + y)"
-        )
 
-    def dot(a: str, b: str) -> str:
-        return (
-            f"list_reduce([{a}[i] * {b}[i]"
-            f" for i in generate_series(1, len({a}))], (x, y) -> x + y)"
-        )
-
+def kmeans_ctes(nlist: int, iterations: int) -> str:
+    """DuckDB twin of operators.similarity.kmeans_fit as a WITH-prefix:
+    md5-ordered init + ``iterations`` unrolled Lloyd rounds, ending in
+    centroid CTE ``c{iterations}`` over vector CTE ``v``. Shared by the
+    IVF top-k oracle and the k-means profile oracle."""
     parts = [
         f"""WITH v AS (
   SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb FROM embeddings
@@ -397,7 +394,7 @@ a{t} AS (
   SELECT vec_id, emb, cid FROM (
     SELECT v.vec_id, v.emb, c.cid,
            row_number() OVER (PARTITION BY v.vec_id
-                              ORDER BY {d2('v.emb', 'c.cv')}, c.cid) AS rn
+                              ORDER BY {_km_d2_sql('v.emb', 'c.cv')}, c.cid) AS rn
     FROM v CROSS JOIN c{t - 1} c) WHERE rn = 1
 ),
 m{t} AS (
@@ -414,6 +411,22 @@ c{t} AS (
   FROM c{t - 1} c LEFT JOIN m{t} m USING (cid)
 )"""
         )
+    return "".join(parts)
+
+
+def _ivf_sql(nlist: int = 8, nprobe: int = 2, iterations: int = 3, k: int = 5) -> str:
+    """DuckDB twin of operators.similarity.ivf_topk: Lloyd iterations
+    unrolled as chained CTEs (same shape as the PageRank oracle)."""
+
+    d2 = _km_d2_sql
+
+    def dot(a: str, b: str) -> str:
+        return (
+            f"list_reduce([{a}[i] * {b}[i]"
+            f" for i in generate_series(1, len({a}))], (x, y) -> x + y)"
+        )
+
+    parts = [kmeans_ctes(nlist, iterations)]
     cf = f"c{iterations}"
     parts.append(
         f""",
