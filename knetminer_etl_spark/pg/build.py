@@ -181,6 +181,72 @@ def _agg_two_level(triples: DataFrame) -> DataFrame:
     )
 
 
+def triples_to_pg_flat(triples: DataFrame) -> DataFrame:
+    """Flattened (export-shaped) PG build: same semantics as
+    :func:`triples_to_pg` but emitting deterministic *strings* instead of
+    array/map columns — ``labels_str`` is the sorted ``|``-joined label
+    set and ``props_str`` is ``key=[v1,v2];key2=[...]`` with keys and
+    values sorted. This is the shape JSONL export and oracle comparison
+    need, produced without the nested higher-order-function map assembly
+    of the map-typed build (whose per-row interpreted lambdas dominate
+    runtime: ~3x slower end-to-end at sf0.1).
+
+    Scale design: two aggregation levels — (id, key) then (id) — after a
+    SINGLE hash exchange on ``id``: ``HashPartitioning(id)`` satisfies the
+    clustered distribution required by ``groupBy(id, key)``, so Catalyst
+    plans both aggregations over one shuffle. The (id, key) level also
+    bounds reducer state for skewed elements (the property values of one
+    hot id collapse to one row per key before the per-id fold), giving
+    the two-level skew safety of :func:`_agg_two_level` without its
+    second exchange.
+    """
+    k = F.col("key")
+    is_prop = ~k.isin(*SPECIAL_KEYS)
+    lvl1 = (
+        triples.repartition("id")
+        .groupBy("id", "key")
+        .agg(F.array_sort(F.collect_set("value")).alias("_vals"))
+    )
+    agg = lvl1.groupBy("id").agg(
+        F.coalesce(
+            F.max(F.when(k == TYPE_KEY, F.array_join("_vals", "|"))), F.lit("")
+        ).alias("labels_str"),
+        # element_at(-1) of the sorted set == max(value): matches both the
+        # map-typed build's max() endpoint rule and the SQL oracle
+        F.max(F.when(k == FROM_KEY, F.element_at("_vals", -1))).alias("from_id"),
+        F.max(F.when(k == TO_KEY, F.element_at("_vals", -1))).alias("to_id"),
+        F.coalesce(
+            F.array_join(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            is_prop,
+                            F.concat(
+                                k,
+                                F.lit("=["),
+                                F.array_join("_vals", ","),
+                                F.lit("]"),
+                            ),
+                        )
+                    )
+                ),
+                ";",
+            ),
+            F.lit(""),
+        ).alias("props_str"),
+    )
+    return agg.select(
+        "id",
+        F.when(F.col("from_id").isNotNull(), F.lit(str(PGElementType.EDGE)))
+        .otherwise(F.lit(str(PGElementType.NODE)))
+        .alias("type"),
+        "labels_str",
+        "from_id",
+        "to_id",
+        "props_str",
+    )
+
+
 def dangling_edges(pg: DataFrame) -> DataFrame:
     """Edges whose ``from``/``to`` reference no node id — the in-engine
     equivalent of the loader's endpoint check (reference

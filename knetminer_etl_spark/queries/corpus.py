@@ -54,7 +54,8 @@ def doc_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 DOC_SPLIT_COUNTS_SQL = f"""
-SELECT split, source, count(*) AS n_docs, sum(n_chars) AS total_chars
+SELECT split, source, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
 FROM (
   SELECT {SP.split_sql("doc_id", _SPLIT_WEIGHTS, _SPLIT_SEED)} AS split, source, n_chars
   FROM documents

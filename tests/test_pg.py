@@ -110,6 +110,61 @@ class TestPGBuild:
         assert len(pg["HOT"]["properties"]["k0"]) == 100
         assert pg["N1"]["properties"]["p"] == ["x"]
 
+    def test_flat_build_equals_flattened_map_build(self, spark, triples):
+        """The export-shaped flat build must agree exactly with flattening
+        the map-typed build, including label-less elements, multi-valued
+        properties, and NULL values."""
+        from pyspark.sql import functions as F
+        from pyspark.testing import assertDataFrameEqual
+
+        from knetminer_etl_spark.pg.build import triples_to_pg_flat
+
+        extra = spark.createDataFrame(
+            [
+                ("N3", "p", "a"),  # element with no @type at all
+                ("N3", "p", None),
+                ("N3", "q", "b"),
+            ],
+            "id string, key string, value string",
+        )
+        tr = triples.unionByName(extra)
+
+        pg = triples_to_pg(tr)
+        pkeys = F.array_sort(F.map_keys("properties"))
+        props_str = F.array_join(
+            F.transform(
+                pkeys,
+                lambda k: F.concat(
+                    k,
+                    F.lit("=["),
+                    F.array_join(F.col("properties")[k], ","),
+                    F.lit("]"),
+                ),
+            ),
+            ";",
+        )
+        want = pg.select(
+            "id",
+            "type",
+            F.array_join("labels", "|").alias("labels_str"),
+            F.col("from").alias("from_id"),
+            F.col("to").alias("to_id"),
+            props_str.alias("props_str"),
+        ).orderBy("id")
+        got = triples_to_pg_flat(tr).orderBy("id")
+        assertDataFrameEqual(got, want)
+
+    def test_flat_build_single_exchange(self, spark, triples):
+        from knetminer_etl_spark.pg.build import triples_to_pg_flat
+
+        plan = (
+            triples_to_pg_flat(triples)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert plan.count("Exchange") == 1  # both agg levels over one shuffle
+
     def test_validate_missing_endpoint_raises(self, spark):
         bad = spark.createDataFrame(
             [("E9", "@type", "rel"), ("E9", "@from", "N1")],
