@@ -110,7 +110,11 @@ def retention_cohorts(
     (cohort, offset) aggregate. Per-user state = that user's distinct
     activity periods, bounded by the observation span / bucket size.
     """
-    period = (F.col(ts_col).cast("long") / F.lit(bucket_seconds)).cast("long")
+    # floor division, not cast-truncation: negative (pre-1970) epochs must
+    # round down to match SQL floor(epoch / step) oracle semantics
+    period = F.floor(F.col(ts_col).cast("long") / F.lit(bucket_seconds)).cast(
+        "long"
+    )
     per_user = df.select(F.col(user_col).alias("user"), period.alias("p")).groupBy(
         "user"
     ).agg(F.min("p").alias("cohort_p"), F.collect_set("p").alias("ps"))

@@ -31,7 +31,10 @@ def sq_train(
     """Per-dimension (mins, maxes) over the corpus — the quantizer
     parameters. One aggregate job; partial min/max combine map-side so
     the shuffle carries 2×dim values per partition."""
-    dim = len(corpus.select(vec_col).first()[0])
+    head = corpus.select(vec_col).filter(F.col(vec_col).isNotNull()).first()
+    if head is None:
+        raise ValueError("sq_train: empty corpus (no non-NULL vectors)")
+    dim = len(head[0])
     v = corpus.select(_dvec(F.col(vec_col)).alias("_v"))
     row = v.agg(
         *[F.min(F.col("_v")[i]).alias(f"mn{i}") for i in range(dim)],

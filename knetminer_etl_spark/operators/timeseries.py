@@ -40,9 +40,15 @@ from pyspark.sql import functions as F
 
 
 def time_bucket(ts: Column, step_seconds: int) -> Column:
-    """Floor ``ts`` to a ``step_seconds`` grid (timestamp-typed)."""
+    """Floor ``ts`` to a ``step_seconds`` grid (timestamp-typed).
+
+    Floor *division* (not ``%``, which truncates toward zero): pre-1970
+    timestamps have negative epochs, where remainder-based flooring
+    rounds up instead of down and diverges from SQL ``time_bucket`` /
+    ``to_timestamp(floor(epoch / step) * step)`` oracles."""
     return F.timestamp_seconds(
-        (ts.cast("long") - (ts.cast("long") % F.lit(step_seconds)))
+        F.floor(ts.cast("long") / F.lit(step_seconds)).cast("long")
+        * F.lit(step_seconds)
     )
 
 

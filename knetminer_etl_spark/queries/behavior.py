@@ -112,11 +112,18 @@ def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         tiebreak_cols=["event_id"],
     )
+    # explicit floor(x*1e4 + 0.5)/1e4 instead of round(): both engines run
+    # the IDENTICAL double arithmetic, so decimal-tie handling cannot
+    # diverge (Spark round is decimal HALF_UP, DuckDB rounds the float) —
+    # the hash-fragility flagged for this query in round-2 advice
+    def _r4(c):
+        return F.floor(F.col(c) * 1e4 + F.lit(0.5)) / 1e4
+
     return out.select(
         "user_id",
         "event_type",
-        F.round("twa", 4).alias("twa"),
-        F.round("span_seconds", 4).alias("span_seconds"),
+        _r4("twa").alias("twa"),
+        _r4("span_seconds").alias("span_seconds"),
     ).orderBy("user_id", "event_type")
 
 
@@ -129,8 +136,8 @@ WITH d AS (
   FROM events
 )
 SELECT user_id, event_type,
-       round(sum(value * dt) / sum(dt), 4) AS twa,
-       round(sum(dt), 4) AS span_seconds
+       floor(sum(value * dt) / sum(dt) * 1e4 + 0.5) / 1e4 AS twa,
+       floor(sum(dt) * 1e4 + 0.5) / 1e4 AS span_seconds
 FROM d
 GROUP BY user_id, event_type
 ORDER BY user_id, event_type

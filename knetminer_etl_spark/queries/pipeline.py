@@ -324,6 +324,64 @@ WHERE round({_DOT.format(a='a.embedding', b='b.embedding')}
 """
 
 
+def embedding_sq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k cosine against the int8 scalar-quantized corpus (queries
+    full-precision — asymmetric distance). Every step is deterministic
+    double arithmetic (min/max train, ``floor(x+0.5)`` encode,
+    ``mn + code*scale`` decode), so the oracle reproduces the quantized
+    scores bit-for-bit, not just approximately
+    (operators/quantize.py)."""
+    from ..operators import quantize as SQ
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return SQ.sq_topk(emb, emb.filter("vec_id < 20"), k=5, bits=8)
+
+
+EMBEDDING_SQ_TOPK_SQL = f"""
+WITH c AS (SELECT vec_id, embedding AS e FROM embeddings),
+dims AS (
+  SELECT unnest(generate_series(1,
+           (SELECT len(embedding) FROM embeddings LIMIT 1))) AS i
+),
+stats AS (
+  SELECT i, min(e[i]::DOUBLE) AS mn, max(e[i]::DOUBLE) AS mx
+  FROM c CROSS JOIN dims GROUP BY i
+),
+params AS (
+  SELECT list(mn ORDER BY i) AS mns,
+         list((mx - mn) / 255 ORDER BY i) AS scs
+  FROM stats
+),
+recon AS (
+  SELECT vec_id AS neighbor_id,
+         [CASE WHEN scs[i] = 0 THEN mns[i]
+               ELSE mns[i] + least(greatest(
+                      floor((e[i]::DOUBLE - mns[i]) / scs[i] + 0.5), 0), 255)
+                    * scs[i] END
+          for i in generate_series(1, len(e))] AS cv
+  FROM c CROSS JOIN params
+),
+q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+      WHERE vec_id < 20),
+scored AS (
+  SELECT query_id, neighbor_id,
+         round({_DOT.format(a='qv', b='cv')}
+               / (sqrt({_DOT.format(a='qv', b='qv')})
+                  * sqrt({_DOT.format(a='cv', b='cv')})), 6) AS cosine
+  FROM recon CROSS JOIN q
+  WHERE neighbor_id <> query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 5
+"""
+
+
 def embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucketed ANN top-k, oracle-checked end to end: with md5-derived
     plane coefficients the bucketing itself is SQL-reproducible, so the
@@ -798,6 +856,7 @@ QUERIES = {
     "simhash_pairs": simhash_pairs,
     "embedding_topk": embedding_topk,
     "embedding_dup_pairs": embedding_dup_pairs,
+    "embedding_sq_topk": embedding_sq_topk,
     "embedding_lsh_topk": embedding_lsh_topk,
     "embedding_ivf_topk": embedding_ivf_topk,
     "events_tumbling_5m": events_tumbling_5m,
@@ -823,6 +882,7 @@ ORACLES = {
     "simhash_pairs": SIMHASH_SQL,
     "embedding_topk": EMBEDDING_TOPK_SQL,
     "embedding_dup_pairs": EMBEDDING_DUP_SQL,
+    "embedding_sq_topk": EMBEDDING_SQ_TOPK_SQL,
     "embedding_lsh_topk": EMBEDDING_LSH_TOPK_SQL,
     "embedding_ivf_topk": EMBEDDING_IVF_TOPK_SQL,
     "events_tumbling_5m": EVENTS_TUMBLING_SQL,

@@ -133,3 +133,35 @@ def test_retention_cohorts_distinct_periods(spark):
         for r in FN.retention_cohorts(df, "user", "ts", 86_400).collect()
     }
     assert out == {(1, 0): 1, (1, 2): 1, (3, 0): 1}
+
+
+def test_time_bucket_floors_negative_epochs(spark):
+    """Pre-1970 timestamps must floor DOWN to the grid (floor division),
+    not truncate toward zero as `%`/cast do."""
+    rows = [
+        (dt.datetime(1969, 12, 31, 23, 59, 30),),  # epoch -30
+        (dt.datetime(1970, 1, 1, 0, 0, 30),),      # epoch +30
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp")
+    got = df.select(
+        TS.time_bucket(F.col("ts"), 60).cast("long").alias("b")
+    ).collect()
+    assert [r["b"] for r in got] == [-60, 0]
+
+
+def test_retention_cohorts_negative_epoch_periods(spark):
+    """Cohort periods for pre-1970 activity use floor division too: an
+    event 30s before the epoch belongs to period -1, not period 0."""
+    rows = [
+        (1, dt.datetime(1969, 12, 31, 23, 59, 30)),
+        (1, dt.datetime(1970, 1, 1, 0, 0, 30)),
+    ]
+    df = spark.createDataFrame(rows, "user bigint, ts timestamp")
+    out = {
+        (r["cohort"], r["period_offset"]): r["n_users"]
+        for r in FN.retention_cohorts(df, "user", "ts", 60).collect()
+    }
+    assert {(c.year, c.month, c.day, c.hour, c.minute, off) for (c, off) in out} == {
+        (1969, 12, 31, 23, 59, 0),
+        (1969, 12, 31, 23, 59, 1),
+    }
