@@ -48,6 +48,57 @@ HEADLINE = [
 ]
 
 
+_TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings".split()
+)
+
+
+def measure_duckdb_baseline(
+    sf_dir: str, names: list[str], n_timed: int = 2
+) -> dict | None:
+    """Time each headline query's oracle SQL in DuckDB on THIS machine,
+    right now (warm run + best-of-N). Measuring the baseline in the same
+    process/run as the Spark timings keeps the vs_baseline ratio
+    meaningful on a loaded shared host — a baseline recorded on an idle
+    machine makes every ratio look worse by the load factor."""
+    try:
+        import duckdb
+    except ImportError:
+        return None
+    import __spark_entry__ as entry
+
+    oracles = entry.oracle_sql()
+    con = duckdb.connect()
+    con.execute(f"SET threads TO {os.cpu_count() or 8}")
+    for t in _TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    timings: dict[str, float] = {}
+    for name in names:
+        sql = oracles.get(name)
+        if sql is None:
+            continue
+        try:
+            con.execute(sql).fetchall()  # warm (buffer pool, plan cache)
+            best = float("inf")
+            for _ in range(n_timed):
+                t0 = time.perf_counter()
+                con.execute(sql).fetchall()
+                best = min(best, time.perf_counter() - t0)
+            timings[name] = round(best, 3)
+        except Exception as exc:  # noqa: BLE001 — skip, don't kill the bench
+            print(f"baseline {name} failed: {exc}", file=sys.stderr)
+    if not timings:
+        return None
+    return {
+        "engine": f"duckdb {duckdb.__version__} (live)",
+        "queries": timings,
+        "total": round(sum(timings.values()), 3),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
@@ -117,24 +168,30 @@ def main() -> None:
         "sf": sf_val,
     }
 
-    # per-query ratio vs the recorded DuckDB single-node baseline
-    # (tools/measure_baseline.py writes BASELINE_DUCKDB.json; ratios are
-    # only emitted when the baseline was measured at the same sf)
-    base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                             "BASELINE_DUCKDB.json")
-    if os.path.exists(base_path):
-        with open(base_path) as fh:
-            base = json.load(fh)
-        if base.get("sf") == sf_val:
-            ratios = {
-                n: round(timings[n] / base["queries"][n], 2)
-                for n in timings
-                if base["queries"].get(n)
-            }
-            out["vs_baseline"] = ratios
-            out["baseline_engine"] = base.get("engine")
-            out["baseline_total"] = base.get("total")
-            out["vs_baseline_total"] = round(total / base["total"], 3)
+    # per-query ratio vs the DuckDB single-node baseline, measured LIVE on
+    # this machine in the same run (so host load cancels out of the ratio);
+    # falls back to the recorded BASELINE_DUCKDB.json when unavailable
+    base = None
+    if os.environ.get("SPARK_GRAFT_LIVE_BASELINE", "1") != "0":
+        base = measure_duckdb_baseline(sf_dir, HEADLINE)
+    if base is None:
+        base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 "BASELINE_DUCKDB.json")
+        if os.path.exists(base_path):
+            with open(base_path) as fh:
+                recorded = json.load(fh)
+            if recorded.get("sf") == sf_val:
+                base = recorded
+    if base:
+        ratios = {
+            n: round(timings[n] / base["queries"][n], 2)
+            for n in timings
+            if base["queries"].get(n)
+        }
+        out["vs_baseline"] = ratios
+        out["baseline_engine"] = base.get("engine")
+        out["baseline_total"] = base.get("total")
+        out["vs_baseline_total"] = round(total / base["total"], 3)
 
     print(json.dumps(out))
 

@@ -500,3 +500,50 @@ def char_shingles(col: Column, k: int = 5) -> Column:
     return F.when(n < k, F.array(s)).otherwise(
         F.array_distinct(F.transform(idx, lambda i: F.substring(s, i, F.lit(k))))
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 128,
+    stride: int = 96,
+) -> DataFrame:
+    """Overlapping token-window chunks per document (the RAG / context-
+    chunking step): chunk ``i`` covers whitespace tokens
+    ``[i*stride, i*stride + window)``; the final chunk may be shorter
+    (tail kept, standard chunker behavior). Empty documents yield no
+    chunks.
+
+    Output: ``(id_col, chunk_idx, n_tokens, chunk_text)``.
+
+    Scale shape: a NARROW map — tokenization, start-index generation and
+    slicing are per-row Column expressions (no shuffle, no UDF); chunking
+    100 TB runs at scan speed and parallelism follows the input splits.
+    Tokens are staged through a materialized column so the tokenizer runs
+    once per row, not once per expression reference.
+    """
+    if stride <= 0 or window <= 0:
+        raise ValueError("window and stride must be positive")
+    n = F.size("_tok")
+    # last chunk start index: 0 for n<=window, else ceil((n-window)/stride)
+    m = F.when(n <= window, F.lit(0)).otherwise(
+        F.ceil((n - F.lit(window)) / F.lit(stride)).cast("int")
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), m),
+        lambda i: F.slice(F.col("_tok"), i * stride + 1, window),
+    )
+    return (
+        df.select(F.col(id_col), tokens(F.col(text_col)).alias("_tok"))
+        .filter(F.size("_tok") > 0)
+        .select(
+            id_col, F.posexplode(chunks).alias("chunk_idx", "_chunk")
+        )
+        .select(
+            id_col,
+            "chunk_idx",
+            F.size("_chunk").alias("n_tokens"),
+            F.concat_ws(" ", "_chunk").alias("chunk_text"),
+        )
+    )

@@ -575,8 +575,62 @@ SELECT doc_id, source FROM ranked WHERE rn <= 15
 """
 
 
+# ---------------------------------------------------------------------------
+# RAG-style overlapping chunking
+# ---------------------------------------------------------------------------
+
+_CHUNK_W, _CHUNK_S = 32, 24
+
+
+def doc_rag_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunks (window 32, stride 24) per
+    document — the retrieval/context-chunking step of a RAG corpus build
+    (operators/text.py:chunk_documents). Chunk text is md5'd so the
+    result stays compact while still pinning exact content."""
+    out = TX.chunk_documents(
+        _docs(spark, sf_dir).select("doc_id", "text"),
+        window=_CHUNK_W,
+        stride=_CHUNK_S,
+    )
+    return out.select(
+        "doc_id",
+        "chunk_idx",
+        "n_tokens",
+        F.md5("chunk_text").alias("chunk_md5"),
+    ).orderBy("doc_id", "chunk_idx")
+
+
+DOC_RAG_CHUNKS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS t
+  FROM documents
+), nz AS (
+  SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0
+), starts AS (
+  SELECT doc_id, t, n,
+         unnest(generate_series(0,
+           CASE WHEN n <= {_CHUNK_W} THEN 0
+                ELSE CAST(ceil((n - {_CHUNK_W}) / {_CHUNK_S}.0) AS INT)
+           END)) AS chunk_idx
+  FROM nz
+), ch AS (
+  SELECT doc_id, chunk_idx,
+         t[chunk_idx * {_CHUNK_S} + 1 :
+           least(chunk_idx * {_CHUNK_S} + {_CHUNK_W}, n)] AS c
+  FROM starts
+)
+SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+       CAST(len(c) AS INT) AS n_tokens,
+       md5(array_to_string(c, ' ')) AS chunk_md5
+FROM ch
+ORDER BY doc_id, chunk_idx
+"""
+
+
 QUERIES = {
     "doc_split_counts": doc_split_counts,
+    "doc_rag_chunks": doc_rag_chunks,
     "doc_segment_dedup": doc_segment_dedup,
     "doc_source_quota": doc_source_quota,
     "doc_stratified_sample": doc_stratified_sample,
@@ -590,6 +644,7 @@ QUERIES = {
 
 ORACLES = {
     "doc_split_counts": DOC_SPLIT_COUNTS_SQL,
+    "doc_rag_chunks": DOC_RAG_CHUNKS_SQL,
     "doc_segment_dedup": DOC_SEGMENT_DEDUP_SQL,
     "doc_source_quota": DOC_SOURCE_QUOTA_SQL,
     "doc_stratified_sample": DOC_STRATIFIED_SAMPLE_SQL,

@@ -262,3 +262,61 @@ class TestContamination:
         test = spark.createDataFrame([(9, "tiny doc")], "doc_id long, text string")
         out = CT.ngram_contamination(train, test, n=8).collect()
         assert len(out) == 1 and out[0]["n_hits"] == 1
+
+
+class TestChunkDocuments:
+    def _df(self, spark, text):
+        return spark.createDataFrame([(1, text)], "doc_id int, text string")
+
+    def test_window_stride_boundaries(self, spark):
+        from knetminer_etl_spark.operators.text import chunk_documents
+
+        text = " ".join(f"t{i}" for i in range(11))  # 11 tokens
+        got = chunk_documents(
+            self._df(spark, text), window=4, stride=3
+        ).collect()
+        # starts 0,3,6,9 -> last chunk is the 2-token tail
+        assert [(r["chunk_idx"], r["n_tokens"], r["chunk_text"]) for r in got] == [
+            (0, 4, "t0 t1 t2 t3"),
+            (1, 4, "t3 t4 t5 t6"),
+            (2, 4, "t6 t7 t8 t9"),
+            (3, 2, "t9 t10"),
+        ]
+
+    def test_short_doc_single_chunk(self, spark):
+        from knetminer_etl_spark.operators.text import chunk_documents
+
+        got = chunk_documents(
+            self._df(spark, "a b c"), window=10, stride=5
+        ).collect()
+        assert [(r["chunk_idx"], r["n_tokens"], r["chunk_text"]) for r in got] == [
+            (0, 3, "a b c")
+        ]
+
+    def test_empty_doc_yields_no_chunks(self, spark):
+        from knetminer_etl_spark.operators.text import chunk_documents
+
+        assert (
+            chunk_documents(self._df(spark, "   "), window=4, stride=3).count()
+            == 0
+        )
+
+    def test_chunking_is_a_narrow_map(self, spark):
+        """No Exchange in the plan — chunking must run at scan speed."""
+        from knetminer_etl_spark.operators.text import chunk_documents
+
+        plan = (
+            chunk_documents(self._df(spark, "a b c"), window=2, stride=1)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in plan
+
+    def test_invalid_params_raise(self, spark):
+        from knetminer_etl_spark.operators.text import chunk_documents
+
+        with pytest.raises(ValueError):
+            chunk_documents(self._df(spark, "a"), window=0, stride=1)
+        with pytest.raises(ValueError):
+            chunk_documents(self._df(spark, "a"), window=4, stride=0)
