@@ -113,6 +113,12 @@ def main() -> None:
             "spark.sql.shuffle.partitions": cpus,
             "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
             "spark.ui.enabled": "false",
+            # reclaim dead localCheckpoint/shuffle blocks between queries:
+            # the ContextCleaner only runs on JVM GC, and with a 48g heap
+            # organic GCs are rare enough that blocks from earlier queries
+            # linger into later measurements (observed 2-3x swings on the
+            # checkpoint-heavy dedup queries)
+            "spark.cleaner.periodicGC.interval": "45s",
         },
     )
     spark.sparkContext.setLogLevel("ERROR")
@@ -134,7 +140,9 @@ def main() -> None:
     n_warm = int(os.environ.get("SPARK_GRAFT_WARMUPS", "2"))
     # best-of-N timed runs: single-shot numbers on a shared host wander
     # 2-5x from CPU contention/GC; the minimum is the reproducible figure
-    n_timed = int(os.environ.get("SPARK_GRAFT_TIMED_RUNS", "2"))
+    # (3 runs: with 2, one GC pause during either run poisons the min —
+    # observed 3x overstatement on the self-join-heavy dedup queries)
+    n_timed = int(os.environ.get("SPARK_GRAFT_TIMED_RUNS", "3"))
 
     timings: dict[str, float] = {}
     warmup_sec = 0.0
@@ -145,8 +153,11 @@ def main() -> None:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             warmup_sec += time.perf_counter() - t0
         # release dropped DataFrames so the ContextCleaner unpersists
-        # accumulated localCheckpoint blocks between measurements
+        # accumulated localCheckpoint blocks between measurements; the JVM
+        # System.gc() makes the cleaner's weak references fire NOW rather
+        # than at the next organic collection mid-measurement
         gc.collect()
+        spark._jvm.System.gc()
         best = float("inf")
         for _ in range(n_timed):
             t0 = time.perf_counter()

@@ -73,6 +73,7 @@ def connected_components(
     nodes: DataFrame | None = None,
     node_id: str = "id",
     max_iterations: int = 50,
+    rounds_per_check: int = 2,
     _stats: dict | None = None,
 ) -> DataFrame:
     """(id, component) — component = min node id reachable (undirected).
@@ -86,7 +87,14 @@ def connected_components(
     join+agg rounds; see tests/test_graph.py long-chain case). Converges
     when the per-round edge-set fingerprint (count + hash sum — one
     cheap agg action) stops changing.
+
+    ``rounds_per_check`` batches star rounds between checkpoint +
+    fingerprint actions: each action costs a fixed job overhead that
+    dominates on small/contracted graphs (the common dedup-cluster
+    case), and a fixpoint of one round is a fixpoint of two, so checking
+    every second round only risks one extra no-op round of work.
     """
+    rounds_per_check = max(1, rounds_per_check)
     # canonical orientation (u > v) + pin: the (possibly expensive)
     # upstream pair pipeline must not re-execute per round — and ids MUST
     # derive from the pinned relation, or the upstream runs a second time
@@ -107,9 +115,11 @@ def connected_components(
 
     prev_fp = None
     rounds = 0
-    for _ in range(max_iterations):
-        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
-        rounds += 1
+    for _ in range(-(-max_iterations // rounds_per_check)):
+        for _i in range(rounds_per_check):
+            e = _small_star(_large_star(e))
+        e = e.localCheckpoint(eager=True)
+        rounds += rounds_per_check
         fp = e.agg(
             F.count("*").alias("n"),
             # bit_xor: order-independent, overflow-free edge-set digest
