@@ -73,7 +73,7 @@ def connected_components(
     nodes: DataFrame | None = None,
     node_id: str = "id",
     max_iterations: int = 50,
-    rounds_per_check: int = 2,
+    rounds_per_check: int = 1,
     _stats: dict | None = None,
 ) -> DataFrame:
     """(id, component) — component = min node id reachable (undirected).
@@ -88,11 +88,15 @@ def connected_components(
     when the per-round edge-set fingerprint (count + hash sum — one
     cheap agg action) stops changing.
 
-    ``rounds_per_check`` batches star rounds between checkpoint +
-    fingerprint actions: each action costs a fixed job overhead that
-    dominates on small/contracted graphs (the common dedup-cluster
-    case), and a fixpoint of one round is a fixpoint of two, so checking
-    every second round only risks one extra no-op round of work.
+    ``rounds_per_check`` > 1 batches star rounds between convergence
+    (fingerprint) checks — worth it on huge graphs where the fingerprint
+    is itself a full edge scan per round, NOT on small graphs, where the
+    up-to ``rounds_per_check-1`` extra no-op star rounds cost more than
+    the skipped checks (hence default 1). Every round pins its output
+    (`localCheckpoint`) regardless: each star joins its input with an
+    aggregate OF that input — two references — so un-pinned chaining
+    recomputes prior rounds exponentially (measured 3.5x on the
+    benchmark dedup graph when two rounds shared one checkpoint).
     """
     rounds_per_check = max(1, rounds_per_check)
     # canonical orientation (u > v) + pin: the (possibly expensive)
@@ -117,8 +121,7 @@ def connected_components(
     rounds = 0
     for _ in range(-(-max_iterations // rounds_per_check)):
         for _i in range(rounds_per_check):
-            e = _small_star(_large_star(e))
-        e = e.localCheckpoint(eager=True)
+            e = _small_star(_large_star(e)).localCheckpoint(eager=True)
         rounds += rounds_per_check
         fp = e.agg(
             F.count("*").alias("n"),
