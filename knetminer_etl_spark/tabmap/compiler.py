@@ -146,18 +146,25 @@ class DataFrameMapper:
 
     def _map_native(self, df: DataFrame) -> DataFrame:
         eid = self._id_expr()
+        # Stage each mapper's serialized value as a materialized projection
+        # column first: the JSON-literal serializer references its to_json
+        # sub-expression twice (substr + length), and a Project is where
+        # codegen subexpression elimination applies — inside the Generate's
+        # array argument each reference would evaluate separately.
+        staged: list[Column] = [eid.alias(ID_COL)]
         structs = []
-        for m in self.mappers:
+        for i, m in enumerate(self.mappers):
             val = m.value_expr()
             sval = (
                 raw_string(val)
                 if (not m.serialize or m.key in (TYPE_KEY, FROM_KEY, TO_KEY))
                 else json_literal(val)
             )
+            staged.append(sval.alias(f"_v{i}"))
             structs.append(
                 F.struct(
                     F.lit(m.key).alias(KEY_COL),
-                    sval.alias(VALUE_COL),
+                    F.col(f"_v{i}").alias(VALUE_COL),
                 )
             )
         # Rows with NULL/empty id emit nothing; NULL serialized values drop.
@@ -166,8 +173,9 @@ class DataFrameMapper:
         # expression (and can be pushed below an upstream repartition,
         # serializing the work onto one partition).
         out = (
-            df.select(
-                eid.alias(ID_COL),
+            df.select(*staged)
+            .select(
+                ID_COL,
                 F.explode_outer(
                     F.filter(F.array(*structs), lambda s: s[VALUE_COL].isNotNull())
                 ).alias("_t"),
