@@ -297,38 +297,63 @@ def _grams_with_multiplicity(toks: Column, k: int) -> Column:
     )
 
 
+def _run_stats(items: Column, chars_fn) -> Column:
+    """``struct(top, dup)`` over an item array in ONE linear fold:
+    ``top`` = max over distinct items of count×chars, ``dup`` = total
+    count×chars of items occurring more than once.
+
+    Sorts the array and folds equal-item runs — O(g log g) instead of the
+    O(distinct × g) filter-per-distinct-item shape, which on documents
+    where most grams are unique is quadratic in document length.
+    ``chars_fn`` maps an item to its character weight.
+    """
+    zero = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("top"),
+        F.lit(0).alias("dup"),
+    )
+
+    def _close(acc):
+        # fold the finished run into the (top, dup) accumulators
+        rc = acc["run"] * chars_fn(acc["prev"])
+        return (
+            F.greatest(acc["top"], rc),
+            acc["dup"] + F.when(acc["run"] > 1, rc).otherwise(F.lit(0)),
+        )
+
+    def _merge(acc, g):
+        same = acc["prev"] == g
+        top, dup = _close(acc)
+        return F.struct(
+            g.alias("prev"),
+            F.when(same, acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.when(same, acc["top"]).otherwise(top).alias("top"),
+            F.when(same, acc["dup"]).otherwise(dup).alias("dup"),
+        )
+
+    def _finish(acc):
+        top, dup = _close(acc)
+        return F.struct(top.alias("top"), dup.alias("dup"))
+
+    return F.aggregate(F.array_sort(items), zero, _merge, _finish)
+
+
+def _gram_chars(g: Column) -> Column:
+    return F.length(F.replace(g, F.lit(" "), F.lit("")))
+
+
 def _top_gram_chars(grams: Column) -> Column:
     """Characters covered by the single most-repeated k-gram:
     max over distinct grams of count(gram) × non-space length."""
-    return F.coalesce(
-        F.array_max(
-            F.transform(
-                F.array_distinct(grams),
-                lambda g: F.size(F.filter(grams, lambda x: x == g))
-                * F.length(F.replace(g, F.lit(" "), F.lit(""))),
-            )
-        ),
-        F.lit(0),
-    )
+    return _run_stats(grams, _gram_chars)["top"]
 
 
 def _dup_gram_chars(grams: Column) -> Column:
     """Characters covered by k-grams occurring more than once (all
     occurrences counted; overlaps not collapsed — a deterministic,
     oracle-reproducible proxy for Gopher's duplicate-n-gram fraction)."""
-    counted = F.transform(
-        F.array_distinct(grams),
-        lambda g: F.struct(
-            F.size(F.filter(grams, lambda x: x == g)).alias("cnt"),
-            F.length(F.replace(g, F.lit(" "), F.lit(""))).alias("chars"),
-        ),
-    )
-    return F.aggregate(
-        counted,
-        F.lit(0),
-        lambda acc, s: acc
-        + F.when(s["cnt"] > 1, s["cnt"] * s["chars"]).otherwise(F.lit(0)),
-    )
+    return _run_stats(grams, _gram_chars)["dup"]
 
 
 #: (rule name, threshold) defaults for :func:`repetition_stats` — the
@@ -395,14 +420,7 @@ def repetition_stats(
     lines, paras = F.col("__lines"), F.col("__paras")
     n_lines, n_paras = F.size(lines), F.size(paras)
     line_chars = F.aggregate(lines, F.lit(0), lambda a, l: a + F.length(l))
-    dup_line_chars = F.aggregate(
-        lines,
-        F.lit(0),
-        lambda a, l: a
-        + F.when(
-            F.size(F.filter(lines, lambda x: x == l)) > 1, F.length(l)
-        ).otherwise(F.lit(0)),
-    )
+    dup_line_chars = _run_stats(lines, F.length)["dup"]
     wc = F.greatest(F.col("__word_chars"), F.lit(1)).cast("double")
 
     feats = {
