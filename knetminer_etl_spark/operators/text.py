@@ -287,6 +287,34 @@ def pii_counts(col: Column) -> dict[str, Column]:
     return counts
 
 
+def with_pii_redaction(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "redacted",
+    count_prefix: str = "n_",
+) -> DataFrame:
+    """Adds per-type PII match counts (``n_url`` …) and the fully-redacted
+    text (``out_col``), with the progressive redaction staged through
+    materialized columns — the convenient DataFrame-level surface.
+
+    NOTE: when all outputs land in ONE projection (as the Column-level
+    :func:`pii_counts` + :func:`redact_pii` combination does), whole-stage
+    codegen subexpression elimination already shares the progressive
+    replace chain across columns, and that single-Project form measures
+    FASTER than this staged one; prefer it in hot paths."""
+    out = df.withColumn("__r", F.col(text_col))
+    for name, pat, repl in PII_PATTERNS:
+        out = out.withColumns(
+            {
+                f"{count_prefix}{name}": F.size(
+                    F.regexp_extract_all(F.col("__r"), F.lit(pat), 0)
+                ),
+                "__r": F.regexp_replace(F.col("__r"), pat, repl),
+            }
+        )
+    return out.withColumnRenamed("__r", out_col)
+
+
 def _grams_with_multiplicity(toks: Column, k: int) -> Column:
     """Word k-grams WITH multiplicity (unlike :func:`shingles_from_tokens`,
     which deduplicates) — repetition measurement needs the counts."""

@@ -191,6 +191,10 @@ def doc_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle checks the exact redacted output, not just the counts."""
     docs = _docs(spark, sf_dir).withColumn("aug", _augmented_text_spark())
     counts = TX.pii_counts(F.col("aug"))
+    # single-Project form: whole-stage codegen subexpression elimination
+    # already shares the progressive replace chain across the count and
+    # redaction columns (measured FASTER than staging each stage through
+    # its own projection, which just adds operator layers)
     return (
         docs.select(
             "doc_id",

@@ -320,3 +320,39 @@ class TestChunkDocuments:
             chunk_documents(self._df(spark, "a"), window=0, stride=1)
         with pytest.raises(ValueError):
             chunk_documents(self._df(spark, "a"), window=4, stride=0)
+
+
+def test_with_pii_redaction_matches_column_form(spark):
+    """The staged DataFrame helper and the Column-level pii_counts /
+    redact_pii combination must agree exactly."""
+    from knetminer_etl_spark.operators.text import (
+        pii_counts,
+        redact_pii,
+        with_pii_redaction,
+    )
+
+    rows = [
+        (1, "mail me at a.b@example.com or http://x.io/a?b=1 now"),
+        (2, "server 10.0.0.1 called +1 (555) 123-4567 twice"),
+        (3, "no pii here"),
+    ]
+    df = spark.createDataFrame(rows, "id int, text string")
+    got = {
+        r["id"]: (r["n_url"], r["n_email"], r["n_ip"], r["n_phone"], r["redacted"])
+        for r in with_pii_redaction(df).collect()
+    }
+    counts = pii_counts(F.col("text"))
+    want = {
+        r["id"]: (r["u"], r["e"], r["i"], r["p"], r["r"])
+        for r in df.select(
+            "id",
+            counts["url"].alias("u"),
+            counts["email"].alias("e"),
+            counts["ip"].alias("i"),
+            counts["phone"].alias("p"),
+            redact_pii(F.col("text")).alias("r"),
+        ).collect()
+    }
+    assert got == want
+    assert "<EMAIL>" in got[1][4] and "<URL>" in got[1][4]
+    assert "<IP>" in got[2][4] and "<PHONE>" in got[2][4]
