@@ -152,3 +152,52 @@ def time_weighted_avg(
         (F.sum("_wv") / F.sum("_dt")).alias("twa"),
         F.sum("_dt").alias("span_seconds"),
     )
+
+
+def rolling_zscore(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    n: int = 20,
+    tiebreak_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Per-key rolling z-score: each observation against the mean/stddev
+    of its ``n`` PRECEDING observations (trailing window, the streaming
+    anomaly-detection shape — the current value never contaminates its
+    own baseline). Rows with fewer than 2 preceding observations or a
+    zero-variance window get NULL ``z``.
+
+    One window pass (single shuffle on keys; each reducer sorts only its
+    key slice). The variance comes from explicit sum/sum-of-squares
+    arithmetic — ``(Σv² − n·mean²)/(n−1)`` — evaluated in frame order,
+    NOT from ``stddev_samp``: both engines then run the identical IEEE
+    operation sequence, so results are bit-reproducible against a SQL
+    oracle (`stddev_samp`'s internal update algorithm differs between
+    engines).
+
+    ``tiebreak_cols``: pass a unique id to pin equal-timestamp order.
+    """
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(ts_col, *tiebreak_cols)
+        .rowsBetween(-n, -1)
+    )
+    v = F.col(value_col).cast("double")
+    cnt = F.count(value_col).over(w)
+    s1 = F.sum(v).over(w)
+    s2 = F.sum(v * v).over(w)
+    # when-guarded divisions: empty / single-element frames would raise
+    # under ANSI mode (divide-by-zero), not yield NULL
+    mean = F.when(cnt > 0, s1 / cnt)
+    var = F.when(cnt >= 2, (s2 - cnt * mean * mean) / (cnt - 1))
+    std = F.sqrt(var)
+    z = F.when((cnt >= 2) & (std > 0), (v - mean) / std)
+    return df.withColumns(
+        {
+            "roll_n": cnt.cast("int"),
+            "roll_mean": mean,
+            "roll_std": std,
+            "z": z,
+        }
+    )

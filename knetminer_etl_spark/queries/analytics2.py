@@ -654,3 +654,121 @@ ORACLES.update(
         "q2_min_price_supplier": Q2_SQL,
     }
 )
+
+
+# -- Q11: important-stock value concentration (adapted) -----------------------
+
+
+def q11_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape adapted (no partsupp): per-part shipped value
+    (extendedprice x (1-discount)) from suppliers of one nation, keeping
+    parts whose value exceeds 0.1% of that nation's total — the same
+    group-aggregate + global-fraction-threshold (scalar subquery) shape.
+    The 1-row grand total is broadcast, never a driver round-trip."""
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    nat_lines = (
+        l.join(s, l["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("l_partkey", _rev().alias("_v"))
+    )
+    per_part = nat_lines.groupBy("l_partkey").agg(F.sum("_v").alias("_pv"))
+    total = per_part.agg(F.sum("_pv").alias("_tv"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("_pv") > 0.001 * F.col("_tv"))
+        .select("l_partkey", F.round("_pv", 2).alias("part_value"))
+        .orderBy(F.col("part_value").desc(), "l_partkey")
+    )
+
+
+Q11_SQL = """
+WITH nat_lines AS (
+  SELECT l_partkey, l_extendedprice * (1 - l_discount) AS v
+  FROM lineitem
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation ON n_nationkey = s_nationkey
+  WHERE n_name = 'NATION_3'
+),
+per_part AS (
+  SELECT l_partkey, sum(v) AS pv FROM nat_lines GROUP BY l_partkey
+)
+SELECT l_partkey, round(pv, 2) AS part_value
+FROM per_part
+WHERE pv > 0.001 * (SELECT sum(pv) FROM per_part)
+ORDER BY part_value DESC, l_partkey
+"""
+
+
+# -- Q20: shipment concentration by year (adapted) ----------------------------
+
+
+def q20_concentrated_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape adapted (no partsupp/availqty): suppliers that
+    shipped more than a fifth of their all-time quantity of 'red' parts
+    during 1996 (uniform shipdates over ~7 years make 1/7 the neutral
+    share, so 0.2 marks real concentration and yields rows at every
+    SF) — the correlated fraction-of-total comparison becomes one
+    conditional aggregate per supplier; the name join stays a plain
+    equi-join (AQE decides the strategy, supplier scales with SF)."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").contains("red"))
+    s = _t(spark, sf_dir, "supplier")
+    in96 = (F.col("l_shipdate") >= F.lit("1996-01-01")) & (
+        F.col("l_shipdate") < F.lit("1997-01-01")
+    )
+    per_supp = (
+        l.join(p, l["l_partkey"] == p["p_partkey"])
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(F.when(in96, F.col("l_quantity")).otherwise(0.0)).alias("_q96"),
+            F.sum("l_quantity").alias("_qall"),
+        )
+        .filter((F.col("_qall") > 0) & (F.col("_q96") > 0.2 * F.col("_qall")))
+    )
+    return (
+        per_supp.join(s, per_supp["l_suppkey"] == s["s_suppkey"])
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round("_q96", 2).alias("qty_1996"),
+            F.round("_qall", 2).alias("qty_total"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+Q20_SQL = """
+WITH per_supp AS (
+  SELECT l_suppkey,
+         sum(CASE WHEN l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+                   AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+                  THEN l_quantity ELSE 0.0 END) AS q96,
+         sum(l_quantity) AS qall
+  FROM lineitem
+  JOIN part ON p_partkey = l_partkey
+  WHERE p_name LIKE '%red%'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, round(q96, 2) AS qty_1996, round(qall, 2) AS qty_total
+FROM per_supp
+JOIN supplier ON s_suppkey = l_suppkey
+WHERE qall > 0 AND q96 > 0.2 * qall
+ORDER BY s_suppkey
+"""
+
+
+QUERIES.update(
+    {
+        "q11_value_concentration": q11_value_concentration,
+        "q20_concentrated_suppliers": q20_concentrated_suppliers,
+    }
+)
+
+ORACLES.update(
+    {
+        "q11_value_concentration": Q11_SQL,
+        "q20_concentrated_suppliers": Q20_SQL,
+    }
+)

@@ -225,11 +225,63 @@ ORDER BY 1, 2
 """
 
 
+# ---------------------------------------------------------------------------
+# Rolling z-score anomalies
+# ---------------------------------------------------------------------------
+
+_Z_WIN = 20
+
+
+def events_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events whose value deviates more than 2σ from the rolling mean of
+    the user's previous 20 observations (trailing window — the streaming
+    anomaly shape, operators/timeseries.py:rolling_zscore). The explicit
+    sum/sum-of-squares variance makes z bit-reproducible in SQL; rounded
+    at 6dp with engine-identical floor arithmetic."""
+    out = TS.rolling_zscore(
+        _events(spark, sf_dir),
+        ["user_id"],
+        "ts",
+        "value",
+        n=_Z_WIN,
+        tiebreak_cols=["event_id"],
+    ).filter(F.abs(F.col("z")) > 2)
+    return out.select(
+        "user_id",
+        "event_id",
+        (F.floor(F.col("z") * 1e6 + F.lit(0.5)) / 1e6).alias("z"),
+    ).orderBy("user_id", "event_id")
+
+
+EVENTS_ANOMALIES_SQL = f"""
+WITH w AS (
+  SELECT user_id, event_id, value,
+         count(value) OVER win AS cnt,
+         sum(value) OVER win AS s1,
+         sum(value * value) OVER win AS s2
+  FROM events
+  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN {_Z_WIN} PRECEDING AND 1 PRECEDING)
+), st AS (
+  SELECT user_id, event_id, value, cnt, s1 / cnt AS mean,
+         (s2 - cnt * (s1 / cnt) * (s1 / cnt)) / (cnt - 1) AS var
+  FROM w
+), z AS (
+  SELECT user_id, event_id, (value - mean) / sqrt(var) AS z
+  FROM st WHERE cnt >= 2 AND var > 0
+)
+SELECT user_id, event_id, floor(z * 1e6 + 0.5) / 1e6 AS z
+FROM z WHERE abs(z) > 2
+ORDER BY user_id, event_id
+"""
+
+
 QUERIES = {
     "events_gap_fill": events_gap_fill,
     "events_time_weighted_avg": events_time_weighted_avg,
     "events_funnel": events_funnel,
     "events_retention": events_retention,
+    "events_anomalies": events_anomalies,
 }
 
 ORACLES = {
@@ -237,4 +289,5 @@ ORACLES = {
     "events_time_weighted_avg": EVENTS_TWA_SQL,
     "events_funnel": EVENTS_FUNNEL_SQL,
     "events_retention": EVENTS_RETENTION_SQL,
+    "events_anomalies": EVENTS_ANOMALIES_SQL,
 }

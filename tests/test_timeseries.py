@@ -165,3 +165,43 @@ def test_retention_cohorts_negative_epoch_periods(spark):
         (1969, 12, 31, 23, 59, 0),
         (1969, 12, 31, 23, 59, 1),
     }
+
+
+def test_rolling_zscore_hand_calc(spark):
+    """Window of 3 preceding: baseline for the 4th obs is (1,2,3) ->
+    mean 2, std 1; value 5 -> z = 3. Leading rows (fewer than 2
+    preceding) and zero-variance windows yield NULL z."""
+    rows = [
+        (1, _t(0), 1.0),
+        (1, _t(1), 2.0),
+        (1, _t(2), 3.0),
+        (1, _t(3), 5.0),
+        (2, _t(0), 4.0),   # single obs: NULL
+        (3, _t(0), 7.0),   # constant series: zero variance -> NULL
+        (3, _t(1), 7.0),
+        (3, _t(2), 7.0),
+        (3, _t(3), 7.0),
+    ]
+    df = spark.createDataFrame(rows, "user bigint, ts timestamp, v double")
+    out = {
+        (r["user"], r["ts"].minute): (r["roll_n"], r["z"])
+        for r in TS.rolling_zscore(df, ["user"], "ts", "v", n=3).collect()
+    }
+    n, z = out[(1, 3)]
+    assert n == 3 and abs(z - 3.0) < 1e-12
+    assert out[(1, 0)] == (0, None)       # no preceding
+    assert out[(1, 1)][1] is None         # one preceding: cnt < 2
+    assert out[(2, 0)] == (0, None)
+    assert all(out[(3, m)][1] is None for m in range(4))  # zero variance
+
+
+def test_rolling_zscore_single_shuffle(spark):
+    rows = [(1, _t(i), float(i)) for i in range(5)]
+    df = spark.createDataFrame(rows, "user bigint, ts timestamp, v double")
+    plan = (
+        TS.rolling_zscore(df, ["user"], "ts", "v", n=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") == 1  # one hash exchange on the keys
