@@ -25,23 +25,49 @@ from pyspark.sql import functions as F
 from .similarity import _dvec
 
 
+_WIDE_AGG_MAX_DIM = 256
+
+
 def sq_train(
     corpus: DataFrame, vec_col: str = "embedding"
 ) -> tuple[list[float], list[float]]:
     """Per-dimension (mins, maxes) over the corpus — the quantizer
-    parameters. One aggregate job; partial min/max combine map-side so
-    the shuffle carries 2×dim values per partition."""
+    parameters (2×dim doubles held on the driver, like k-means
+    centroids).
+
+    Two plans by dimensionality: up to ``_WIDE_AGG_MAX_DIM`` dims, ONE
+    wide aggregate (2×dim agg expressions, no shuffle rows beyond the
+    partial states); above that, posexplode + groupBy(dimension index) —
+    thousands of agg expressions would blow up driver-side analysis, while
+    the exploded aggregate's map-side partials keep the shuffle at dim
+    rows per partition whatever the corpus size."""
     head = corpus.select(vec_col).filter(F.col(vec_col).isNotNull()).first()
     if head is None:
         raise ValueError("sq_train: empty corpus (no non-NULL vectors)")
     dim = len(head[0])
-    v = corpus.select(_dvec(F.col(vec_col)).alias("_v"))
-    row = v.agg(
-        *[F.min(F.col("_v")[i]).alias(f"mn{i}") for i in range(dim)],
-        *[F.max(F.col("_v")[i]).alias(f"mx{i}") for i in range(dim)],
-    ).first()
-    mins = [row[f"mn{i}"] for i in range(dim)]
-    maxes = [row[f"mx{i}"] for i in range(dim)]
+    v = corpus.filter(F.col(vec_col).isNotNull()).select(
+        _dvec(F.col(vec_col)).alias("_v")
+    )
+    if dim <= _WIDE_AGG_MAX_DIM:
+        row = v.agg(
+            *[F.min(F.col("_v")[i]).alias(f"mn{i}") for i in range(dim)],
+            *[F.max(F.col("_v")[i]).alias(f"mx{i}") for i in range(dim)],
+        ).first()
+        mins = [row[f"mn{i}"] for i in range(dim)]
+        maxes = [row[f"mx{i}"] for i in range(dim)]
+        return mins, maxes
+    # high-dim path: one narrow explode + a dim-keyed aggregate
+    stats = (
+        v.select(F.posexplode("_v").alias("_i", "_x"))
+        .groupBy("_i")
+        .agg(F.min("_x").alias("mn"), F.max("_x").alias("mx"))
+        .collect()
+    )
+    mins = [0.0] * dim
+    maxes = [0.0] * dim
+    for r in stats:
+        mins[r["_i"]] = r["mn"]
+        maxes[r["_i"]] = r["mx"]
     return mins, maxes
 
 

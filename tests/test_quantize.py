@@ -125,3 +125,20 @@ class TestSQTopk:
         assert {r["query_id"] for r in rows} == {0, 1}
         assert all(1 <= r["rank"] <= 3 for r in rows)
         assert all(r["query_id"] != r["neighbor_id"] for r in rows)
+
+
+def test_train_high_dim_explode_path(spark):
+    """The >256-dim path (posexplode + groupBy) must agree with the
+    wide-agg path exactly."""
+    import knetminer_etl_spark.operators.quantize as Q
+
+    rows = [(i, [float((i * 7 + d) % 13) - 6.0 for d in range(300)]) for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    hi = Q.sq_train(df, "embedding")          # dim 300 -> explode path
+    orig = Q._WIDE_AGG_MAX_DIM
+    try:
+        Q._WIDE_AGG_MAX_DIM = 1024            # force wide-agg path
+        wide = Q.sq_train(df, "embedding")
+    finally:
+        Q._WIDE_AGG_MAX_DIM = orig
+    assert hi == wide
