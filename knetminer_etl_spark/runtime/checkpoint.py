@@ -18,10 +18,12 @@ repartition, which this module enables by default.
 from __future__ import annotations
 
 import os
+from collections.abc import Sequence
 from functools import reduce
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 DEFAULT_TARGET_PARTITION_BYTES = 256 * 1024 * 1024
 SUCCESS_MARKER = "_SUCCESS"
@@ -96,6 +98,35 @@ def save(
             elif want > have * 2:  # only shuffle when badly under-split
                 out = df.repartition(want)
     out.write.mode(mode).parquet(df_path(path))
+
+
+def save_partitioned(
+    df: DataFrame,
+    path: str | Path,
+    partition_cols: Sequence[str],
+    mode: str = "overwrite",
+    max_records_per_file: int | None = None,
+) -> None:
+    """Hive-style partitioned Parquet layout (``col=value/`` directories).
+
+    The scale lever this buys: a reader filtering on the partition
+    columns prunes whole directories at PLANNING time — the 100 TB scan
+    that touches one day of an events table reads one day's files, not
+    100 TB (`.explain` shows the predicate under ``PartitionFilters``
+    and the pruned file count; asserted in tests/test_runtime.py).
+
+    The writer pre-shuffles on the partition columns so each task writes
+    into few directories: without it, every input task appends to every
+    partition directory — task_count × partition_count small files, the
+    classic partitioned-write explosion. ``max_records_per_file`` caps
+    file length inside hot partitions (skew guard) without a second
+    shuffle.
+    """
+    out = df.repartition(*[F.col(c) for c in partition_cols])
+    writer = out.write.mode(mode)
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    writer.partitionBy(*partition_cols).parquet(df_path(path))
 
 
 def load(source: DataFrame | str | Path, spark: SparkSession) -> DataFrame:

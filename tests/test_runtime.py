@@ -62,3 +62,57 @@ class TestSessionDefaults:
     def test_aqe_and_utc(self, spark):
         assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
         assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+
+
+class TestPartitionedSave:
+    def test_partition_pruning_at_planning_time(self, spark, tmp_path):
+        """A filter on the partition column must land in PartitionFilters
+        (directory pruning), not in the data filters — the 100 TB lever:
+        the scan only lists/reads the matching col=value directories."""
+        import os
+
+        from pyspark.sql import functions as F
+
+        from knetminer_etl_spark.runtime import checkpoint as CP
+
+        df = spark.range(1000).select(
+            F.col("id"),
+            (F.col("id") % 4).cast("string").alias("bucket"),
+        )
+        out = str(tmp_path / "part")
+        CP.save_partitioned(df, out, ["bucket"])
+        # hive layout on disk
+        assert sorted(
+            d for d in os.listdir(out) if d.startswith("bucket=")
+        ) == ["bucket=0", "bucket=1", "bucket=2", "bucket=3"]
+
+        back = spark.read.parquet(out).filter(F.col("bucket") == "2")
+        plan = back._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan
+        # the partition predicate must appear in PartitionFilters, and the
+        # row values must round-trip
+        pf = plan.split("PartitionFilters")[1][:200]
+        assert "bucket" in pf
+        got = sorted(r["id"] for r in back.collect())
+        assert got == [i for i in range(1000) if i % 4 == 2]
+
+    def test_writer_preshuffles_on_partition_cols(self, spark, tmp_path):
+        """One output file per partition directory (not one per input
+        task x partition): the pre-shuffle routes each partition's rows
+        to one task."""
+        import glob
+
+        from pyspark.sql import functions as F
+
+        from knetminer_etl_spark.runtime import checkpoint as CP
+
+        df = (
+            spark.range(400)
+            .repartition(8)  # many input tasks
+            .select(F.col("id"), (F.col("id") % 2).cast("string").alias("p"))
+        )
+        out = str(tmp_path / "files")
+        CP.save_partitioned(df, out, ["p"])
+        for d in ("p=0", "p=1"):
+            files = glob.glob(f"{out}/{d}/*.parquet")
+            assert len(files) == 1, files
