@@ -410,7 +410,23 @@ def minhash_lsh_pairs(
             .select("id_a", "id_b", "jaccard")
         )
 
-    shing = _with_shingles(df, id_col, text_col, k)
+    # Verify needs shingles only for docs that appear in a candidate
+    # pair — semi-join the corpus down FIRST, then shingle the survivors.
+    # Re-shingling the full corpus for each join side costs two extra
+    # full scans + normalization passes; at 100 TB the candidate set is
+    # orders of magnitude smaller than the corpus (AQE broadcasts the id
+    # set when it fits).
+    cands = cands.localCheckpoint(eager=True)  # pin: reused by id set + joins
+    cand_ids = (
+        cands.select(F.col("id_a").alias(id_col))
+        .unionByName(cands.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    cand_docs = df.join(cand_ids, on=id_col, how="left_semi")
+    # pin: referenced by both join sides; bounded by the candidate set
+    shing = _with_shingles(cand_docs, id_col, text_col, k).localCheckpoint(
+        eager=True
+    )
     sa = shing.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"))
     sb = shing.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"))
     verified = (
