@@ -119,3 +119,71 @@ def stream_running_totals_tws(
         outputMode="Update",
         timeMode="None",
     )
+
+
+ZSCORE_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("z", T.DoubleType()),
+    ]
+)
+
+_ZSCORE_STATE_SCHEMA = T.StructType(
+    [T.StructField("vals", T.ArrayType(T.DoubleType()))]
+)
+
+
+def make_zscore_update(n: int):
+    """Update fn for :func:`stream_rolling_zscore` (factory so ``n`` rides
+    in the closure, not in state)."""
+
+    def update(
+        key: tuple[Any, ...],
+        batches: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterable[pd.DataFrame]:
+        (user_id,) = key
+        vals: list[float] = list(state.get[0]) if state.exists else []
+        out: list[tuple] = []
+        for pdf in batches:
+            # event-time order within the batch; cross-batch order is the
+            # source's responsibility (same contract as any stateful op)
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for ev, v in zip(pdf["event_id"], pdf["value"]):
+                v = float(v)
+                z = None
+                cnt = len(vals)
+                if cnt >= 2:
+                    mean = sum(vals) / cnt
+                    var = (sum(x * x for x in vals) - cnt * mean * mean) / (
+                        cnt - 1
+                    )
+                    if var > 0:
+                        z = (v - mean) / var**0.5
+                out.append((user_id, int(ev), v, z))
+                vals.append(v)
+                if len(vals) > n:
+                    vals.pop(0)
+        state.update((vals,))
+        yield pd.DataFrame(out, columns=["user_id", "event_id", "value", "z"])
+
+    return update
+
+
+def stream_rolling_zscore(events: DataFrame, n: int = 20) -> DataFrame:
+    """Streaming twin of ``operators.timeseries.rolling_zscore``: each
+    event scored against the mean/std of the user's previous ``n``
+    values, with the trailing window carried ACROSS micro-batches in the
+    state store (the batch operator's window frame becomes a bounded
+    per-key ring buffer — O(n) state per user, checkpoint-recoverable).
+    Emits every scored event (append semantics via update mode — each
+    event appears once)."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        make_zscore_update(n),
+        outputStructType=ZSCORE_SCHEMA,
+        stateStructType=_ZSCORE_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

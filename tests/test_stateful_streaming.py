@@ -95,3 +95,31 @@ def test_tws_running_totals_match_batch(spark):
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
         else:
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_stream_rolling_zscore_matches_batch(spark):
+    from knetminer_etl_spark.operators import timeseries as TS
+    from knetminer_etl_spark.streaming.stateful import stream_rolling_zscore
+
+    stream = EV.read_event_stream(spark, f"{SF_DIR}/events*")
+    out = stream_rolling_zscore(stream, n=10)
+    EV.run_stream_to_memory(out, "stream_z", output_mode="update")
+    got = {
+        r["event_id"]: (None if r["z"] is None else round(r["z"], 9))
+        for r in spark.sql("SELECT event_id, z FROM stream_z").collect()
+    }
+
+    batch = TS.rolling_zscore(
+        EV.load_events(spark, f"{SF_DIR}/events.parquet"),
+        ["user_id"],
+        "ts",
+        "value",
+        n=10,
+        tiebreak_cols=["event_id"],
+    )
+    want = {
+        r["event_id"]: (None if r["z"] is None else round(r["z"], 9))
+        for r in batch.select("event_id", "z").collect()
+    }
+    assert len(got) == len(want)
+    assert got == want
