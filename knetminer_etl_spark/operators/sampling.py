@@ -170,6 +170,52 @@ def quota_cap(
     )
 
 
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    key_col: str,
+    group_col: str | None = None,
+    seed: str = "wsample",
+) -> DataFrame:
+    """Weighted sampling without replacement, deterministic: keep the
+    top-``k`` rows (per group, or globally) by the A-ES priority
+    ``u^(1/w)`` (Efraimidis-Spirtakis), where ``u`` is the key's
+    md5-derived uniform in (0,1) — inclusion probability proportional to
+    ``weight_col``, stable across reruns/partitioning, and exactly
+    reproducible in SQL (:func:`weighted_priority_sql`).
+
+    Rows with non-positive or NULL weight are excluded (zero-probability
+    mass). One shuffle (the group window); the global variant ranks
+    within a single partition — fine for k in the thousands, use
+    per-group for bigger draws.
+
+    The canonical corpus use: quality-weighted subsampling — weight by a
+    quality score so curation keeps better documents more often without
+    becoming a hard cutoff.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    from pyspark.sql.window import Window
+
+    u = (
+        md5_hash60(F.concat(F.lit(f"{seed}:"), F.col(key_col).cast("string")))
+        .cast("double")
+        / F.lit(float(1 << 60))
+    )
+    w = F.col(weight_col).cast("double")
+    pri = F.pow(u, 1.0 / w)
+    win = Window.partitionBy(
+        *([group_col] if group_col else [])
+    ).orderBy(pri.desc(), F.col(key_col).asc())
+    return (
+        df.filter(w > 0)
+        .withColumn("_wrn", F.row_number().over(win))
+        .filter(F.col("_wrn") <= k)
+        .drop("_wrn")
+    )
+
+
 # ---------------------------------------------------------------------------
 # SQL twins (DuckDB dialect) for oracle construction
 # ---------------------------------------------------------------------------
@@ -202,3 +248,12 @@ def split_sql(key_expr: str, weights: dict[str, float], seed: str = "split") -> 
         parts.append(f"WHEN {b} < {int(round(acc * N_BUCKETS))} THEN '{name}'")
     clauses = " ".join(parts)
     return f"CASE {clauses} ELSE '{names[-1]}' END"
+
+
+def weighted_priority_sql(
+    key_expr: str, weight_expr: str, seed: str = "wsample"
+) -> str:
+    """DuckDB expression computing exactly :func:`weighted_sample`'s
+    A-ES priority ``u^(1/w)`` (same md5 uniform, same IEEE pow)."""
+    u = f"({hash60_sql(key_expr, seed)}::DOUBLE / {float(1 << 60)!r})"
+    return f"pow({u}, 1.0 / CAST({weight_expr} AS DOUBLE))"

@@ -632,9 +632,47 @@ ORDER BY doc_id, chunk_idx
 """
 
 
+# ---------------------------------------------------------------------------
+# Weighted sampling (A-ES)
+# ---------------------------------------------------------------------------
+
+
+def doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-weighted sample: 10 docs per source, inclusion probability
+    proportional to n_chars (Efraimidis-Spirtakis u^(1/w) priorities from
+    the md5 key hash — deterministic, SQL-reproducible;
+    operators/sampling.py:weighted_sample)."""
+    out = SP.weighted_sample(
+        _docs(spark, sf_dir),
+        weight_col="n_chars",
+        k=10,
+        key_col="doc_id",
+        group_col="source",
+    )
+    return out.select("doc_id", "source", "n_chars").orderBy("doc_id")
+
+
+DOC_WEIGHTED_SAMPLE_SQL = f"""
+WITH ranked AS (
+  SELECT doc_id, source, n_chars,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY {SP.weighted_priority_sql("doc_id", "n_chars")} DESC,
+                    doc_id
+         ) AS rn
+  FROM documents
+  WHERE n_chars > 0
+)
+SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars
+FROM ranked WHERE rn <= 10
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "doc_split_counts": doc_split_counts,
     "doc_rag_chunks": doc_rag_chunks,
+    "doc_weighted_sample": doc_weighted_sample,
     "doc_segment_dedup": doc_segment_dedup,
     "doc_source_quota": doc_source_quota,
     "doc_stratified_sample": doc_stratified_sample,
@@ -649,6 +687,7 @@ QUERIES = {
 ORACLES = {
     "doc_split_counts": DOC_SPLIT_COUNTS_SQL,
     "doc_rag_chunks": DOC_RAG_CHUNKS_SQL,
+    "doc_weighted_sample": DOC_WEIGHTED_SAMPLE_SQL,
     "doc_segment_dedup": DOC_SEGMENT_DEDUP_SQL,
     "doc_source_quota": DOC_SOURCE_QUOTA_SQL,
     "doc_stratified_sample": DOC_STRATIFIED_SAMPLE_SQL,

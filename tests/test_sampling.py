@@ -85,3 +85,42 @@ class TestQuotaCap:
         df = spark.createDataFrame([(1, "a")], "id long, grp string")
         with pytest.raises(ValueError):
             SP.quota_cap(df, "grp", 0, "id")
+
+
+class TestWeightedSample:
+    def test_deterministic_and_k_per_group(self, spark):
+        from knetminer_etl_spark.operators.sampling import weighted_sample
+
+        rows = [(i, "g%d" % (i % 3), float(1 + i % 7)) for i in range(300)]
+        df = spark.createDataFrame(rows, "id bigint, g string, w double")
+        a = sorted(r["id"] for r in weighted_sample(df, "w", 5, "id", "g").collect())
+        b = sorted(r["id"] for r in weighted_sample(df, "w", 5, "id", "g").collect())
+        assert a == b and len(a) == 15  # 5 per group, stable
+
+    def test_zero_weight_rows_never_selected(self, spark):
+        from knetminer_etl_spark.operators.sampling import weighted_sample
+
+        rows = [(1, 0.0), (2, -1.0), (3, None), (4, 5.0), (5, 1.0)]
+        df = spark.createDataFrame(rows, "id bigint, w double")
+        got = {r["id"] for r in weighted_sample(df, "w", 10, "id").collect()}
+        assert got == {4, 5}
+
+    def test_weight_biases_inclusion(self, spark):
+        """Across many disjoint seeds, a 10x-weighted row is selected
+        far more often than a 1x row (A-ES inclusion property)."""
+        from knetminer_etl_spark.operators.sampling import weighted_sample
+
+        rows = [(i, 10.0 if i < 10 else 1.0) for i in range(100)]
+        df = spark.createDataFrame(rows, "id bigint, w double")
+        heavy = light = 0
+        for s in range(12):
+            got = {
+                r["id"]
+                for r in weighted_sample(df, "w", 10, "id", seed=f"s{s}").collect()
+            }
+            heavy += len([i for i in got if i < 10])
+            light += len([i for i in got if i >= 10])
+        # 10 heavy rows (weight 10) vs 90 light (weight 1): expected
+        # heavy share of a 10-draw is well above uniform's 1 draw
+        assert heavy > light * 0.7, (heavy, light)
+        assert heavy >= 3 * 12 * 10 / 11 / 3  # loose sanity floor
