@@ -181,7 +181,9 @@ def _agg_two_level(triples: DataFrame) -> DataFrame:
     )
 
 
-def triples_to_pg_flat(triples: DataFrame) -> DataFrame:
+def triples_to_pg_flat(
+    triples: DataFrame, partitions: int | None = None
+) -> DataFrame:
     """Flattened (export-shaped) PG build: same semantics as
     :func:`triples_to_pg` but emitting deterministic *strings* instead of
     array/map columns — ``labels_str`` is the sorted ``|``-joined label
@@ -199,11 +201,33 @@ def triples_to_pg_flat(triples: DataFrame) -> DataFrame:
     hot id collapse to one row per key before the per-id fold), giving
     the two-level skew safety of :func:`_agg_two_level` without its
     second exchange.
+
+    ``partitions`` sizes that exchange. Collect-style aggregation holds a
+    buffer OBJECT per in-flight group, so the per-task group count — not
+    byte volume — is what must stay bounded; a ``spark.sql.shuffle.partitions``
+    tuned for scan-shaped stages under-partitions this stage as the
+    element count grows (measured: 66-120s at 10x data on local[32] with
+    32 partitions vs 9s with 256 — GC-bound object aggregation, not
+    spill). Default: sized from the Catalyst plan-stats estimate of the
+    triple relation (~200 KB of upstream scan bytes per task ≈ tens of
+    thousands of groups), floored at shuffle.partitions, capped at 4096.
+    Explicit repartitions are exempt from AQE coalescing, so small
+    inputs just get small tasks, not extra shuffles.
     """
     k = F.col("key")
     is_prop = ~k.isin(*SPECIAL_KEYS)
+    if partitions is None:
+        from ..runtime.checkpoint import estimated_plan_bytes
+
+        spark = triples.sparkSession
+        floor = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+        est = estimated_plan_bytes(triples)
+        if est:
+            partitions = min(4096, max(floor, est // (200 * 1024)))
+        else:
+            partitions = max(floor, spark.sparkContext.defaultParallelism * 8)
     lvl1 = (
-        triples.repartition("id")
+        triples.repartition(partitions, "id")
         .groupBy("id", "key")
         .agg(F.array_sort(F.collect_set("value")).alias("_vals"))
     )

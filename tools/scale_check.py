@@ -1,0 +1,196 @@
+"""Empirical scale check: run headline operators at sf0.1 and at a
+synthetic 10x corpus, record the runtime ratio.
+
+Builds /tmp/spark_graft_scale10 from the sf0.1 tables (10 copies with
+shifted keys; document text gets copy-specific filler tokens every 3rd
+position so copies do NOT become artificial near-duplicates, which
+would quadratically inflate the pair operators' OUTPUT rather than
+test their scaling), then times each selected query at both scales
+(warm + best of 2) and writes SCALE_CHECK.json.
+
+A DataFrame program whose runtime ratio tracks the data ratio (~10x or
+less, given fixed overheads amortize) scales; a ratio far above the
+data ratio exposes a super-linear shape.
+
+Usage: python tools/scale_check.py [copies]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SRC = "/root/testdata/sf0.1"
+DST = "/tmp/spark_graft_scale10"
+
+CHECK_QUERIES = [
+    "exact_dedup",
+    "text_stats",
+    "doc_rag_chunks",
+    "doc_repetition_stats",
+    "doc_decontamination",
+    "ngram_jaccard_pairs",
+    "minhash_lsh_pairs",
+    "simhash_pairs",
+    "dedup_components",
+    "kg_pg_elements",
+    "events_tumbling_5m",
+    "events_sessionize",
+    "events_anomalies",
+    "embedding_topk",
+]
+
+
+def build_dataset(spark, copies: int) -> None:
+    from pyspark.sql import functions as F
+
+    shutil.rmtree(DST, ignore_errors=True)
+    os.makedirs(DST, exist_ok=True)
+
+    docs = spark.read.parquet(f"{SRC}/documents.parquet")
+    parts = []
+    for c in range(copies):
+        # filler token after every 3rd word, unique per copy ->
+        # cross-copy shingle overlap ~25%, far below dedup thresholds
+        toks = F.filter(
+            F.split(F.trim(F.col("text")), r"\s+"), lambda t: t != F.lit("")
+        )
+        fuzzed = F.array_join(
+            F.zip_with(
+                toks,
+                F.sequence(F.lit(0), F.size(toks) - 1),
+                lambda t, i: F.when(
+                    i % 3 == 2,
+                    F.concat(t, F.lit(f" zq{c}w"), i.cast("string")),
+                ).otherwise(t),
+            ),
+            " ",
+        )
+        parts.append(
+            docs.select(
+                (F.col("doc_id") + c * 10_000_000).alias("doc_id"),
+                fuzzed.alias("text"),
+                "lang",
+                "source",
+                F.length(fuzzed).cast("long").alias("n_chars"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out.write.mode("overwrite").parquet(f"{DST}/documents.parquet")
+
+    ev = spark.read.parquet(f"{SRC}/events.parquet")
+    parts = [
+        ev.select(
+            (ev["event_id"] + c * 10**12).alias("event_id"),
+            (ev["user_id"] + c * 10**9).alias("user_id"),
+            *[n for n in ev.columns if n not in ("event_id", "user_id")],
+        )
+        for c in range(copies)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out.write.mode("overwrite").parquet(f"{DST}/events.parquet")
+
+    for tbl, keys in [
+        ("orders", ["o_orderkey", "o_custkey"]),
+        ("customer", ["c_custkey"]),
+    ]:
+        df = spark.read.parquet(f"{SRC}/{tbl}.parquet")
+        parts = [
+            df.select(
+                *[
+                    (df[n] + c * 10**9).alias(n) if n in keys else df[n]
+                    for n in df.columns
+                ]
+            )
+            for c in range(copies)
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        out.write.mode("overwrite").parquet(f"{DST}/{tbl}.parquet")
+
+    emb = spark.read.parquet(f"{SRC}/embeddings.parquet")
+    from pyspark.sql import functions as F
+
+    parts = [
+        emb.select(
+            (emb["vec_id"] + c * 10**7).alias("vec_id"),
+            F.transform(
+                "embedding", lambda x: x + F.lit(float(c) * 1e-3)
+            ).alias("embedding"),
+            "label",
+        )
+        for c in range(copies)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out.write.mode("overwrite").parquet(f"{DST}/embeddings.parquet")
+
+
+def time_query(fn, spark, sf_dir: str, n_timed: int = 2) -> float:
+    import gc
+
+    fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm
+    best = float("inf")
+    for _ in range(n_timed):
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        best = min(best, time.perf_counter() - t0)
+        gc.collect()
+    return round(best, 3)
+
+
+def main() -> None:
+    copies = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+
+    import __spark_entry__ as entry
+    from knetminer_etl_spark.runtime import get_session
+
+    spark = get_session(
+        app_name="scale-check",
+        master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', os.cpu_count() or 8)}]",
+        conf={
+            "spark.ui.enabled": "false",
+            "spark.driver.memory": "48g",
+            "spark.cleaner.periodicGC.interval": "45s",
+        },
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    print(f"building {copies}x dataset at {DST} ...", file=sys.stderr)
+    t0 = time.perf_counter()
+    build_dataset(spark, copies)
+    print(f"built in {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+
+    qs = entry.queries()
+    results = {}
+    for name in CHECK_QUERIES:
+        base = time_query(qs[name], spark, SRC)
+        big = time_query(qs[name], spark, DST)
+        ratio = round(big / base, 2) if base > 0 else None
+        results[name] = {"sf0.1_sec": base, "x10_sec": big, "ratio": ratio}
+        print(f"{name}: {base}s -> {big}s  ({ratio}x)", file=sys.stderr)
+
+    out = {"copies": copies, "queries": results}
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "SCALE_CHECK.json",
+    )
+    with open(path, "w") as fh:
+        json.dump(out, fh, indent=1)
+        fh.write("\n")
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
