@@ -40,11 +40,17 @@ def candidate_pairs_from_buckets(
     Join-free: group ids per bucket (one shuffle), emit all (i<j)
     combinations with higher-order functions, dedup across buckets. The
     classic alternative — a bucket self-equi-join — computes the (often
-    expensive) upstream plan twice, once per join side.
+    expensive) upstream plan twice, once per join side. The grouping
+    exchange is sized for group count (collect buffers are per-group
+    objects — see runtime.checkpoint.group_agg_partitions / SCALE.md).
     Output: (id_a, id_b).
     """
-    groups = bucketed.groupBy(*bucket_cols).agg(
-        F.array_sort(F.collect_set(id_col)).alias("_ids")
+    from ..runtime.checkpoint import group_agg_partitions
+
+    groups = (
+        bucketed.repartition(group_agg_partitions(bucketed), *bucket_cols)
+        .groupBy(*bucket_cols)
+        .agg(F.array_sort(F.collect_set(id_col)).alias("_ids"))
     )
     combos = F.flatten(
         F.transform(

@@ -90,13 +90,19 @@ def triples_to_pg(
 
 
 def _agg_single(triples: DataFrame) -> DataFrame:
-    """One hash aggregation on ``id`` (the default plan; see module doc)."""
+    """One hash aggregation on ``id`` (the default plan; see module doc).
+
+    The exchange is sized for group count, not byte volume — collect
+    buffers are per-group objects (see
+    ``runtime.checkpoint.group_agg_partitions`` / SCALE.md)."""
+    from ..runtime.checkpoint import group_agg_partitions
+
     k, v = F.col("key"), F.col("value")
     is_prop = ~k.isin(*SPECIAL_KEYS)
 
     pairs = F.collect_list(F.when(is_prop, F.struct(k.alias("key"), v.alias("value"))))
 
-    agg = triples.groupBy("id").agg(
+    agg = triples.repartition(group_agg_partitions(triples), "id").groupBy("id").agg(
         F.array_sort(
             F.array_distinct(F.collect_list(F.when(k == TYPE_KEY, v)))
         ).alias("labels"),
@@ -137,7 +143,13 @@ def _agg_two_level(triples: DataFrame) -> DataFrame:
     empty set, never an ANSI element_at error), and NULL labels are
     filtered as collect_list does.
     """
-    per_key = triples.groupBy("id", "key").agg(
+    from ..runtime.checkpoint import group_agg_partitions
+
+    # partition by id only: HashPartitioning(id) satisfies BOTH grouping
+    # levels, so the whole two-level build runs over one sized exchange
+    per_key = triples.repartition(
+        group_agg_partitions(triples), "id"
+    ).groupBy("id", "key").agg(
         F.array_sort(
             F.array_distinct(
                 F.transform(
@@ -217,15 +229,9 @@ def triples_to_pg_flat(
     k = F.col("key")
     is_prop = ~k.isin(*SPECIAL_KEYS)
     if partitions is None:
-        from ..runtime.checkpoint import estimated_plan_bytes
+        from ..runtime.checkpoint import group_agg_partitions
 
-        spark = triples.sparkSession
-        floor = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
-        est = estimated_plan_bytes(triples)
-        if est:
-            partitions = min(4096, max(floor, est // (200 * 1024)))
-        else:
-            partitions = max(floor, spark.sparkContext.defaultParallelism * 8)
+        partitions = group_agg_partitions(triples)
     lvl1 = (
         triples.repartition(partitions, "id")
         .groupBy("id", "key")

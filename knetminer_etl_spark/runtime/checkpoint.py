@@ -100,6 +100,27 @@ def save(
     out.write.mode(mode).parquet(df_path(path))
 
 
+def group_agg_partitions(
+    df: DataFrame, bytes_per_task: int = 200 * 1024, cap: int = 4096
+) -> int:
+    """Partition count for a collect-style (object-buffer) aggregation
+    over ``df``. Such stages must bound the per-task GROUP count, not
+    byte volume: each in-flight group holds a buffer object, and a
+    ``spark.sql.shuffle.partitions`` tuned for scan-shaped stages lets
+    the per-task object population grow with the data until the executor
+    heap thrashes (measured on the PG build: 66-120s at 10x data vs 9-18s
+    correctly sized — GC-bound, not spill; see SCALE.md). Sized from the
+    Catalyst plan-stats estimate (~``bytes_per_task`` upstream bytes per
+    task), floored at shuffle.partitions, capped at ``cap``; falls back
+    to 8x default parallelism when stats are unavailable."""
+    spark = df.sparkSession
+    floor = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    est = estimated_plan_bytes(df)
+    if est:
+        return min(cap, max(floor, est // bytes_per_task))
+    return max(floor, spark.sparkContext.defaultParallelism * 8)
+
+
 def save_partitioned(
     df: DataFrame,
     path: str | Path,
