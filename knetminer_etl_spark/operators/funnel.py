@@ -45,8 +45,16 @@ def funnel_stages(
         F.col(ts_col).alias("ts"),
         F.col(type_col).alias("etype"),
     )
-    per_user = events.groupBy("user").agg(
-        F.sort_array(F.collect_list(F.struct("ts", "etype"))).alias("evs")
+    from ..runtime.checkpoint import group_agg_partitions
+
+    # sized exchange: the per-user event list is a collect buffer per
+    # group (see runtime.checkpoint.group_agg_partitions / SCALE.md)
+    per_user = (
+        events.repartition(group_agg_partitions(events), "user")
+        .groupBy("user")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("ts", "etype"))).alias("evs")
+        )
     )
     # fold state: (n stages reached, ts of the latest advancement)
     init = F.struct(
@@ -115,9 +123,14 @@ def retention_cohorts(
     period = F.floor(F.col(ts_col).cast("long") / F.lit(bucket_seconds)).cast(
         "long"
     )
-    per_user = df.select(F.col(user_col).alias("user"), period.alias("p")).groupBy(
-        "user"
-    ).agg(F.min("p").alias("cohort_p"), F.collect_set("p").alias("ps"))
+    from ..runtime.checkpoint import group_agg_partitions
+
+    sel = df.select(F.col(user_col).alias("user"), period.alias("p"))
+    per_user = (
+        sel.repartition(group_agg_partitions(sel), "user")
+        .groupBy("user")
+        .agg(F.min("p").alias("cohort_p"), F.collect_set("p").alias("ps"))
+    )
     exploded = per_user.select(
         "user",
         F.timestamp_seconds(F.col("cohort_p") * bucket_seconds).alias("cohort"),

@@ -75,9 +75,20 @@ def gap_fill(
       observations (LOCF at the trailing edge, NULL before the first
       observation — TimescaleDB `interpolate` semantics).
     """
+    from ..runtime.checkpoint import group_agg_partitions
+
     bucket = time_bucket(F.col(ts_col), step_seconds).alias("bucket")
     agg_col = getattr(F, agg)(value_col) if isinstance(agg, str) else agg
-    per_bucket = df.groupBy(*keys, bucket).agg(agg_col.alias("v"))
+    # ONE sized exchange on the keys: HashPartitioning(keys) satisfies the
+    # (keys, bucket) grouping, the per-key map assembly, AND the LOCF
+    # window — three clustered operators over a single shuffle, sized for
+    # group count (collect buffers are per-group objects; see
+    # runtime.checkpoint.group_agg_partitions / SCALE.md)
+    per_bucket = (
+        df.repartition(group_agg_partitions(df), *keys)
+        .groupBy(*keys, bucket)
+        .agg(agg_col.alias("v"))
+    )
 
     per_key = per_bucket.groupBy(*keys).agg(
         F.map_from_entries(F.collect_list(F.struct("bucket", "v"))).alias("_m"),

@@ -58,11 +58,12 @@ def test_gap_fill_leading_gap_is_null_locf_none(spark):
 
 
 def test_gap_fill_reuses_groupby_partitioning(series_df):
-    """The LOCF window must not add a third Exchange: it partitions by
-    the same keys the per-key groupBy hashed on."""
+    """The whole gap-fill pipeline runs over ONE keys exchange: the
+    sized repartition satisfies the (keys, bucket) grouping, the
+    per-key assembly, and the LOCF window alike."""
     out = TS.gap_fill(series_df, ["k"], "ts", "v", 60)
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("Exchange hashpartitioning") == 2
+    assert plan.count("Exchange hashpartitioning") == 1
 
 
 def test_time_weighted_avg_matches_hand_calc(spark):
