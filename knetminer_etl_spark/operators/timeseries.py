@@ -12,18 +12,15 @@ time-shaped); modeled on the TimescaleDB `time_bucket_gapfill` /
 `locf` / `interpolate` / `time_weight` surface, re-expressed as Spark
 Column arithmetic.
 
-Scale shape (``gap_fill``):
-
-1. bucket + aggregate: ONE shuffle on (keys, bucket), partial
-   aggregation map-side;
-2. per-key assembly: ONE shuffle on keys only — the input is already
-   one bounded row per (key, bucket), and the per-key state
-   (`map<bucket, value>` + bounds) is bounded by the spine length, the
-   same bound the *output* must satisfy per key;
-3. spine explosion (`sequence` + `explode_outer`) and fill are narrow;
-   the LOCF/interp window partitions by the same keys the step-2
-   groupBy hashed on, so Catalyst reuses the partitioning — a local
-   sort, not a third Exchange (asserted in tests/test_timeseries.py).
+Scale shape (``gap_fill``): ONE sized exchange on the keys —
+``HashPartitioning(keys)`` satisfies the (keys, bucket) grouping, the
+per-key map assembly, and the LOCF/interp window alike, so all three
+clustered operators share a single shuffle (asserted in
+tests/test_timeseries.py), sized for group count per
+``runtime.checkpoint.group_agg_partitions``. Per-key state
+(`map<bucket, value>` + bounds) is bounded by the spine length, the
+same bound the *output* must satisfy per key; spine explosion
+(`sequence` + `explode_outer`) and fill are narrow.
 
 A spine is per-key (each key's own [min, max] bucket range), which is
 what dashboards and feature matrices want; keys with one observation
