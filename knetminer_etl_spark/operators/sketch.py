@@ -1,0 +1,301 @@
+"""Mergeable, deterministic cardinality / frequency sketches.
+
+At 100 TB you cannot afford ``COUNT(DISTINCT x)`` per dashboard tile or
+an exact token-frequency table per corpus snapshot; the standard answer
+is sketches whose *state* is tiny, mergeable, and streamable:
+
+* **HyperLogLog** (Flajolet et al. 2007): ``m = 2^p`` registers, each
+  the max leading-zero rank of hashes landing in it. Registers merge
+  with ``max`` — a distributive aggregate, so Spark computes them with
+  map-side partial aggregation (one shuffle of at most ``m`` rows per
+  group), and the same register table is a valid *streaming* aggregate
+  state (see tests: batch registers == merged micro-batch registers).
+* **Count-min** (Cormode & Muthukrishnan 2005): ``d × w`` counters;
+  point estimate = min over rows. Counters merge with ``sum`` —
+  likewise map-side combinable, one bounded shuffle.
+
+Unlike Spark's built-in ``approx_count_distinct`` (whose HLL++ register
+layout is not reproducible outside the JVM), everything here hashes
+with the md5-derived 60-bit integer
+(:func:`~knetminer_etl_spark.operators.dedup.md5_hash60`) that ANSI SQL
+reproduces bit-for-bit, so sketch queries are oracle-checked EXACTLY:
+the DuckDB twin computes the identical registers / counters and the
+identical estimate — not "close enough", equal.
+
+Estimate arithmetic is kept bit-reproducible across engines by scaling
+the harmonic sum to an exact BIGINT (``sum(1 << (RHO_MAX - r))``) and
+doing exactly one double multiply + divide on top — IEEE-deterministic
+given equal inputs, unlike a float ``sum(pow(2, -r))`` whose result
+depends on accumulation order.
+
+The reference has no sketches (SURVEY.md §2 — its aggregations are
+exact); this is a north-star extension for the training-data pipeline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import md5_hash60
+
+#: md5_hash60 yields 15 hex digits → 60 uniform bits.
+HASH_BITS = 60
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog
+# ---------------------------------------------------------------------------
+
+
+def hll_alpha(m: int) -> float:
+    """Bias-correction constant for ``m >= 128`` registers."""
+    if m < 128:
+        raise ValueError("p < 7 registers need small-m alpha constants")
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def hll_idx_rho(key: Column, seed: str = "hll", p: int = 8) -> tuple[Column, Column]:
+    """(register index, leading-zero rank) for one key.
+
+    The low ``p`` hash bits pick the register (bit ops, not ``%`` —
+    60-bit values are exact in BIGINT but not in a double division);
+    the remaining ``HASH_BITS - p`` bits feed the rank
+    ``rho = (bits - bitlen(w)) + 1``, computed via the binary-string
+    length (``bin()`` exists in both Spark and DuckDB and is
+    integer-exact, unlike ``floor(log2(w))`` whose libm rounding could
+    disagree across engines at power-of-two boundaries).
+    """
+    h = md5_hash60(F.concat(F.lit(f"{seed}:"), key.cast("string")))
+    m = 1 << p
+    idx = h.bitwiseAND(F.lit(m - 1))
+    w = F.shiftright(h, p)
+    wbits = HASH_BITS - p
+    rho = F.when(w == 0, F.lit(wbits + 1)).otherwise(
+        F.lit(wbits + 1) - F.length(F.bin(w))
+    )
+    return idx, rho.cast("int")
+
+
+def hll_registers(
+    df: DataFrame,
+    key_col: str,
+    group_cols: list[str] | None = None,
+    seed: str = "hll",
+    p: int = 8,
+) -> DataFrame:
+    """Per-group HLL register table: (group..., reg_idx, reg_rho).
+
+    This IS the sketch state: at most ``2^p`` rows per group, merged
+    with ``max`` — reruns over more data, unions of partial sketches,
+    and streaming micro-batches all combine by the same aggregate.
+    One map-side-combined shuffle; absent registers mean rank 0.
+    """
+    idx, rho = hll_idx_rho(F.col(key_col), seed, p)
+    keys = list(group_cols or [])
+    return (
+        df.select(*keys, idx.alias("reg_idx"), rho.alias("reg_rho"))
+        .groupBy(*keys, "reg_idx")
+        .agg(F.max("reg_rho").alias("reg_rho"))
+    )
+
+
+def hll_estimate(
+    registers: DataFrame,
+    group_cols: list[str] | None = None,
+    p: int = 8,
+    est_col: str = "hll_est",
+) -> DataFrame:
+    """Collapse a register table to one estimate row per group.
+
+    ``E = alpha_m * m^2 / (sum(2^-rho) + zeros)`` with the harmonic sum
+    scaled by ``2^RHO_MAX`` into an exact BIGINT (max ``m * 2^53 = 2^61``
+    at p=8, no overflow), then a single double multiply/divide —
+    bit-reproducible. The raw (uncorrected) estimator is emitted; the
+    small-range linear-counting correction needs ``ln`` whose last-ulp
+    behavior is libm-specific, so it is deliberately left to the reader
+    of ``n_zero_reg`` (also emitted) rather than baked into a value the
+    oracle must reproduce.
+    """
+    m = 1 << p
+    rho_max = HASH_BITS - p + 1
+    keys = list(group_cols or [])
+    # shiftleft with a *column* shift amount is SQL-only (the Python
+    # helper pins numBits to an int literal).
+    scaled = F.expr(f"shiftleft(CAST(1 AS BIGINT), {rho_max} - reg_rho)")
+    agg = registers.groupBy(*keys).agg(
+        F.sum(scaled).alias("_z_present"),
+        F.count("*").alias("_n_present"),
+    )
+    zs = F.col("_z_present") + (F.lit(m) - F.col("_n_present")) * F.lit(
+        1 << rho_max
+    ).cast("long")
+    est = F.lit(hll_alpha(m) * m * m * float(1 << rho_max)) / zs.cast("double")
+    return agg.select(
+        *keys,
+        F.floor(est + F.lit(0.5)).cast("long").alias(est_col),
+        (F.lit(m) - F.col("_n_present")).cast("int").alias("n_zero_reg"),
+    )
+
+
+def hll_distinct(
+    df: DataFrame,
+    key_col: str,
+    group_cols: list[str] | None = None,
+    seed: str = "hll",
+    p: int = 8,
+    est_col: str = "hll_est",
+) -> DataFrame:
+    """Approximate COUNT(DISTINCT key) per group — registers + estimate.
+
+    Two bounded shuffles: rows → at most ``2^p`` register rows per
+    group → 1 estimate row per group. Standard error ≈ 1.04/sqrt(m)
+    (~6.5% at p=8); raise ``p`` for tighter bounds.
+    """
+    return hll_estimate(
+        hll_registers(df, key_col, group_cols, seed, p), group_cols, p, est_col
+    )
+
+
+# -- SQL twins (DuckDB) ------------------------------------------------------
+
+
+def hash60_sql(expr: str, seed: str) -> str:
+    """The md5-derived 60-bit hash, ANSI-SQL side."""
+    return f"('0x' || substr(md5('{seed}:' || ({expr})), 1, 15))::BIGINT"
+
+
+def hll_idx_rho_sql(expr: str, seed: str = "hll", p: int = 8) -> tuple[str, str]:
+    """(idx, rho) SQL expressions mirroring :func:`hll_idx_rho`."""
+    h = hash60_sql(expr, seed)
+    wbits = HASH_BITS - p
+    idx = f"({h} & {(1 << p) - 1})"
+    w = f"({h} >> {p})"
+    rho = (
+        f"(CASE WHEN {w} = 0 THEN {wbits + 1} "
+        f"ELSE {wbits + 1} - length(bin({w})) END)"
+    )
+    return idx, rho
+
+
+def hll_estimate_sql(m: int, rho_max: int) -> str:
+    """Estimate over a register CTE with columns (_z_present, _n_present)."""
+    alpha = hll_alpha(m)
+    return (
+        f"CAST(floor({alpha!r} * {float(m * m * (1 << rho_max))!r} / "
+        f"(_z_present + ({m} - _n_present) * (1::BIGINT << {rho_max}))::DOUBLE"
+        f" + 0.5) AS BIGINT)"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch
+# ---------------------------------------------------------------------------
+
+
+def cms_table(
+    df: DataFrame,
+    item_col: str,
+    depth: int = 4,
+    width: int = 1024,
+    seed: str = "cms",
+    weight_col: str | None = None,
+) -> DataFrame:
+    """The ``d × w`` counter table: (cms_row, cms_bucket, cms_count).
+
+    Each item lands in one bucket per hash row (seeded independently);
+    counters are sums, so the whole sketch is ONE map-side-combined
+    shuffle of at most ``d*w`` distinct keys — at 100 TB the shuffle
+    carries the sketch, never the corpus. ``width`` must be a power of
+    two (bucket = low bits, exact in BIGINT).
+    """
+    if width & (width - 1):
+        raise ValueError("width must be a power of two")
+    item = F.col(item_col).cast("string")
+    rows = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(j).alias("cms_row"),
+                    md5_hash60(F.concat(F.lit(f"{seed}:{j}:"), item))
+                    .bitwiseAND(F.lit(width - 1))
+                    .alias("cms_bucket"),
+                )
+                for j in range(depth)
+            ]
+        )
+    )
+    w = F.col(weight_col) if weight_col else F.lit(1)
+    return (
+        df.select(rows.alias("_r"), w.cast("long").alias("_w"))
+        .select("_r.cms_row", "_r.cms_bucket", "_w")
+        .groupBy("cms_row", "cms_bucket")
+        .agg(F.sum("_w").alias("cms_count"))
+    )
+
+
+def cms_lookup(
+    sketch: DataFrame,
+    probes: DataFrame,
+    item_col: str,
+    depth: int = 4,
+    width: int = 1024,
+    seed: str = "cms",
+    est_col: str = "cms_est",
+) -> DataFrame:
+    """Point-frequency estimates for a (small) probe set.
+
+    Re-derives each probe's ``d`` buckets, broadcast-joins the probe
+    rows against the bounded sketch, and takes the min counter. The
+    estimate never undercounts; overcount ≤ 2N/w with prob ≥ 1−2^−d.
+    """
+    item = F.col(item_col).cast("string")
+    pr = probes.select(
+        item.alias(item_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("cms_row"),
+                        md5_hash60(F.concat(F.lit(f"{seed}:{j}:"), item))
+                        .bitwiseAND(F.lit(width - 1))
+                        .alias("cms_bucket"),
+                    )
+                    for j in range(depth)
+                ]
+            )
+        ).alias("_r"),
+    ).select(item_col, "_r.cms_row", "_r.cms_bucket")
+    return (
+        F.broadcast(pr)
+        .join(sketch, ["cms_row", "cms_bucket"], "left")
+        .groupBy(item_col)
+        .agg(F.min(F.coalesce("cms_count", F.lit(0))).alias(est_col))
+    )
+
+
+def cms_bucket_sql(expr: str, j: int, width: int, seed: str = "cms") -> str:
+    """One hash row's bucket, SQL side (mirrors :func:`cms_table`)."""
+    return f"({hash60_sql(expr, f'{seed}:{j}')} & {width - 1})"
+
+
+# ---------------------------------------------------------------------------
+# Exact heavy hitters (the baseline the sketches are judged against)
+# ---------------------------------------------------------------------------
+
+
+def heavy_hitters(
+    df: DataFrame, item_col: str, k: int = 20, weight_col: str | None = None
+) -> DataFrame:
+    """Exact global top-k items with a deterministic tie-break
+    (count desc, item asc). ``orderBy().limit()`` plans as a
+    TakeOrdered — per-partition top-k merged on the driver, so the
+    full frequency table is aggregated (one shuffle) but never
+    globally sorted."""
+    w = F.col(weight_col) if weight_col else F.lit(1)
+    return (
+        df.groupBy(F.col(item_col).cast("string").alias(item_col))
+        .agg(F.sum(w).cast("long").alias("n"))
+        .orderBy(F.desc("n"), F.asc(item_col))
+        .limit(k)
+    )

@@ -19,7 +19,17 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from . import analytics, analytics2, behavior, corpus, graph, kg, olap, pipeline
+from . import (
+    analytics,
+    analytics2,
+    behavior,
+    corpus,
+    graph,
+    kg,
+    olap,
+    pipeline,
+    sketches,
+)
 
 _REQUIRED_CONFS = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
@@ -52,6 +62,7 @@ QUERIES = {
         **corpus.QUERIES,
         **behavior.QUERIES,
         **olap.QUERIES,
+        **sketches.QUERIES,
     }.items()
 }
 ORACLES = {
@@ -63,4 +74,5 @@ ORACLES = {
     **corpus.ORACLES,
     **behavior.ORACLES,
     **olap.ORACLES,
+    **sketches.ORACLES,
 }

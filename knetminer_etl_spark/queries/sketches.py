@@ -1,0 +1,196 @@
+"""Sketch queries: approximate distinct counts and frequencies with
+EXACT oracles.
+
+The sketches (operators/sketch.py) hash with the md5-derived 60-bit
+integer both engines compute bit-identically, so the DuckDB twin
+rebuilds the *same registers / counters* and the *same estimate* —
+the driver hash-checks approximation algorithms exactly, not "within
+tolerance". Each query also emits the exact answer next to the
+estimate so the sketch error is visible (and bounded in pytest).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import sketch as SK
+from ..operators.text import tokens
+
+_P = 8  # 2^8 = 256 HLL registers (~6.5% rse)
+_RHO_MAX = SK.HASH_BITS - _P + 1
+_CMS_D, _CMS_W = 4, 1024
+_HH_K = 20
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, token): lowercased whitespace tokens — narrow explode."""
+    return (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(
+            "doc_id",
+            F.explode(tokens(F.lower(F.col("text")))).alias("token"),
+        )
+    )
+
+
+# SQL twin of the tokenizer (same equivalence corpus.py's token_counts
+# oracle already pins: Spark split(\s+) == DuckDB string_split_regex).
+_TOKS_SQL = (
+    "list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '')"
+)
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog distinct users per event type
+# ---------------------------------------------------------------------------
+
+
+def events_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate distinct users per event type (HLL, p=8) next to the
+    exact count.
+
+    The register table is the scale path: per group the shuffle carries
+    ≤256 pre-merged rows regardless of corpus size, and the identical
+    ``max``-merge makes it a valid streaming / partial-union state.
+    The exact branch exists only as the comparison column.
+    """
+    ev = _events(spark, sf_dir).select("event_type", "user_id")
+    est = SK.hll_distinct(ev, "user_id", ["event_type"], p=_P)
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact")
+    )
+    return (
+        exact.join(est, "event_type")
+        .select("event_type", "n_exact", "hll_est", "n_zero_reg")
+        .orderBy("event_type")
+    )
+
+
+def _hll_sql() -> str:
+    idx, rho = SK.hll_idx_rho_sql("user_id", "hll", _P)
+    est = SK.hll_estimate_sql(1 << _P, _RHO_MAX)
+    return f"""
+WITH base AS (SELECT event_type, user_id FROM events),
+regs AS (
+  SELECT event_type, {idx} AS reg_idx, max({rho}) AS reg_rho
+  FROM base GROUP BY 1, 2
+),
+est AS (
+  SELECT event_type,
+         sum(1::BIGINT << ({_RHO_MAX} - reg_rho)) AS _z_present,
+         count(*) AS _n_present
+  FROM regs GROUP BY 1
+),
+exact AS (
+  SELECT event_type, count(DISTINCT user_id) AS n_exact FROM base GROUP BY 1
+)
+SELECT exact.event_type, n_exact, {est} AS hll_est,
+       CAST({1 << _P} - _n_present AS INT) AS n_zero_reg
+FROM exact JOIN est USING (event_type)
+ORDER BY event_type
+"""
+
+
+EVENTS_DISTINCT_HLL_SQL = _hll_sql()
+
+
+# ---------------------------------------------------------------------------
+# Exact corpus heavy hitters
+# ---------------------------------------------------------------------------
+
+
+def doc_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact global top-20 tokens (count desc, token asc tie-break).
+
+    One map-side-combined aggregation over the exploded tokens, then a
+    TakeOrdered top-k — the frequency table shuffles pre-merged, the
+    sort never goes global.
+    """
+    return SK.heavy_hitters(_doc_tokens(spark, sf_dir), "token", k=_HH_K)
+
+
+DOC_HEAVY_HITTERS_SQL = f"""
+SELECT token, CAST(count(*) AS BIGINT) AS n
+FROM (SELECT unnest({_TOKS_SQL}) AS token FROM documents)
+GROUP BY token
+ORDER BY n DESC, token ASC
+LIMIT {_HH_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Count-min estimates for the heavy hitters
+# ---------------------------------------------------------------------------
+
+
+def doc_token_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min (4×1024) frequency estimates for the exact top-10
+    tokens, next to their true counts.
+
+    The sketch is ONE bounded shuffle (≤ d·w counter rows, map-side
+    combined); probes re-hash and broadcast-join against it. CMS never
+    undercounts, so ``cms_est >= n_exact`` always — pinned in pytest,
+    while the oracle pins the exact counter values.
+    """
+    toks = _doc_tokens(spark, sf_dir)
+    top = SK.heavy_hitters(toks, "token", k=10).withColumnRenamed("n", "n_exact")
+    sketch = SK.cms_table(toks, "token", depth=_CMS_D, width=_CMS_W)
+    est = SK.cms_lookup(sketch, top.select("token"), "token", _CMS_D, _CMS_W)
+    return (
+        top.join(est, "token")
+        .select("token", "n_exact", F.col("cms_est").cast("long").alias("cms_est"))
+        .orderBy("token")
+    )
+
+
+def _cms_sql() -> str:
+    bucket = (
+        f"(('0x' || substr(md5('cms:' || j || ':' || token), 1, 15))::BIGINT"
+        f" & {_CMS_W - 1})"
+    )
+    return f"""
+WITH toks AS (
+  SELECT unnest({_TOKS_SQL}) AS token FROM documents
+),
+top AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS n_exact
+  FROM toks GROUP BY token
+  ORDER BY n_exact DESC, token ASC LIMIT 10
+),
+sketch AS (
+  SELECT j, {bucket} AS bucket, CAST(count(*) AS BIGINT) AS c
+  FROM toks, (VALUES (0), (1), (2), (3)) AS hashes(j)
+  GROUP BY 1, 2
+),
+probe AS (
+  SELECT token, j, {bucket} AS bucket
+  FROM top, (VALUES (0), (1), (2), (3)) AS hashes(j)
+)
+SELECT top.token, n_exact,
+       (SELECT min(coalesce(c, 0)) FROM probe
+        LEFT JOIN sketch USING (j, bucket)
+        WHERE probe.token = top.token) AS cms_est
+FROM top
+ORDER BY token
+"""
+
+
+DOC_TOKEN_CMS_SQL = _cms_sql()
+
+
+QUERIES = {
+    "events_distinct_hll": events_distinct_hll,
+    "doc_heavy_hitters": doc_heavy_hitters,
+    "doc_token_cms": doc_token_cms,
+}
+
+ORACLES = {
+    "events_distinct_hll": EVENTS_DISTINCT_HLL_SQL,
+    "doc_heavy_hitters": DOC_HEAVY_HITTERS_SQL,
+    "doc_token_cms": DOC_TOKEN_CMS_SQL,
+}
