@@ -216,6 +216,126 @@ def weighted_sample(
     )
 
 
+def shard_column(key: Column, n_shards: int, seed: str = "shard") -> Column:
+    """Deterministic shard id in ``[0, n_shards)`` from a row key.
+
+    The training-data output layout: hash-sharding gives near-equal
+    shard sizes (multinomial balance — relative skew ~1/sqrt(rows per
+    shard)), assignment is a narrow map, and writing is
+    ``df.repartition(n, shard).write`` — one file per shard, no global
+    sort. Stable in (key, seed): incremental corpus builds append to
+    the same shard a document always had.
+    """
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    return hash_bucket(key, seed, n_shards)
+
+
+def assign_shards(
+    df: DataFrame,
+    key_col: str,
+    n_shards: int,
+    seed: str = "shard",
+    shard_col: str = "shard",
+    order_col: str | None = "shard_order",
+) -> DataFrame:
+    """Add shard id + (optionally) a deterministic within-shard order
+    key — the md5 bucket under a second seed, i.e. a stable pseudo-
+    random permutation. Sorting each shard by it interleaves sources
+    statistically (the "global shuffle" step of training-data prep)
+    without any global sort: ``repartition(shard).sortWithinPartitions
+    (order)`` keeps both shuffle and sort partition-local.
+    """
+    out = df.withColumn(shard_col, shard_column(F.col(key_col), n_shards, seed))
+    if order_col:
+        out = out.withColumn(
+            order_col, hash_bucket(F.col(key_col), f"{seed}:order")
+        )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Temperature (mixture) sampling
+# ---------------------------------------------------------------------------
+
+
+def temperature_fractions(
+    df: DataFrame,
+    source_col: str,
+    target_total: int,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Per-source keep fractions for temperature-``alpha`` mixture
+    sampling: source ``s`` is drawn toward ``target_total * n_s^alpha /
+    Σ n_t^alpha`` rows (capped at its size) — the standard multilingual
+    / multi-source rebalancing rule (alpha<1 upweights small sources;
+    alpha=1 is proportional; alpha=0 is uniform).
+
+    Distributed end-to-end: a tiny per-source count aggregate, a 1-row
+    total joined back by crossJoin — no driver collect.
+
+    Bit-reproducibility: the weight ``n^alpha`` is quantized to a
+    BIGINT (``floor(n^alpha * 1e6)``) *before* summing, so the
+    cross-source sum is exact-integer (float sums are accumulation-
+    order-dependent; integer sums are not) and everything after is a
+    fixed chain of IEEE double ops. ``alpha=0.5`` uses ``sqrt`` —
+    correctly rounded by IEEE 754 in both engines; other alphas use
+    ``pow``, whose last-ulp behavior is libm-specific (fine in
+    practice, but only sqrt carries the bit-exactness guarantee the
+    oracles rely on).
+    """
+    counts = df.groupBy(source_col).agg(F.count("*").alias("n_src"))
+    w = F.floor(_root_col(F.col("n_src").cast("double"), alpha) * 1e6).cast(
+        "long"
+    )
+    weighted = counts.withColumn("_w", w)
+    tot = weighted.agg(F.sum("_w").alias("_wtot"))
+    return (
+        weighted.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "keep_frac",
+            F.least(
+                F.lit(1.0),
+                F.lit(float(target_total))
+                * (F.col("_w").cast("double") / F.col("_wtot").cast("double"))
+                / F.col("n_src").cast("double"),
+            ),
+        )
+        .select(source_col, "n_src", "keep_frac")
+    )
+
+
+def temperature_sample(
+    df: DataFrame,
+    key_col: str,
+    source_col: str,
+    target_total: int,
+    alpha: float = 0.5,
+    seed: str = "temp",
+) -> DataFrame:
+    """Deterministic temperature-``alpha`` resample: joins each row to
+    its source's keep fraction (broadcast — the fraction table has one
+    row per source) and keeps rows whose key bucket clears it. Row
+    membership is stable in (key, seed) like every sampler here, so a
+    corpus rebuild keeps the same documents.
+    """
+    fr = temperature_fractions(df, source_col, target_total, alpha)
+    bucket = hash_bucket(F.col(key_col), seed)
+    return (
+        df.join(F.broadcast(fr.select(source_col, "keep_frac")), source_col)
+        .filter(bucket < F.floor(F.col("keep_frac") * N_BUCKETS))
+        .drop("keep_frac")
+    )
+
+
+def _root_col(c: Column, alpha: float) -> Column:
+    return F.sqrt(c) if alpha == 0.5 else F.pow(c, F.lit(alpha))
+
+
+def _root_sql(expr: str, alpha: float) -> str:
+    return f"sqrt({expr})" if alpha == 0.5 else f"pow({expr}, {alpha!r})"
+
+
 # ---------------------------------------------------------------------------
 # SQL twins (DuckDB dialect) for oracle construction
 # ---------------------------------------------------------------------------

@@ -29,6 +29,7 @@ from . import (
     olap,
     pipeline,
     sketches,
+    training,
 )
 
 _REQUIRED_CONFS = {
@@ -63,6 +64,7 @@ QUERIES = {
         **behavior.QUERIES,
         **olap.QUERIES,
         **sketches.QUERIES,
+        **training.QUERIES,
     }.items()
 }
 ORACLES = {
@@ -75,4 +77,5 @@ ORACLES = {
     **behavior.ORACLES,
     **olap.ORACLES,
     **sketches.ORACLES,
+    **training.ORACLES,
 }

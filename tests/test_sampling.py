@@ -124,3 +124,88 @@ class TestWeightedSample:
         # heavy share of a 10-draw is well above uniform's 1 draw
         assert heavy > light * 0.7, (heavy, light)
         assert heavy >= 3 * 12 * 10 / 11 / 3  # loose sanity floor
+
+
+class TestSharding:
+    def test_shards_partition_and_balance(self, ids_df):
+        from knetminer_etl_spark.operators.sampling import assign_shards
+
+        out = assign_shards(ids_df, "id", 16, order_col=None)
+        counts = {
+            r["shard"]: r["n"]
+            for r in out.groupBy("shard").agg(F.count("*").alias("n")).collect()
+        }
+        assert sum(counts.values()) == 2000
+        assert set(counts) == set(range(16))
+        # multinomial balance: expected 125/shard, allow wide band
+        assert all(70 < n < 190 for n in counts.values()), counts
+
+    def test_shard_assignment_deterministic_and_narrow(self, ids_df):
+        from knetminer_etl_spark.operators.sampling import assign_shards
+
+        a = assign_shards(ids_df, "id", 16)
+        b = assign_shards(ids_df, "id", 16)
+        assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+        plan = a._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan  # pure narrow map over the scan
+
+    def test_order_key_is_a_permutation_independent_of_shard_seed(self, ids_df):
+        from knetminer_etl_spark.operators.sampling import assign_shards
+
+        out = assign_shards(ids_df, "id", 16).collect()
+        orders = [r["shard_order"] for r in out]
+        # distinct (collision-free at this size w.h.p.) and not sorted by id
+        assert len(set(orders)) > 1990
+        assert orders != sorted(orders)
+
+
+class TestTemperatureSample:
+    @pytest.fixture(scope="class")
+    def skewed_df(self, spark):
+        # sources: big=1000, mid=200, small=50
+        rows = (
+            [(i, "big") for i in range(1000)]
+            + [(1000 + i, "mid") for i in range(200)]
+            + [(1200 + i, "small") for i in range(50)]
+        )
+        return spark.createDataFrame(rows, "id bigint, src string")
+
+    def test_fractions_hit_targets(self, spark, skewed_df):
+        import math
+
+        from knetminer_etl_spark.operators.sampling import temperature_fractions
+
+        fr = {
+            r["src"]: r["keep_frac"]
+            for r in temperature_fractions(skewed_df, "src", 600).collect()
+        }
+        wsum = math.sqrt(1000) + math.sqrt(200) + math.sqrt(50)
+        for src, n in (("big", 1000), ("mid", 200), ("small", 50)):
+            expect = min(1.0, 600 * math.sqrt(n) / wsum / n)
+            assert abs(fr[src] - expect) < 1e-6, src
+
+    def test_sample_counts_near_targets_and_deterministic(self, skewed_df):
+        from knetminer_etl_spark.operators.sampling import temperature_sample
+
+        kept = temperature_sample(skewed_df, "id", "src", 600)
+        counts = {
+            r["src"]: r["n"]
+            for r in kept.groupBy("src").agg(F.count("*").alias("n")).collect()
+        }
+        # sqrt weighting: big ≈ 360, mid ≈ 161, small ≈ 80 (curbed by hash noise)
+        assert 290 < counts["big"] < 430
+        assert 120 < counts["mid"] < 200
+        assert 55 < counts["small"] <= 80 or counts["small"] == 50
+        again = temperature_sample(skewed_df, "id", "src", 600)
+        assert kept.exceptAll(again).count() == 0
+
+    def test_alpha_one_is_proportional(self, skewed_df):
+        from knetminer_etl_spark.operators.sampling import temperature_fractions
+
+        fr = {
+            r["src"]: r["keep_frac"]
+            for r in temperature_fractions(skewed_df, "src", 625, alpha=1.0).collect()
+        }
+        # alpha=1: every source keeps the same fraction 625/1250 = 0.5
+        for src in ("big", "mid", "small"):
+            assert abs(fr[src] - 0.5) < 1e-3, fr
