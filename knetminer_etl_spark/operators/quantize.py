@@ -120,6 +120,161 @@ def sq_decode(
     )
 
 
+def pq_train(
+    corpus: DataFrame,
+    m: int = 4,
+    ksub: int = 8,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[tuple[int, list[float]]]]:
+    """Product-quantization codebooks: the vector is split into ``m``
+    contiguous subspaces and each gets its own ``ksub``-centroid
+    deterministic k-means (FAISS ``PQmxk``) — compression is
+    ``m * log2(ksub)`` bits per vector vs ``32 * dim``.
+
+    Same determinism recipe as :func:`.similarity.kmeans_fit` (md5-ordered
+    seed rows shared by every subspace, fixed Lloyd rounds, (d2, cid)
+    tie-break, empty cells keep their centroid) so a SQL oracle
+    replicates the codebooks exactly. Scale shape: every Lloyd round is
+    ONE job for ALL subspaces — a narrow-map argmin per subspace
+    (literal centroids), exploded to (subspace, cell, subvector) and
+    aggregated with map-side-combined per-dimension sums, so the
+    round's shuffle carries ``m × ksub × (dsub+1)`` combined values per
+    partition regardless of corpus size. Codebooks are driver-held
+    (``m × ksub × dsub`` doubles — the broadcast-parameter shape).
+    """
+    from .similarity import _sq_dist
+
+    v = (
+        corpus.select(F.col(id_col).alias("_id"), _dvec(F.col(vec_col)).alias("_v"))
+        .filter(F.col("_v").isNotNull())
+        .localCheckpoint(eager=True)
+    )
+    head = v.first()
+    if head is None:
+        raise ValueError("pq_train: empty corpus (no non-NULL vectors)")
+    dim = len(head["_v"])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    dsub = dim // m
+    seeds = (
+        v.orderBy(F.md5(F.col("_id").cast("string")), F.col("_id"))
+        .limit(ksub)
+        .collect()
+    )
+    books: list[list[tuple[int, list[float]]]] = [
+        [
+            (cid, list(r["_v"])[s * dsub : (s + 1) * dsub])
+            for cid, r in enumerate(seeds)
+        ]
+        for s in range(m)
+    ]
+    for _ in range(iterations):
+        per_sub = []
+        for s in range(m):
+            sub = F.slice(F.col("_v"), s * dsub + 1, dsub)
+            entries = [
+                F.struct(
+                    _sq_dist(sub, F.array(*[F.lit(x) for x in c])).alias("d2"),
+                    F.lit(cid).alias("cid"),
+                )
+                for cid, c in books[s]
+            ]
+            per_sub.append(
+                F.struct(
+                    F.lit(s).alias("s"),
+                    F.array_min(F.array(*entries))["cid"].alias("cid"),
+                    sub.alias("sub"),
+                )
+            )
+        agg = (
+            v.select(F.explode(F.array(*per_sub)).alias("a"))
+            .select("a.s", "a.cid", "a.sub")
+            .groupBy("s", "cid")
+            .agg(
+                F.count("*").alias("_n"),
+                *[F.sum(F.col("sub")[i]).alias(f"_s{i}") for i in range(dsub)],
+            )
+            .collect()
+        )
+        means = {
+            (r["s"], r["cid"]): [r[f"_s{i}"] / r["_n"] for i in range(dsub)]
+            for r in agg
+        }
+        books = [
+            [(cid, means.get((s, cid), c)) for cid, c in books[s]]
+            for s in range(m)
+        ]
+    return books
+
+
+def _pq_sub_code(
+    vec: Column, book: list[tuple[int, list[float]]], s: int, dsub: int
+) -> Column:
+    from .similarity import _sq_dist
+
+    sub = F.slice(vec, s * dsub + 1, dsub)
+    entries = [
+        F.struct(
+            _sq_dist(sub, F.array(*[F.lit(x) for x in c])).alias("d2"),
+            F.lit(cid).alias("cid"),
+        )
+        for cid, c in book
+    ]
+    return F.array_min(F.array(*entries))["cid"]
+
+
+def pq_encode(vec: Column, books: list[list[tuple[int, list[float]]]]) -> Column:
+    """array<int> of ``m`` codes — nearest sub-centroid per subspace.
+    Narrow map with literal codebooks: encodes at scan speed."""
+    dsub = len(books[0][0][1])
+    return F.array(
+        *[_pq_sub_code(_dvec(vec), b, s, dsub) for s, b in enumerate(books)]
+    )
+
+
+def pq_decode(codes: Column, books: list[list[tuple[int, list[float]]]]) -> Column:
+    """array<double> reconstruction: concatenation of the coded
+    sub-centroids (codebooks inlined as literal array-of-arrays)."""
+    subs = []
+    for s, book in enumerate(books):
+        table = F.array(*[F.array(*[F.lit(x) for x in c]) for _, c in book])
+        subs.append(F.element_at(table, codes[s] + 1))
+    return F.concat(*subs)
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 4,
+    ksub: int = 8,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str | None = None,
+) -> DataFrame:
+    """Exact-cosine top-k against the PQ-**reconstructed** corpus
+    (queries full-precision — asymmetric distance). Same output
+    contract as :func:`.similarity.cosine_topk`; scores differ from the
+    exact baseline only by quantization error, bounded in tests.
+
+    Reconstruction is a narrow decode map — the corpus stores ``m``
+    small ints per vector instead of ``dim`` floats (the storage/IO win
+    PQ exists for); a production ADC variant would replace decode+dot
+    with per-query lookup tables, an Arrow-batch micro-optimization the
+    decode form's codegen already approximates locally.
+    """
+    books = pq_train(corpus, m, ksub, iterations, id_col, vec_col)
+    recon = corpus.withColumn(
+        vec_col, pq_decode(pq_encode(F.col(vec_col), books), books)
+    )
+    from .similarity import cosine_topk
+
+    return cosine_topk(recon, queries, k, id_col, vec_col, query_id_col)
+
+
 def sq_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -324,6 +324,108 @@ WHERE round({_DOT.format(a='a.embedding', b='b.embedding')}
 """
 
 
+def embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k cosine against the product-quantized corpus (4 subspaces ×
+    8 sub-centroids — 12 bits/vector vs 2048): per-subspace k-means is
+    the same deterministic Lloyd recipe as IVF (md5-ordered shared
+    seeds, fixed rounds, (d2, cid) tie-break), so the oracle unrolls
+    the identical codebooks, codes, and reconstructed scores
+    (operators/quantize.py)."""
+    from ..operators import quantize as SQ
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return SQ.pq_topk(
+        emb, emb.filter("vec_id < 20"), k=5, m=4, ksub=8, iterations=2
+    )
+
+
+def _pq_sql(m: int = 4, ksub: int = 8, iterations: int = 2, k: int = 5) -> str:
+    """DuckDB twin of operators.quantize.pq_topk: per-subspace Lloyd
+    rounds unrolled as CTEs (the IVF-oracle shape, m codebooks)."""
+    d2 = _km_d2_sql
+    dim = 64  # embeddings table dimensionality (len asserted by data)
+    dsub = dim // m
+    parts = [
+        f"""WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb FROM embeddings
+),
+seed AS (
+  SELECT cid, emb FROM (
+    SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cid,
+           emb
+    FROM v) WHERE cid < {ksub}
+)"""
+    ]
+    for s in range(m):
+        lo, hi = s * dsub + 1, (s + 1) * dsub
+        sub = f"v.emb[{lo}:{hi}]"
+        parts.append(
+            f""",
+b{s}c0 AS (SELECT cid, emb[{lo}:{hi}] AS cv FROM seed)"""
+        )
+        for t in range(1, iterations + 1):
+            parts.append(
+                f""",
+b{s}a{t} AS (
+  SELECT vec_id, sub, cid FROM (
+    SELECT v.vec_id, {sub} AS sub, c.cid,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY {d2(sub, 'c.cv')}, c.cid) AS rn
+    FROM v CROSS JOIN b{s}c{t - 1} c) WHERE rn = 1
+),
+b{s}m{t} AS (
+  SELECT cid, list(mv ORDER BY i) AS cv
+  FROM (SELECT cid, i, avg(x) AS mv
+        FROM (SELECT cid, unnest(sub) AS x,
+                     unnest(generate_series(1, len(sub))) AS i
+              FROM b{s}a{t})
+        GROUP BY cid, i)
+  GROUP BY cid
+),
+b{s}c{t} AS (
+  SELECT c.cid, COALESCE(mm.cv, c.cv) AS cv
+  FROM b{s}c{t - 1} c LEFT JOIN b{s}m{t} mm USING (cid)
+)"""
+            )
+        parts.append(
+            f""",
+r{s} AS (
+  SELECT vec_id, cv FROM (
+    SELECT v.vec_id, c.cv,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY {d2(sub, 'c.cv')}, c.cid) AS rn
+    FROM v CROSS JOIN b{s}c{iterations} c) WHERE rn = 1
+)"""
+        )
+    concat = " || ".join(f"r{s}.cv" for s in range(m))
+    joins = " ".join(f"JOIN r{s} ON r{s}.vec_id = v.vec_id" for s in range(m))
+    parts.append(
+        f""",
+recon AS (
+  SELECT v.vec_id AS neighbor_id, {concat} AS cv
+  FROM v {joins}
+),
+q AS (SELECT vec_id AS query_id, emb AS qv FROM v WHERE vec_id < 20),
+scored AS (
+  SELECT query_id, neighbor_id,
+         round({_DOT.format(a='qv', b='cv')}
+               / (sqrt({_DOT.format(a='qv', b='qv')})
+                  * sqrt({_DOT.format(a='cv', b='cv')})), 6) AS cosine
+  FROM recon CROSS JOIN q
+  WHERE neighbor_id <> query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {k}"""
+    )
+    return "".join(parts)
+
+
 def embedding_sq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-k cosine against the int8 scalar-quantized corpus (queries
     full-precision — asymmetric distance). Every step is deterministic
@@ -524,6 +626,9 @@ FROM ranked WHERE rank <= {k}"""
 
 
 EMBEDDING_IVF_TOPK_SQL = _ivf_sql(nlist=8, nprobe=2, iterations=3, k=5)
+
+# _pq_sql needs _km_d2_sql, defined above — evaluated here, not at its def.
+EMBEDDING_PQ_TOPK_SQL = _pq_sql(m=4, ksub=8, iterations=2, k=5)
 
 
 EMBEDDING_LSH_TOPK_SQL = f"""
@@ -857,6 +962,7 @@ QUERIES = {
     "embedding_topk": embedding_topk,
     "embedding_dup_pairs": embedding_dup_pairs,
     "embedding_sq_topk": embedding_sq_topk,
+    "embedding_pq_topk": embedding_pq_topk,
     "embedding_lsh_topk": embedding_lsh_topk,
     "embedding_ivf_topk": embedding_ivf_topk,
     "events_tumbling_5m": events_tumbling_5m,
@@ -883,6 +989,7 @@ ORACLES = {
     "embedding_topk": EMBEDDING_TOPK_SQL,
     "embedding_dup_pairs": EMBEDDING_DUP_SQL,
     "embedding_sq_topk": EMBEDDING_SQ_TOPK_SQL,
+    "embedding_pq_topk": EMBEDDING_PQ_TOPK_SQL,
     "embedding_lsh_topk": EMBEDDING_LSH_TOPK_SQL,
     "embedding_ivf_topk": EMBEDDING_IVF_TOPK_SQL,
     "events_tumbling_5m": EVENTS_TUMBLING_SQL,

@@ -142,3 +142,111 @@ def test_train_high_dim_explode_path(spark):
     finally:
         Q._WIDE_AGG_MAX_DIM = orig
     assert hi == wide
+
+
+class TestPQ:
+    @pytest.fixture()
+    def clustered(self, spark):
+        # 3 clear clusters in 8 dims (2 subspaces of 4): centers +-5,
+        # members jittered deterministically.
+        import itertools
+
+        centers = [
+            [5.0, 5.0, -5.0, -5.0, 5.0, -5.0, 5.0, -5.0],
+            [-5.0, -5.0, 5.0, 5.0, -5.0, 5.0, -5.0, 5.0],
+            [5.0, -5.0, 5.0, -5.0, -5.0, 5.0, 5.0, -5.0],
+        ]
+        rows = []
+        for i, (c, j) in enumerate(itertools.product(centers, range(10))):
+            rows.append((i, [x + ((i * 7 + d) % 5 - 2) * 0.1 for d, x in enumerate(c)]))
+        return spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+
+    def test_codes_shape_and_determinism(self, spark, clustered):
+        from knetminer_etl_spark.operators.quantize import pq_encode, pq_train
+
+        books = pq_train(clustered, m=2, ksub=4, iterations=2)
+        assert len(books) == 2 and all(len(b) == 4 for b in books)
+        assert all(len(c) == 4 for b in books for _, c in b)
+        codes = clustered.select(
+            "vec_id", pq_encode(F.col("embedding"), books).alias("c")
+        ).collect()
+        assert all(len(r["c"]) == 2 for r in codes)
+        assert all(0 <= x < 4 for r in codes for x in r["c"])
+        again = pq_train(clustered, m=2, ksub=4, iterations=2)
+        assert books == again  # bit-identical retrain
+
+    def test_same_cluster_shares_codes(self, spark, clustered):
+        from knetminer_etl_spark.operators.quantize import pq_encode, pq_train
+
+        books = pq_train(clustered, m=2, ksub=4, iterations=3)
+        codes = {
+            r["vec_id"]: tuple(r["c"])
+            for r in clustered.select(
+                "vec_id", pq_encode(F.col("embedding"), books).alias("c")
+            ).collect()
+        }
+        # rows 0-9 / 10-19 / 20-29 are the three clusters. Seeding may
+        # split a cluster across two cells within a subspace (4 seeds,
+        # 3 clusters), but well-separated clusters never SHARE a
+        # sub-code, and no cluster shatters beyond the seed split.
+        for s in range(2):
+            sets = [
+                {codes[base + i][s] for i in range(10)}
+                for base in (0, 10, 20)
+            ]
+            for cs in sets:
+                assert len(cs) <= 2, (s, sets)
+            for a in range(3):
+                for b in range(a + 1, 3):
+                    assert not (sets[a] & sets[b]), (s, sets)
+
+    def test_reconstruction_bounds_quantization_error(self, spark, clustered):
+        from knetminer_etl_spark.operators.quantize import (
+            pq_decode,
+            pq_encode,
+            pq_train,
+        )
+
+        books = pq_train(clustered, m=2, ksub=4, iterations=3)
+        recon = clustered.select(
+            "embedding",
+            pq_decode(pq_encode(F.col("embedding"), books), books).alias("r"),
+        ).collect()
+        # converged sub-centroids sit at their cluster means — error per
+        # dim is bounded by the jitter radius (0.25 with margin)
+        for row in recon:
+            for x, r in zip(row["embedding"], row["r"]):
+                assert abs(x - r) <= 0.25, (x, r)
+
+    def test_pq_topk_tracks_exact_topk(self, spark, clustered):
+        from knetminer_etl_spark.operators.quantize import pq_topk
+
+        queries = clustered.filter("vec_id in (0, 10, 20)")
+        exact = cosine_topk(clustered, queries, k=5)
+        approx = pq_topk(clustered, queries, k=5, m=2, ksub=4, iterations=3)
+        ex = {
+            (r["query_id"], r["neighbor_id"]) for r in exact.collect()
+        }
+        ap = {
+            (r["query_id"], r["neighbor_id"]) for r in approx.collect()
+        }
+        # same-cluster neighbors dominate both lists; require >=60% overlap
+        assert len(ex & ap) >= 0.6 * len(ex), (len(ex & ap), len(ex))
+
+    def test_encode_is_narrow(self, spark, clustered):
+        from knetminer_etl_spark.operators.quantize import pq_encode, pq_train
+
+        books = pq_train(clustered, m=2, ksub=4, iterations=1)
+        plan = (
+            clustered.select(pq_encode(F.col("embedding"), books).alias("c"))
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in plan
+
+    def test_indivisible_dim_raises(self, spark, clustered):
+        from knetminer_etl_spark.operators.quantize import pq_train
+
+        with pytest.raises(ValueError, match="divisible"):
+            pq_train(clustered, m=3, ksub=4, iterations=1)
