@@ -45,6 +45,13 @@ HEADLINE = [
     "doc_repetition_stats",
     "doc_decontamination",
     "doc_tfidf_terms",
+    # round-3 additions: sketches, training layout, PQ
+    "doc_heavy_hitters",
+    "doc_token_cms",
+    "events_distinct_hll",
+    "doc_shard_manifest",
+    "doc_temperature_mix",
+    "embedding_pq_topk",
 ]
 
 

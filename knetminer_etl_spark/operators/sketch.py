@@ -100,6 +100,18 @@ def hll_registers(
     )
 
 
+def _ln_lookup(m: int) -> list[float]:
+    """``ln(m / V)`` for V in 1..m, computed ONCE in Python and inlined
+    as identical literals on both engines — the linear-counting
+    correction needs ``ln``, whose last-ulp behavior is libm-specific;
+    shipping the 256 possible values as shared literals removes the
+    engine's libm from the equation entirely (``repr`` round-trips
+    doubles exactly)."""
+    import math
+
+    return [math.log(m / v) for v in range(1, m + 1)]
+
+
 def hll_estimate(
     registers: DataFrame,
     group_cols: list[str] | None = None,
@@ -111,11 +123,12 @@ def hll_estimate(
     ``E = alpha_m * m^2 / (sum(2^-rho) + zeros)`` with the harmonic sum
     scaled by ``2^RHO_MAX`` into an exact BIGINT (max ``m * 2^53 = 2^61``
     at p=8, no overflow), then a single double multiply/divide —
-    bit-reproducible. The raw (uncorrected) estimator is emitted; the
-    small-range linear-counting correction needs ``ln`` whose last-ulp
-    behavior is libm-specific, so it is deliberately left to the reader
-    of ``n_zero_reg`` (also emitted) rather than baked into a value the
-    oracle must reproduce.
+    bit-reproducible. In the small-range regime (``E <= 2.5m`` with
+    empty registers — where the raw estimator's bias approaches
+    ``alpha*m`` regardless of the true count) the standard
+    linear-counting correction ``m * ln(m / V)`` applies, with the
+    ``ln`` values drawn from a shared literal table
+    (:func:`_ln_lookup`) so the choice stays bit-reproducible.
     """
     m = 1 << p
     rho_max = HASH_BITS - p + 1
@@ -127,14 +140,18 @@ def hll_estimate(
         F.sum(scaled).alias("_z_present"),
         F.count("*").alias("_n_present"),
     )
-    zs = F.col("_z_present") + (F.lit(m) - F.col("_n_present")) * F.lit(
-        1 << rho_max
-    ).cast("long")
-    est = F.lit(hll_alpha(m) * m * m * float(1 << rho_max)) / zs.cast("double")
+    zeros = (F.lit(m) - F.col("_n_present")).cast("int")
+    zs = F.col("_z_present") + zeros.cast("long") * F.lit(1 << rho_max).cast(
+        "long"
+    )
+    raw = F.lit(hll_alpha(m) * m * m * float(1 << rho_max)) / zs.cast("double")
+    lut = F.array(*[F.lit(v) for v in _ln_lookup(m)])
+    linear = F.lit(float(m)) * F.element_at(lut, zeros)
+    est = F.when((raw <= F.lit(2.5 * m)) & (zeros > 0), linear).otherwise(raw)
     return agg.select(
         *keys,
         F.floor(est + F.lit(0.5)).cast("long").alias(est_col),
-        (F.lit(m) - F.col("_n_present")).cast("int").alias("n_zero_reg"),
+        zeros.alias("n_zero_reg"),
     )
 
 
@@ -179,12 +196,20 @@ def hll_idx_rho_sql(expr: str, seed: str = "hll", p: int = 8) -> tuple[str, str]
 
 
 def hll_estimate_sql(m: int, rho_max: int) -> str:
-    """Estimate over a register CTE with columns (_z_present, _n_present)."""
+    """Estimate over a register CTE with columns (_z_present, _n_present)
+    — mirrors :func:`hll_estimate` including the linear-counting branch
+    (same literal ``ln`` table, so both engines pick the same branch and
+    the same value)."""
     alpha = hll_alpha(m)
+    raw = (
+        f"({alpha!r} * {float(m * m * (1 << rho_max))!r} / "
+        f"(_z_present + ({m} - _n_present) * (1::BIGINT << {rho_max}))::DOUBLE)"
+    )
+    lut = "[" + ", ".join(repr(v) for v in _ln_lookup(m)) + "]"
+    linear = f"({float(m)!r} * ({lut})[{m} - _n_present])"
     return (
-        f"CAST(floor({alpha!r} * {float(m * m * (1 << rho_max))!r} / "
-        f"(_z_present + ({m} - _n_present) * (1::BIGINT << {rho_max}))::DOUBLE"
-        f" + 0.5) AS BIGINT)"
+        f"CAST(floor(CASE WHEN {raw} <= {2.5 * m!r} AND {m} - _n_present > 0 "
+        f"THEN {linear} ELSE {raw} END + 0.5) AS BIGINT)"
     )
 
 

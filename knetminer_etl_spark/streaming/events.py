@@ -277,6 +277,44 @@ def stream_dedup(
     )
 
 
+def stream_hll_registers(
+    events: DataFrame,
+    key_col: str = "user_id",
+    window_minutes: int = 60,
+    watermark: str = "30 minutes",
+    p: int = 8,
+    seed: str = "hll",
+) -> DataFrame:
+    """Streaming twin of :func:`..operators.sketch.hll_registers` over
+    tumbling event-time windows: approximate distinct keys per window.
+
+    The HLL register (max leading-zero rank per bucket) IS the streaming
+    state — a plain ``max`` aggregate, so state is bounded at ``2^p``
+    rows per open window whatever the key cardinality (a streaming
+    ``countDistinct`` would hold every key). Emitted register tables
+    max-merge across windows / restarts / backfills into the same
+    estimates the batch operator produces (equivalence pinned in
+    tests/test_streaming.py; collapse with
+    :func:`..operators.sketch.hll_estimate`)."""
+    from ..operators.sketch import hll_idx_rho
+
+    idx, rho = hll_idx_rho(F.col(key_col), seed, p)
+    return (
+        events.withWatermark("ts", watermark)
+        .select(F.col("ts"), idx.alias("reg_idx"), rho.alias("reg_rho"))
+        .groupBy(
+            F.window("ts", f"{window_minutes} minutes").alias("w"),
+            F.col("reg_idx"),
+        )
+        .agg(F.max("reg_rho").alias("reg_rho"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            "reg_idx",
+            "reg_rho",
+        )
+    )
+
+
 def run_stream_to_memory(
     stream_df: DataFrame,
     query_name: str,

