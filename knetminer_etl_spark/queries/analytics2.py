@@ -772,3 +772,97 @@ ORACLES.update(
         "q20_concentrated_suppliers": Q20_SQL,
     }
 )
+
+
+# -- Bloom-filter semi-join pruning (runtime filter) --------------------------
+
+
+def orders_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom runtime filter (operators/bloomjoin.py): orders pre-filtered
+    by a 2^16-bit / 4-probe filter built from BUILDING-segment customer
+    keys, next to the exact semi-join counts — at scale only the bloom
+    survivors pay the join shuffle, and the oracle rebuilds the
+    identical filter so the (deterministic) false-positive set matches
+    exactly."""
+    from ..operators import bloomjoin as BJ
+
+    o = _t(spark, sf_dir, "orders")
+    dim = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+        .distinct()
+    )
+    passed = BJ.bloom_semi_filter(o, "o_custkey", dim, "c_custkey")
+    n_pass = passed.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_bloom_pass")
+    )
+    n_true = (
+        o.join(dim, o["o_custkey"] == dim["c_custkey"], "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_true_match"))
+    )
+    return (
+        n_pass.join(n_true, "o_orderpriority", "left")
+        .select(
+            "o_orderpriority",
+            "n_bloom_pass",
+            F.coalesce("n_true_match", F.lit(0)).cast("long").alias(
+                "n_true_match"
+            ),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+def _bloom_sql() -> str:
+    from ..operators.bloomjoin import mask_sql
+
+    n_bits = 1 << 16
+    dpos = (
+        "(('0x' || substr(md5('bloom:' || j || ':' "
+        f"|| CAST(c_custkey AS VARCHAR)), 1, 15))::BIGINT & {n_bits - 1})"
+    )
+    opos = (
+        "(('0x' || substr(md5('bloom:' || j || ':' "
+        f"|| CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT & {n_bits - 1})"
+    )
+    m = mask_sql("pos & 63")
+    return f"""
+WITH dim AS (
+  SELECT DISTINCT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+),
+js AS (SELECT j FROM (VALUES (0), (1), (2), (3)) t(j)),
+words AS (
+  SELECT pos >> 6 AS w, bit_or({m}) AS bits
+  FROM (SELECT {dpos} AS pos FROM dim CROSS JOIN js)
+  GROUP BY 1
+),
+opos AS (
+  SELECT o_orderkey, o_orderpriority, {opos} AS pos
+  FROM orders CROSS JOIN js
+),
+hits AS (
+  SELECT o_orderkey, min(o_orderpriority) AS o_orderpriority
+  FROM opos JOIN words ON (pos >> 6) = w AND (bits & {m}) <> 0
+  GROUP BY o_orderkey HAVING count(*) = 4
+),
+npass AS (
+  SELECT o_orderpriority, count(*) AS n_bloom_pass FROM hits GROUP BY 1
+),
+ntrue AS (
+  SELECT o_orderpriority, count(*) AS n_true_match
+  FROM orders WHERE o_custkey IN (SELECT c_custkey FROM dim)
+  GROUP BY 1
+)
+SELECT npass.o_orderpriority, n_bloom_pass,
+       CAST(coalesce(n_true_match, 0) AS BIGINT) AS n_true_match
+FROM npass LEFT JOIN ntrue USING (o_orderpriority)
+ORDER BY o_orderpriority
+"""
+
+
+ORDERS_BLOOM_SQL = _bloom_sql()
+
+QUERIES.update({"orders_bloom_pruned": orders_bloom_pruned})
+ORACLES.update({"orders_bloom_pruned": ORDERS_BLOOM_SQL})
