@@ -6,15 +6,18 @@ Arrow-batched Pandas iterators over ``mapInPandas`` — the only sane
 shape at 100 TB (no driver involvement, batch-columnar transfer, media
 libs imported once per executor, partition-parallel).
 
-**Image metadata decode is real**: :func:`image_header_decode` parses
-PNG/JPEG/GIF width/height straight from the container headers with the
-stdlib (no codec library). Audio/video codec calls remain **stubbed**
-(those libraries are not in this environment): ``decode_fn=None``
-selects a deterministic fake decoder so the Spark-side plumbing —
-schema, batching, partitioning, UDF signatures — is real and tested;
-pass a real ``decode_fn`` (ffmpeg/torchaudio based) in production, or
-use :func:`real_decode_stub` to see the integration point raise
-``NotImplementedError``.
+**Metadata decode is real for every container with a parseable
+header**: :func:`image_header_decode` (PNG/JPEG/GIF dimensions),
+:func:`audio_header_decode` (WAV sample rate/channels/duration),
+:func:`video_header_decode` (MP4/MOV dimensions + duration from the
+moov box) — all pure-stdlib byte parsing, no codec library. Only
+*content* decode (pixels, compressed-audio samples, video frames)
+remains **stubbed** (codec libraries are not in this environment):
+``decode_fn=None`` selects a deterministic fake decoder so the
+Spark-side plumbing — schema, batching, partitioning, UDF signatures —
+is real and tested; pass a real ``decode_fn`` (ffmpeg/torchaudio
+based) in production, or use :func:`real_decode_stub` to see the
+integration point raise ``NotImplementedError``.
 """
 
 from __future__ import annotations
@@ -168,6 +171,85 @@ def audio_header_decode(data: bytes, fmt: str) -> dict[str, Any]:
     return {
         "width": rate,  # sample_rate rides the width slot of DECODED_SCHEMA
         "height": channels,  # channel count rides the height slot
+        "duration_ms": duration_ms,
+        "features": None,
+    }
+
+
+def _walk_boxes(data: bytes, start: int, end: int):
+    """Yield (box_type, payload_start, payload_end) for ISO-BMFF boxes
+    in data[start:end] — handles 64-bit largesize and stops on corrupt
+    (non-advancing / overflowing) sizes."""
+    i = start
+    while i + 8 <= end:
+        size = int.from_bytes(data[i : i + 4], "big")
+        btype = data[i + 4 : i + 8]
+        payload = i + 8
+        if size == 1:
+            if i + 16 > end:
+                return
+            size = int.from_bytes(data[i + 8 : i + 16], "big")
+            payload = i + 16
+        elif size == 0:  # box extends to end of file
+            size = end - i
+        if size < 8 or i + size > end:
+            return
+        yield btype, payload, i + size
+        i += size
+
+
+def parse_mp4_header(data: bytes) -> tuple[int, int, int] | None:
+    """(width, height, duration_ms) from an MP4/MOV (ISO base media)
+    container — walks the box tree to ``moov/mvhd`` (timescale +
+    duration) and the first ``trak/tkhd`` with nonzero dimensions
+    (16.16 fixed-point). Pure stdlib; no codec. None if the bytes are
+    not ISO-BMFF or carry no movie header."""
+    if len(data) < 12 or data[4:8] not in (b"ftyp", b"moov", b"mdat", b"wide"):
+        return None
+    duration_ms = None
+    width = height = 0
+    for btype, p, q in _walk_boxes(data, 0, len(data)):
+        if btype != b"moov":
+            continue
+        for ityp, ip, iq in _walk_boxes(data, p, q):
+            if ityp == b"mvhd" and iq - ip >= 20:
+                ver = data[ip]
+                if ver == 1 and iq - ip >= 28:
+                    timescale = int.from_bytes(data[ip + 20 : ip + 24], "big")
+                    duration = int.from_bytes(data[ip + 24 : ip + 32], "big")
+                else:
+                    timescale = int.from_bytes(data[ip + 12 : ip + 16], "big")
+                    duration = int.from_bytes(data[ip + 16 : ip + 20], "big")
+                if timescale:
+                    duration_ms = duration * 1000 // timescale
+            elif ityp == b"trak" and not (width and height):
+                for ttyp, tp, tq in _walk_boxes(data, ip, iq):
+                    if ttyp != b"tkhd":
+                        continue
+                    off = 88 if data[tp] == 1 else 76
+                    if tq - tp >= off + 8:
+                        w = int.from_bytes(data[tp + off : tp + off + 4], "big")
+                        h = int.from_bytes(
+                            data[tp + off + 4 : tp + off + 8], "big"
+                        )
+                        if w and h:  # audio tracks carry 0x0
+                            width, height = w >> 16, h >> 16
+    if duration_ms is None:
+        return None
+    return width or None, height or None, duration_ms
+
+
+def video_header_decode(data: bytes, fmt: str) -> dict[str, Any]:
+    """Real video-metadata decode_fn for MP4/MOV (dimensions + duration
+    from the moov box, stdlib-only). Frame/pixel decode still needs a
+    codec — that remains :func:`real_decode_stub`'s integration point."""
+    meta = parse_mp4_header(data or b"")
+    if meta is None:
+        raise ValueError(f"not an ISO-BMFF (mp4/mov) container (fmt hint: {fmt})")
+    w, h, duration_ms = meta
+    return {
+        "width": w,
+        "height": h,
         "duration_ms": duration_ms,
         "features": None,
     }

@@ -153,3 +153,85 @@ class TestWavDecode:
         df = spark.createDataFrame([(1, b"\xff\xd8junk")], "media_id long, data binary")
         with _pytest.raises(Exception):
             MM.decode_media(df, decode_fn=MM.audio_header_decode).collect()
+
+
+class TestMp4Decode:
+    @staticmethod
+    def _box(btype: bytes, payload: bytes) -> bytes:
+        return (8 + len(payload)).to_bytes(4, "big") + btype + payload
+
+    @classmethod
+    def _mp4_bytes(
+        cls, width=640, height=360, timescale=1000, duration=2500, v1=False
+    ) -> bytes:
+        if v1:
+            mvhd = (
+                b"\x01" + b"\x00" * 3 + b"\x00" * 16
+                + timescale.to_bytes(4, "big") + duration.to_bytes(8, "big")
+                + b"\x00" * 80
+            )
+            tk_off = 88
+            tkhd_head = b"\x01" + b"\x00" * 3
+        else:
+            mvhd = (
+                b"\x00" * 4 + b"\x00" * 8
+                + timescale.to_bytes(4, "big") + duration.to_bytes(4, "big")
+                + b"\x00" * 80
+            )
+            tk_off = 76
+            tkhd_head = b"\x00" * 4
+        tkhd_v = (
+            tkhd_head
+            + b"\x00" * (tk_off - 4)
+            + (width << 16).to_bytes(4, "big")
+            + (height << 16).to_bytes(4, "big")
+        )
+        tkhd_a = tkhd_head + b"\x00" * (tk_off - 4) + b"\x00" * 8  # audio 0x0
+        moov = cls._box(
+            b"moov",
+            cls._box(b"mvhd", mvhd)
+            + cls._box(b"trak", cls._box(b"tkhd", tkhd_a))  # audio first
+            + cls._box(b"trak", cls._box(b"tkhd", tkhd_v)),
+        )
+        return cls._box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2") + moov
+
+    def test_parse_mp4_header_v0_and_v1(self):
+        assert MM.parse_mp4_header(self._mp4_bytes()) == (640, 360, 2500)
+        assert MM.parse_mp4_header(
+            self._mp4_bytes(1920, 1080, 90000, 90000 * 7, v1=True)
+        ) == (1920, 1080, 7000)
+        assert MM.parse_mp4_header(b"RIFFxxxxWAVE") is None
+        assert MM.parse_mp4_header(b"") is None
+
+    def test_corrupt_box_sizes_dont_loop_or_crash(self):
+        data = self._mp4_bytes()
+        # truncated mid-moov: must terminate without raising (result may
+        # legitimately be None — the mvhd got cut off)
+        out = MM.parse_mp4_header(data[: len(data) // 2])
+        assert out is None or isinstance(out, tuple)
+        # first box size overflowing the buffer: walker must stop
+        bad = bytearray(data)
+        bad[0:4] = (2**31).to_bytes(4, "big")
+        assert MM.parse_mp4_header(bytes(bad)) is None
+
+    def test_decode_media_with_mp4(self, spark):
+        rows = [
+            (1, self._mp4_bytes(640, 360, 1000, 2500)),
+            (2, self._mp4_bytes(1280, 720, 600, 1200, v1=True)),
+        ]
+        df = spark.createDataFrame(rows, "media_id long, data binary")
+        got = {
+            r["media_id"]: r
+            for r in MM.decode_media(df, decode_fn=MM.video_header_decode).collect()
+        }
+        assert (got[1]["width"], got[1]["height"]) == (640, 360)
+        assert got[1]["duration_ms"] == 2500
+        assert got[2]["duration_ms"] == 2000  # 1200/600 ticks = 2 s
+
+    def test_frame_sample_composes_with_mp4_duration(self, spark):
+        df = spark.createDataFrame(
+            [(1, self._mp4_bytes(duration=3500))], "media_id long, data binary"
+        )
+        decoded = MM.decode_media(df, decode_fn=MM.video_header_decode)
+        frames = MM.frame_sample_plan(decoded, every_ms=1000)
+        assert [r["frame_ts_ms"] for r in frames.collect()] == [0, 1000, 2000, 3000]
