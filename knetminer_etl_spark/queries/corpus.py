@@ -698,3 +698,52 @@ ORACLES = {
     "doc_decontamination": DOC_DECONTAMINATION_SQL,
     "doc_tfidf_terms": DOC_TFIDF_TERMS_SQL,
 }
+
+
+# ---------------------------------------------------------------------------
+# Unigram LM quality scores (CCNet-style LM filter skeleton)
+# ---------------------------------------------------------------------------
+
+_LM_VOCAB = 500
+
+
+def doc_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean add-one-smoothed unigram log-probability under
+    a model trained on the corpus itself (top-500 vocab) — the
+    statistical quality score LM filters threshold on
+    (operators/lmscore.py). Training is one bounded aggregate; scoring
+    broadcast-joins the vocab so the corpus never shuffles."""
+    from ..operators import lmscore as LM
+
+    docs = _docs(spark, sf_dir)
+    vocab = LM.unigram_train(docs, vocab_size=_LM_VOCAB)
+    return LM.lm_score(docs, vocab).orderBy("doc_id")
+
+
+def _lm_sql() -> str:
+    from ..operators.lmscore import vocab_sql
+
+    toks = (
+        "list_filter(string_split_regex(trim(lower(text)), '\\s+'),"
+        " x -> x <> '')"
+    )
+    return f"""
+WITH vocab AS ({vocab_sql("text", _LM_VOCAB)}),
+tot AS (SELECT sum(n) AS N, count(*) AS V FROM vocab),
+toks AS (
+  SELECT doc_id, unnest({toks}) AS token FROM documents
+)
+SELECT toks.doc_id,
+       CAST(count(*) AS INT) AS n_tokens,
+       round(avg(ln((coalesce(vocab.n, 0) + 1.0)
+                    / (tot.N + tot.V + 1.0))), 6) AS avg_logprob
+FROM toks LEFT JOIN vocab USING (token) CROSS JOIN tot
+GROUP BY toks.doc_id
+ORDER BY doc_id
+"""
+
+
+DOC_LM_SCORES_SQL = _lm_sql()
+
+QUERIES.update({"doc_lm_scores": doc_lm_scores})
+ORACLES.update({"doc_lm_scores": DOC_LM_SCORES_SQL})
