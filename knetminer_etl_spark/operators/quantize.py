@@ -151,18 +151,18 @@ def pq_train(
         .filter(F.col("_v").isNotNull())
         .localCheckpoint(eager=True)
     )
-    head = v.first()
-    if head is None:
-        raise ValueError("pq_train: empty corpus (no non-NULL vectors)")
-    dim = len(head["_v"])
-    if dim % m:
-        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
-    dsub = dim // m
+    # dim comes from the seed rows — no separate first() job
     seeds = (
         v.orderBy(F.md5(F.col("_id").cast("string")), F.col("_id"))
         .limit(ksub)
         .collect()
     )
+    if not seeds:
+        raise ValueError("pq_train: empty corpus (no non-NULL vectors)")
+    dim = len(seeds[0]["_v"])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    dsub = dim // m
     books: list[list[tuple[int, list[float]]]] = [
         [
             (cid, list(r["_v"])[s * dsub : (s + 1) * dsub])

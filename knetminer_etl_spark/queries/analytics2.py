@@ -866,3 +866,106 @@ ORDERS_BLOOM_SQL = _bloom_sql()
 
 QUERIES.update({"orders_bloom_pruned": orders_bloom_pruned})
 ORACLES.update({"orders_bloom_pruned": ORDERS_BLOOM_SQL})
+
+
+# -- Data-contract validation + profiling (operators/validate.py) -------------
+
+
+def orders_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expectation checks over orders as ONE wide conditional aggregate
+    (one scan however many rules; null predicate = violation) — the
+    generalized form of the reference's hard-coded dangling-endpoint
+    check."""
+    from ..operators import validate as V
+
+    o = _t(spark, sf_dir, "orders")
+    return V.check(
+        o,
+        {
+            "custkey_not_null": F.col("o_custkey").isNotNull(),
+            "orderdate_not_null": F.col("o_orderdate").isNotNull(),
+            "priority_in_domain": F.col("o_orderpriority").isin(
+                "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"
+            ),
+            "totalprice_positive": F.col("o_totalprice") > 0,
+        },
+    )
+
+
+def _violation(pred: str) -> str:
+    return f"sum(CASE WHEN coalesce(({pred}), FALSE) THEN 0 ELSE 1 END)"
+
+
+ORDERS_VALIDATION_SQL = f"""
+SELECT rule, CAST(n_violations AS BIGINT) AS n_violations,
+       CAST(n_rows AS BIGINT) AS n_rows
+FROM (
+  SELECT 'custkey_not_null' AS rule,
+         {_violation('o_custkey IS NOT NULL')} AS n_violations,
+         count(*) AS n_rows FROM orders
+  UNION ALL
+  SELECT 'orderdate_not_null', {_violation('o_orderdate IS NOT NULL')},
+         count(*) FROM orders
+  UNION ALL
+  SELECT 'priority_in_domain',
+         {_violation("o_orderpriority IN ('1-URGENT', '2-HIGH', '3-MEDIUM', '4-NOT SPECIFIED', '5-LOW')")},
+         count(*) FROM orders
+  UNION ALL
+  SELECT 'totalprice_positive', {_violation('o_totalprice > 0')},
+         count(*) FROM orders
+)
+ORDER BY rule
+"""
+
+
+def orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-scan column profile (nulls / exact distinct / min / max)
+    of the orders relation — the load-time sanity report."""
+    from ..operators import validate as V
+
+    o = _t(spark, sf_dir, "orders")
+    return V.profile(
+        o, ["o_custkey", "o_orderdate", "o_orderkey", "o_orderpriority", "o_orderstatus"]
+    )
+
+
+def _profile_col_sql(c: str) -> str:
+    return f"""
+  SELECT '{c}' AS "column", count(*) AS n_rows,
+         sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS n_null,
+         count(DISTINCT {c}) AS n_distinct,
+         CAST(min({c}) AS VARCHAR) AS min_value,
+         CAST(max({c}) AS VARCHAR) AS max_value
+  FROM orders
+"""
+
+
+ORDERS_PROFILE_SQL = (
+    "SELECT \"column\", CAST(n_rows AS BIGINT) AS n_rows, "
+    "CAST(n_null AS BIGINT) AS n_null, CAST(n_distinct AS BIGINT) AS n_distinct, "
+    "min_value, max_value FROM ("
+    + " UNION ALL ".join(
+        _profile_col_sql(c)
+        for c in [
+            "o_custkey",
+            "o_orderdate",
+            "o_orderkey",
+            "o_orderpriority",
+            "o_orderstatus",
+        ]
+    )
+    + ') ORDER BY "column"'
+)
+
+QUERIES.update(
+    {
+        "orders_validation": orders_validation,
+        "orders_profile": orders_profile,
+    }
+)
+ORACLES.update(
+    {
+        "orders_validation": ORDERS_VALIDATION_SQL,
+        "orders_profile": ORDERS_PROFILE_SQL,
+    }
+)
