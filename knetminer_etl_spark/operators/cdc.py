@@ -127,3 +127,65 @@ def merge_upsert(
     return merged.filter(~F.col(delete_col)).select(
         *[c for c in base.columns if c != delete_col]
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Row-level diff between two dataset versions: one row per key with
+    ``change`` in added / removed / changed / unchanged — the audit step
+    of incremental corpus builds ("what did this refresh actually do").
+
+    One full-outer shuffle join on the key; comparison is per-column
+    null-safe equality (``<=>``), so NULL→NULL is unchanged and
+    NULL→value is changed — exactly SQL's ``IS NOT DISTINCT FROM``,
+    which keeps the oracle bit-exact with no serialization tricks.
+    ``compare_cols`` defaults to every shared non-key column.
+    """
+    shared = [c for c in old.columns if c in set(new.columns)]
+    if compare_cols is None:
+        cols = [c for c in shared if c not in keys]
+        if not cols:
+            raise ValueError(
+                "no shared non-key columns to compare; pass compare_cols=[] "
+                "explicitly for a presence-only diff"
+            )
+    else:
+        cols = compare_cols
+    missing = [c for c in cols + keys if c not in shared]
+    if missing:
+        raise ValueError(f"columns absent from one side: {missing}")
+    o = old.select(
+        *[F.col(k).alias(f"_ok_{k}") for k in keys],
+        *[F.col(c).alias(f"_o_{c}") for c in cols],
+    )
+    n = new.select(
+        *[F.col(k).alias(f"_nk_{k}") for k in keys],
+        *[F.col(c).alias(f"_n_{c}") for c in cols],
+    )
+    cond = None
+    for k in keys:
+        eq = F.col(f"_ok_{k}") == F.col(f"_nk_{k}")
+        cond = eq if cond is None else (cond & eq)
+    j = o.join(n, cond, "full_outer")
+    in_old = F.col(f"_ok_{keys[0]}").isNotNull()
+    in_new = F.col(f"_nk_{keys[0]}").isNotNull()
+    same = F.lit(True)
+    for c in cols:
+        same = same & F.col(f"_o_{c}").eqNullSafe(F.col(f"_n_{c}"))
+    change = (
+        F.when(~in_old, "added")
+        .when(~in_new, "removed")
+        .when(same, "unchanged")
+        .otherwise("changed")
+    )
+    return j.select(
+        *[
+            F.coalesce(F.col(f"_ok_{k}"), F.col(f"_nk_{k}")).alias(k)
+            for k in keys
+        ],
+        change.alias("change"),
+    )

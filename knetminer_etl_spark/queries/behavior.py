@@ -291,3 +291,58 @@ ORACLES = {
     "events_retention": EVENTS_RETENTION_SQL,
     "events_anomalies": EVENTS_ANOMALIES_SQL,
 }
+
+
+# ---------------------------------------------------------------------------
+# Snapshot diff (incremental-build audit)
+# ---------------------------------------------------------------------------
+
+
+def events_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diff two versions of the per-user activity table (events through
+    Jan 15 vs through Jan 22): which users appeared, which changed,
+    which sat still — operators/cdc.py:snapshot_diff, one full-outer
+    key join with null-safe column comparison. Compared columns are
+    exact integers (event count + max event id), immune to
+    float-summation ordering."""
+    from ..operators.cdc import snapshot_diff
+
+    ev = _events(spark, sf_dir)
+
+    def snap(cutoff: str) -> DataFrame:
+        return (
+            ev.filter(F.col("ts") < F.lit(cutoff).cast("timestamp"))
+            .groupBy("user_id")
+            .agg(
+                F.count("*").alias("n_events"),
+                F.max("event_id").alias("last_event_id"),
+            )
+        )
+
+    return snapshot_diff(
+        snap("2024-01-15"), snap("2024-01-22"), ["user_id"]
+    ).orderBy("user_id")
+
+
+EVENTS_SNAPSHOT_DIFF_SQL = """
+WITH old AS (
+  SELECT user_id, count(*) AS n_events, max(event_id) AS last_event_id
+  FROM events WHERE ts < TIMESTAMP '2024-01-15 00:00:00' GROUP BY user_id
+),
+new AS (
+  SELECT user_id, count(*) AS n_events, max(event_id) AS last_event_id
+  FROM events WHERE ts < TIMESTAMP '2024-01-22 00:00:00' GROUP BY user_id
+)
+SELECT coalesce(old.user_id, new.user_id) AS user_id,
+       CASE WHEN old.user_id IS NULL THEN 'added'
+            WHEN new.user_id IS NULL THEN 'removed'
+            WHEN old.n_events IS NOT DISTINCT FROM new.n_events
+             AND old.last_event_id IS NOT DISTINCT FROM new.last_event_id
+            THEN 'unchanged'
+            ELSE 'changed' END AS change
+FROM old FULL OUTER JOIN new ON old.user_id = new.user_id
+ORDER BY user_id
+"""
+
+QUERIES.update({"events_snapshot_diff": events_snapshot_diff})
+ORACLES.update({"events_snapshot_diff": EVENTS_SNAPSHOT_DIFF_SQL})

@@ -106,3 +106,59 @@ def test_scd2_collision_latest_wins_deterministic(spark):
     for _ in range(2):
         out = cdc.scd2(df, ["key"], "ts", order_by=["ts", "seq"]).collect()
         assert len(out) == 1 and out[0]["v"] == "y"
+
+
+class TestSnapshotDiff:
+    def test_all_change_kinds(self, spark):
+        from knetminer_etl_spark.operators.cdc import snapshot_diff
+
+        old = spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20), (3, "c", 30), (4, None, 40)],
+            "id bigint, tag string, v bigint",
+        )
+        new = spark.createDataFrame(
+            [(2, "b", 20), (3, "CHANGED", 30), (4, None, 40), (5, "e", 50)],
+            "id bigint, tag string, v bigint",
+        )
+        got = {
+            r["id"]: r["change"]
+            for r in snapshot_diff(old, new, ["id"]).collect()
+        }
+        assert got == {
+            1: "removed",
+            2: "unchanged",
+            3: "changed",
+            4: "unchanged",  # NULL <=> NULL is unchanged
+            5: "added",
+        }
+
+    def test_null_to_value_is_changed(self, spark):
+        from knetminer_etl_spark.operators.cdc import snapshot_diff
+
+        old = spark.createDataFrame([(1, None)], "id bigint, tag string")
+        new = spark.createDataFrame([(1, "x")], "id bigint, tag string")
+        assert snapshot_diff(old, new, ["id"]).collect()[0]["change"] == "changed"
+
+    def test_compare_cols_subset(self, spark):
+        from knetminer_etl_spark.operators.cdc import snapshot_diff
+
+        old = spark.createDataFrame([(1, "a", 1)], "id bigint, tag string, v bigint")
+        new = spark.createDataFrame([(1, "a", 999)], "id bigint, tag string, v bigint")
+        only_tag = snapshot_diff(old, new, ["id"], compare_cols=["tag"])
+        assert only_tag.collect()[0]["change"] == "unchanged"
+
+    def test_missing_column_raises(self, spark):
+        import pytest as _pytest
+
+        from knetminer_etl_spark.operators.cdc import snapshot_diff
+
+        old = spark.createDataFrame([(1, "a")], "id bigint, tag string")
+        new = spark.createDataFrame([(1,)], "id bigint")
+        with _pytest.raises(ValueError, match="no shared non-key"):
+            snapshot_diff(old, new, ["id"])
+        # presence-only diff is the explicit escape hatch
+        got = snapshot_diff(old, new, ["id"], compare_cols=[]).collect()
+        assert got[0]["change"] == "unchanged"
+        # a column named in compare_cols but missing on one side raises
+        with _pytest.raises(ValueError, match="absent"):
+            snapshot_diff(old, new, ["id"], compare_cols=["tag"])
