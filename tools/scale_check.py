@@ -43,6 +43,16 @@ CHECK_QUERIES = [
     "events_sessionize",
     "events_anomalies",
     "embedding_topk",
+    # round-3 operators
+    "doc_heavy_hitters",
+    "doc_token_cms",
+    "events_distinct_hll",
+    "doc_shard_manifest",
+    "doc_temperature_mix",
+    "doc_lm_scores",
+    "events_snapshot_diff",
+    "orders_bloom_pruned",
+    "embedding_pq_topk",
 ]
 
 
