@@ -52,6 +52,8 @@ HEADLINE = [
     "doc_shard_manifest",
     "doc_temperature_mix",
     "embedding_pq_topk",
+    "doc_lm_scores",
+    "orders_bloom_pruned",
 ]
 
 

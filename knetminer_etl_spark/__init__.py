@@ -34,9 +34,11 @@ from .pg.jsonl import (
 )
 from .tabmap.compiler import AUTO_EDGE_ID, DataFrameMapper, chain_mappers
 from .tabmap.mappers import (
+    accession_triple_mapper,
     accession_value_mapper,
     column_triple_mapper,
     constant_triple_mapper,
+    data_source_triple_mapper,
     edge_source_triple_mapper,
     edge_target_triple_mapper,
     row_triple_mapper,
@@ -61,10 +63,12 @@ __all__ = [
     "TYPE_KEY",
     "TabFileMapper",
     "ValueConverter",
+    "accession_triple_mapper",
     "accession_value_mapper",
     "chain_mappers",
     "column_triple_mapper",
     "constant_triple_mapper",
+    "data_source_triple_mapper",
     "dangling_edges",
     "edge_source_triple_mapper",
     "edge_target_triple_mapper",

@@ -169,3 +169,58 @@ ORACLES = {
     "nation_year_grouping_sets": NATION_YEAR_GROUPING_SETS_SQL,
     "customer_order_windows": CUSTOMER_ORDER_WINDOWS_SQL,
 }
+
+
+# ---------------------------------------------------------------------------
+# Z-order layout extents (operators/zorder.py)
+# ---------------------------------------------------------------------------
+
+_Z_DIMS = {"l_partkey": (0, 2047), "l_suppkey": (0, 127)}
+_Z_BITS = 8
+
+
+def lineitem_zorder_extents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton-interleave (l_partkey, l_suppkey) into a 16-bit z-key and
+    report each 256th-slice's per-dimension extents — the min/max file
+    statistics a z-ordered layout would give every file, tight in BOTH
+    dimensions at once (operators/zorder.py). The key is a narrow
+    integer expression; the only shuffle is the 256-row extent
+    aggregate."""
+    from ..operators import zorder as Z
+
+    l = _t(spark, sf_dir, "lineitem")
+    keyed = Z.with_zorder_key(l, _Z_DIMS, bits=_Z_BITS)
+    return (
+        keyed.groupBy(
+            F.shiftright(F.col("zkey"), _Z_BITS).cast("long").alias("z_slice")
+        )
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("l_partkey").alias("part_lo"),
+            F.max("l_partkey").alias("part_hi"),
+            F.min("l_suppkey").alias("supp_lo"),
+            F.max("l_suppkey").alias("supp_hi"),
+        )
+        .orderBy("z_slice")
+    )
+
+
+def _zorder_sql() -> str:
+    from ..operators.zorder import zkey_sql
+
+    zk = zkey_sql(_Z_DIMS, bits=_Z_BITS)
+    return f"""
+SELECT ({zk} >> {_Z_BITS}) AS z_slice,
+       count(*) AS n_rows,
+       min(l_partkey) AS part_lo, max(l_partkey) AS part_hi,
+       min(l_suppkey) AS supp_lo, max(l_suppkey) AS supp_hi
+FROM lineitem
+GROUP BY 1
+ORDER BY z_slice
+"""
+
+
+LINEITEM_ZORDER_SQL = _zorder_sql()
+
+QUERIES.update({"lineitem_zorder_extents": lineitem_zorder_extents})
+ORACLES.update({"lineitem_zorder_extents": LINEITEM_ZORDER_SQL})

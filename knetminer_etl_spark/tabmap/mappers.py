@@ -261,6 +261,22 @@ def constant_triple_mapper(key: str, value: Any) -> TripleMapper:
     return TripleMapper(key, ConstantValueMapper(value))
 
 
+def data_source_triple_mapper(data_source: str) -> TripleMapper:
+    """``dataSources`` constant property naming the ingest source
+    (reference src/ketl/mappings/knetminer.py:57-69 —
+    ``data_source_triple_mapper``; its ``@cache`` is irrelevant here,
+    the mapper is a value object)."""
+    return constant_triple_mapper("dataSources", data_source)
+
+
+def accession_triple_mapper(source: str, accession: str) -> TripleMapper:
+    """``accessions`` property composed as ``"{source}:{acc}"`` with the
+    ``!CONST`` convention (reference src/ketl/mappings/knetminer.py:11-55
+    — ``create_accession_tabmapper``): the triple-level convenience over
+    :func:`accession_value_mapper`."""
+    return TripleMapper("accessions", accession_value_mapper(source, accession))
+
+
 def type_triple_mapper(label: str) -> TripleMapper:
     """``@type`` constant mapper (reference src/ketl/helpers.py:13-21)."""
     return TripleMapper(TYPE_KEY, ConstantValueMapper(label), serialize=False)

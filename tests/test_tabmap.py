@@ -217,3 +217,34 @@ class TestChainingAndFiles:
         # cast to string before mapping → JSON string literals
         assert ("EN1", "begin", '"123"') in got
         assert (out / "_SUCCESS").exists()
+
+
+def test_data_source_and_accession_triple_mappers(spark):
+    """Reference mappings-module conveniences (ref
+    src/ketl/mappings/knetminer.py): dataSources constant + composed
+    accessions with the !CONST convention."""
+    from knetminer_etl_spark.tabmap.compiler import DataFrameMapper
+    from knetminer_etl_spark.tabmap.mappers import (
+        accession_triple_mapper,
+        data_source_triple_mapper,
+    )
+
+    df = spark.createDataFrame(
+        [("g1", "ACC001"), ("g2", None)], ["gid", "acc"]
+    )
+    m = DataFrameMapper(
+        "gid",
+        [
+            data_source_triple_mapper("ENSEMBL"),
+            accession_triple_mapper("!ENSEMBL", "acc"),
+        ],
+        [],
+    )
+    got = {
+        (r["id"], r["key"]): r["value"] for r in m.to_triples(df).collect()
+    }
+    assert got[("g1", "dataSources")] == '"ENSEMBL"'
+    assert got[("g1", "accessions")] == '"ENSEMBL:ACC001"'
+    assert got[("g2", "dataSources")] == '"ENSEMBL"'
+    # NULL accession part -> no accessions triple for g2
+    assert ("g2", "accessions") not in got
