@@ -268,11 +268,14 @@ def cms_lookup(
     seed: str = "cms",
     est_col: str = "cms_est",
 ) -> DataFrame:
-    """Point-frequency estimates for a (small) probe set.
+    """Point-frequency estimates for a probe set.
 
-    Re-derives each probe's ``d`` buckets, broadcast-joins the probe
-    rows against the bounded sketch, and takes the min counter. The
-    estimate never undercounts; overcount ≤ 2N/w with prob ≥ 1−2^−d.
+    Re-derives each probe's ``d`` buckets and left-joins the
+    **broadcast sketch** (bounded at d×w rows — the broadcastable side;
+    a left join's left side cannot be broadcast), then takes the min
+    counter. The estimate never undercounts; overcount ≤ 2N/w with
+    prob ≥ 1−2^−d. Probes can therefore be arbitrarily many — they
+    never shuffle for the lookup, only for the per-item min.
     """
     item = F.col(item_col).cast("string")
     pr = probes.select(
@@ -292,8 +295,7 @@ def cms_lookup(
         ).alias("_r"),
     ).select(item_col, "_r.cms_row", "_r.cms_bucket")
     return (
-        F.broadcast(pr)
-        .join(sketch, ["cms_row", "cms_bucket"], "left")
+        pr.join(F.broadcast(sketch), ["cms_row", "cms_bucket"], "left")
         .groupBy(item_col)
         .agg(F.min(F.coalesce("cms_count", F.lit(0))).alias(est_col))
     )
