@@ -111,14 +111,23 @@ def group_agg_partitions(
     heap thrashes (measured on the PG build: 66-120s at 10x data vs 9-18s
     correctly sized — GC-bound, not spill; see SCALE.md). Sized from the
     Catalyst plan-stats estimate (~``bytes_per_task`` upstream bytes per
-    task), floored at shuffle.partitions, capped at ``cap``; falls back
-    to 8x default parallelism when stats are unavailable."""
+    task), floored at shuffle.partitions, capped at ``cap``.
+
+    Plans without stats (RDD-backed relations — every
+    ``createDataFrame``) report the ``defaultSizeInBytes`` sentinel
+    (Long.MaxValue), which silently hit ``cap`` here: a 2-row in-memory
+    relation aggregated through 4096 near-empty tasks (~100 s of pure
+    scheduling on a 4-thread session). Such estimates are treated as
+    unavailable — the same guard :func:`tuned_partitions` applies — and
+    the fallback sizes from the input's actual partition count (a
+    stat-less 100 TB RDD arrives well-split; a tiny local relation has
+    a handful)."""
     spark = df.sparkSession
     floor = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
     est = estimated_plan_bytes(df)
-    if est:
+    if est and est < (1 << 62):  # real estimate, not the unknown sentinel
         return min(cap, max(floor, est // bytes_per_task))
-    return max(floor, spark.sparkContext.defaultParallelism * 8)
+    return min(cap, max(floor, df.rdd.getNumPartitions()))
 
 
 def save_partitioned(

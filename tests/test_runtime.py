@@ -116,3 +116,23 @@ class TestPartitionedSave:
         for d in ("p=0", "p=1"):
             files = glob.glob(f"{out}/{d}/*.parquet")
             assert len(files) == 1, files
+
+
+def test_group_agg_partitions_ignores_unknown_stats_sentinel(spark):
+    """RDD-backed relations report Long.MaxValue sizeInBytes; the sizing
+    must treat that as 'stats unavailable' and fall back to the input's
+    real partition count — not silently hit the 4096 cap and aggregate
+    two rows through thousands of empty tasks."""
+    from knetminer_etl_spark.runtime.checkpoint import group_agg_partitions
+
+    tiny = spark.createDataFrame([("a", 1), ("b", 2)], "k string, v int")
+    n = group_agg_partitions(tiny)
+    assert n <= max(int(spark.conf.get("spark.sql.shuffle.partitions")),
+                    tiny.rdd.getNumPartitions())
+    # parquet-backed plans have real stats and keep the byte-based sizing
+    import tempfile
+
+    d = tempfile.mkdtemp() + "/t"
+    spark.range(0, 1000).write.parquet(d)
+    n2 = group_agg_partitions(spark.read.parquet(d))
+    assert 1 <= n2 <= 4096
