@@ -347,30 +347,23 @@ def minhash_signatures(
     )
 
 
-def minhash_lsh_pairs(
+def minhash_band_rows(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     num_perm: int = 64,
     bands: int = 16,
     k: int = 3,
-    threshold: float = 0.7,
-    verify: bool = True,
 ) -> DataFrame:
-    """Near-dup pairs via banded MinHash LSH.
-
-    Candidate pairs share ≥1 band: ids are grouped per (band, bucket) and
-    pair combinations emitted directly (see
-    :func:`candidate_pairs_from_buckets`) — the signature pipeline runs
-    once, not once per join side. With ``verify`` the candidates are
-    checked against true shingle Jaccard (joining the shingle sets back
-    in) so the output has no LSH false positives; without it the
-    signature-estimated Jaccard is reported.
-    Output: ``(id_a, id_b, jaccard)``, id_a < id_b.
-    """
+    """(doc_id, band, bucket): the banded-LSH blocking relation — and
+    the PERSISTENT INDEX format for incremental dedup. Save it
+    (parquet, partitioned however reads like) when a corpus batch is
+    ingested; later batches join their own band rows against it
+    (:func:`incremental_minhash_pairs`) instead of re-hashing the whole
+    corpus. Narrow map over the signatures; bands × rows per doc."""
     rows_per_band = num_perm // bands
     sigs = minhash_signatures(df, id_col, text_col, num_perm, k)
-    banded = sigs.select(
+    return sigs.select(
         "doc_id",
         F.explode(
             F.array(
@@ -394,9 +387,34 @@ def minhash_lsh_pairs(
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bucket")
 
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 64,
+    bands: int = 16,
+    k: int = 3,
+    threshold: float = 0.7,
+    verify: bool = True,
+) -> DataFrame:
+    """Near-dup pairs via banded MinHash LSH.
+
+    Candidate pairs share ≥1 band: ids are grouped per (band, bucket) and
+    pair combinations emitted directly (see
+    :func:`candidate_pairs_from_buckets`) — the signature pipeline runs
+    once, not once per join side. With ``verify`` the candidates are
+    checked against true shingle Jaccard (joining the shingle sets back
+    in) so the output has no LSH false positives; without it the
+    signature-estimated Jaccard is reported.
+    Output: ``(id_a, id_b, jaccard)``, id_a < id_b.
+    """
+    banded = minhash_band_rows(df, id_col, text_col, num_perm, bands, k)
+
     cands = candidate_pairs_from_buckets(banded, ["band", "bucket"])
 
     if not verify:
+        sigs = minhash_signatures(df, id_col, text_col, num_perm, k)
         sa = sigs.select(F.col("doc_id").alias("id_a"), F.col("signature").alias("sig_a"))
         sb = sigs.select(F.col("doc_id").alias("id_b"), F.col("signature").alias("sig_b"))
         est = (
@@ -416,26 +434,40 @@ def minhash_lsh_pairs(
             .select("id_a", "id_b", "jaccard")
         )
 
-    # Verify needs shingles only for docs that appear in a candidate
-    # pair — semi-join the corpus down FIRST, then shingle the survivors.
-    # Re-shingling the full corpus for each join side costs two extra
-    # full scans + normalization passes; at 100 TB the candidate set is
-    # orders of magnitude smaller than the corpus (AQE broadcasts the id
-    # set when it fits).
+    return verified_jaccard_pairs(cands, df, id_col, text_col, k, threshold)
+
+
+def verified_jaccard_pairs(
+    cands: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """True-Jaccard verification of an (id_a, id_b) candidate relation
+    against ``corpus`` texts.
+
+    Shingles only documents that appear in a candidate pair — semi-join
+    the corpus down FIRST, then shingle the survivors. Re-shingling the
+    full corpus for each join side costs two extra full scans +
+    normalization passes; at 100 TB the candidate set is orders of
+    magnitude smaller than the corpus (AQE broadcasts the id set when
+    it fits)."""
     cands = cands.localCheckpoint(eager=True)  # pin: reused by id set + joins
     cand_ids = (
         cands.select(F.col("id_a").alias(id_col))
         .unionByName(cands.select(F.col("id_b").alias(id_col)))
         .distinct()
     )
-    cand_docs = df.join(cand_ids, on=id_col, how="left_semi")
+    cand_docs = corpus.join(cand_ids, on=id_col, how="left_semi")
     # pin: referenced by both join sides; bounded by the candidate set
     shing = _with_shingles(cand_docs, id_col, text_col, k).localCheckpoint(
         eager=True
     )
     sa = shing.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"))
     sb = shing.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"))
-    verified = (
+    return (
         cands.join(sa, on="id_a")
         .join(sb, on="id_b")
         .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
@@ -450,7 +482,53 @@ def minhash_lsh_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
-    return verified
+
+
+def incremental_minhash_pairs(
+    new_docs: DataFrame,
+    old_index: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 64,
+    bands: int = 16,
+    k: int = 3,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Near-dup pairs INVOLVING a new batch, against a previously saved
+    band index (:func:`minhash_band_rows` of every prior batch) — the
+    incremental-ingestion shape: each refresh hashes only its own
+    batch, joins the bounded band relation, and never re-pairs
+    old-vs-old (whose pairs were already emitted when those batches
+    landed). ``prior pairs ∪ incremental pairs == full-corpus pairs``
+    exactly (pinned in tests), because the banding is deterministic and
+    candidate generation splits cleanly into new-new (in-batch bucket
+    combinations) + new-old (an equi-join on (band, bucket)).
+
+    ``corpus`` supplies texts for verification (new + any old doc that
+    became a candidate — semi-joined down before shingling).
+    ``old_index`` rows for ids also present in ``new_docs`` are ignored
+    (re-ingestion safe). At 100 TB the per-refresh cost is
+    O(batch + matched buckets), not O(corpus)."""
+    new_bands = minhash_band_rows(
+        new_docs, id_col, text_col, num_perm, bands, k
+    ).localCheckpoint(eager=True)  # reused by both candidate branches
+    new_new = candidate_pairs_from_buckets(new_bands, ["band", "bucket"])
+    new_ids = new_bands.select("doc_id").distinct()
+    old = (
+        old_index.join(new_ids, on="doc_id", how="left_anti")
+        .select(F.col("doc_id").alias("_old_id"), "band", "bucket")
+    )
+    new_old = (
+        new_bands.join(old, on=["band", "bucket"])
+        .select(
+            F.least(F.col("doc_id"), F.col("_old_id")).alias("id_a"),
+            F.greatest(F.col("doc_id"), F.col("_old_id")).alias("id_b"),
+        )
+        .distinct()
+    )
+    cands = new_new.unionByName(new_old).distinct()
+    return verified_jaccard_pairs(cands, corpus, id_col, text_col, k, threshold)
 
 
 # ---------------------------------------------------------------------------

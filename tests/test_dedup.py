@@ -231,3 +231,59 @@ class TestSegmentDedup:
         df = spark.createDataFrame([(1, "   "), (2, "x y z")], "doc_id long, text string")
         got = DD.segment_dedup(df, chunk_words=10).collect()
         assert [r["doc_id"] for r in got] == [2]
+
+
+class TestIncrementalMinhash:
+    def test_incremental_equals_full_rebuild(self, spark):
+        """prior-batch pairs ∪ incremental(new batch vs saved index)
+        == full-corpus pairs, exactly — the property that lets a 100 TB
+        corpus dedup per-refresh instead of per-rebuild."""
+        from knetminer_etl_spark.operators.dedup import (
+            incremental_minhash_pairs,
+            minhash_band_rows,
+            minhash_lsh_pairs,
+        )
+
+        base = "the quick brown fox jumps over the lazy dog near the river bank today"
+        rows = []
+        for i in range(30):
+            words = base.split()
+            words[i % len(words)] = f"w{i}"
+            rows.append((i, " ".join(words)))
+        # duplicates across the batch boundary and inside each batch
+        rows += [(100, rows[3][1]), (101, rows[25][1]), (102, rows[3][1])]
+        corpus = spark.createDataFrame(rows, "doc_id long, text string")
+        old = corpus.filter("doc_id < 20 or doc_id = 100")
+        new = corpus.filter("doc_id >= 20 and doc_id != 100")
+
+        full = minhash_lsh_pairs(corpus, threshold=0.5)
+        prior = minhash_lsh_pairs(old, threshold=0.5)
+        inc = incremental_minhash_pairs(
+            new, minhash_band_rows(old), corpus, threshold=0.5
+        )
+        got = {(r["id_a"], r["id_b"]) for r in prior.collect()} | {
+            (r["id_a"], r["id_b"]) for r in inc.collect()
+        }
+        want = {(r["id_a"], r["id_b"]) for r in full.collect()}
+        assert got == want and len(want) >= 2, (got, want)
+        # cross-boundary dup (3 vs 102) must come from the incremental arm
+        inc_pairs = {(r["id_a"], r["id_b"]) for r in inc.collect()}
+        assert (3, 102) in inc_pairs
+
+    def test_reingesting_indexed_ids_is_safe(self, spark):
+        from knetminer_etl_spark.operators.dedup import (
+            incremental_minhash_pairs,
+            minhash_band_rows,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "alpha beta gamma delta epsilon zeta"), (2, "alpha beta gamma delta epsilon eta")],
+            "doc_id long, text string",
+        )
+        # index contains BOTH ids; re-ingesting doc 2 must not pair it
+        # with its own stale index rows
+        inc = incremental_minhash_pairs(
+            docs.filter("doc_id = 2"), minhash_band_rows(docs), docs, threshold=0.5
+        )
+        pairs = {(r["id_a"], r["id_b"]) for r in inc.collect()}
+        assert pairs == {(1, 2)}
