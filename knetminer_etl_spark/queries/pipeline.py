@@ -999,3 +999,46 @@ ORACLES = {
     "events_json_extract": EVENTS_JSON_SQL,
     # (all queries oracle-checked)
 }
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup (batch ingestion against a saved index)
+# ---------------------------------------------------------------------------
+
+_INC_SPLIT = 400  # docs >= 400 are "the new batch" at any sf
+
+
+def doc_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs INVOLVING the latest ingest batch (doc_id >= 400),
+    found incrementally: the batch hashes itself and joins the PRIOR
+    corpus's saved band index — old-vs-old is never re-paired
+    (operators/dedup.py:incremental_minhash_pairs; equality with a full
+    rebuild pinned in tests). Oracle = true Jaccard >= 0.6 restricted to
+    pairs touching the batch (id_b >= split suffices: id_b is the max),
+    exact up to the same <1e-6 LSH miss probability as the full-corpus
+    minhash oracle (r=2, b=32)."""
+    docs = _docs(spark, sf_dir)
+    old = docs.filter(F.col("doc_id") < _INC_SPLIT)
+    new = docs.filter(F.col("doc_id") >= _INC_SPLIT)
+    index = DD.minhash_band_rows(old, num_perm=64, bands=32, k=3)
+    return DD.incremental_minhash_pairs(
+        new, index, docs, num_perm=64, bands=32, k=3, threshold=0.6
+    )
+
+
+DOC_INCREMENTAL_DEDUP_SQL = f"""
+WITH {_SHINGLES_CTE},
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS n_a, b.n AS n_b,
+         count(*) AS inter
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+)
+SELECT id_a, id_b, round(inter / (n_a + n_b - inter), 6) AS jaccard
+FROM pairs
+WHERE round(inter / (n_a + n_b - inter), 6) >= 0.6
+  AND id_b >= {_INC_SPLIT}
+"""
+
+QUERIES.update({"doc_incremental_dedup": doc_incremental_dedup})
+ORACLES.update({"doc_incremental_dedup": DOC_INCREMENTAL_DEDUP_SQL})
