@@ -71,7 +71,8 @@ def tuned_partitions(
 ) -> int | None:
     """Partition count so each output file ≈ target size, from plan stats."""
     est = estimated_plan_bytes(df)
-    if est is None or est <= 0 or est >= (1 << 62):  # unknown sentinel
+    if est is None or est <= 0 or est >= (1 << 50):
+        # unknown/selectivity-scaled sentinel (see group_agg_partitions)
         return None
     return max(1, -(-est // target_partition_bytes))
 
@@ -125,7 +126,12 @@ def group_agg_partitions(
     spark = df.sparkSession
     floor = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
     est = estimated_plan_bytes(df)
-    if est and est < (1 << 62):  # real estimate, not the unknown sentinel
+    # Credibility ceiling 1 PB: sentinel-derived estimates are often
+    # SCALED by selectivity factors (e.g. Long.MaxValue * 2/3 after a
+    # filter), so they can duck a Long.MaxValue-only check. Above the
+    # ceiling both branches cap/fall back to the same sized behavior,
+    # so nothing real is lost by distrusting the number.
+    if est and est < (1 << 50):
         return min(cap, max(floor, est // bytes_per_task))
     return min(cap, max(floor, df.rdd.getNumPartitions()))
 

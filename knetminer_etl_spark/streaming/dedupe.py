@@ -1,0 +1,167 @@
+"""Continuous near-dup detection over a document stream.
+
+The streaming face of :func:`..operators.dedup.incremental_minhash_pairs`:
+each micro-batch of documents hashes ONLY itself, joins the persisted
+band index of everything ingested before it, and emits the near-dup
+pairs its arrival created — the corpus is never re-deduped. State is
+three parquet tables, all partitioned by ``batch_id`` and maintained
+with dynamic partition overwrites, so the streaming checkpoint +
+idempotent rewrites give exactly-once (the rollup recipe,
+streaming/rollup.py):
+
+* ``index_path`` — (doc_id, band, bucket): the LSH index, appended one
+  batch-partition per epoch; bounded rows per doc (bands), the ONLY
+  thing old batches contribute to new-batch work;
+* ``docs_path``  — (doc_id, text): the document store verification
+  draws candidate texts from (semi-joined down to candidates first);
+* ``pairs_path`` — (id_a, id_b, jaccard) per batch: the incremental
+  output; the union of all batch partitions equals a full-corpus dedup
+  (operator-level equality pinned in tests/test_dedup.py).
+
+Replay safety: a replayed epoch recomputes against the same prior
+index (its own stale index/doc rows are excluded — the index join
+drops the batch's ids, the doc store merge is keyed) and overwrites
+its own partitions with identical content.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..operators.dedup import incremental_minhash_pairs, minhash_band_rows
+
+DOCS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+
+def read_document_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """File-source document stream (dir or glob of documents parquet).
+    In production swap for the Kafka/queue source — the processing below
+    is source-agnostic."""
+    return (
+        spark.readStream.schema(DOCS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def _read_or_none(spark: SparkSession, path: str) -> DataFrame | None:
+    try:
+        return spark.read.parquet(path)
+    except Exception:  # first batch: state not created yet
+        return None
+
+
+def _write_batch_partition(df: DataFrame, epoch_id: int, path: str) -> None:
+    (
+        df.withColumn("batch_id", F.lit(int(epoch_id)))
+        .repartition(1, "batch_id")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(path)
+    )
+
+
+def process_dedup_batch(
+    spark: SparkSession,
+    batch: DataFrame,
+    epoch_id: int,
+    index_path: str,
+    docs_path: str,
+    pairs_path: str,
+    num_perm: int = 64,
+    bands: int = 32,
+    k: int = 3,
+    threshold: float = 0.6,
+) -> None:
+    """One epoch: emit pairs involving this batch, then extend the
+    index and doc store (its own partition each — idempotent replay).
+    Exposed separately from the stream wiring so tests can drive and
+    replay epochs deterministically (rollup's `_merge_batch` pattern)."""
+    batch = batch.select("doc_id", "text").localCheckpoint(eager=True)
+    batch_ids = batch.select("doc_id")
+    index = _read_or_none(spark, index_path)
+    store = _read_or_none(spark, docs_path)
+    # corpus for verification: this batch + prior docs (batch wins on
+    # re-ingestion/replay so duplicate ids can't inflate pair rows)
+    corpus = batch
+    if store is not None:
+        corpus = batch.unionByName(
+            store.select("doc_id", "text").join(
+                batch_ids, on="doc_id", how="left_anti"
+            )
+        )
+    if index is None:
+        index = minhash_band_rows(
+            batch.limit(0), "doc_id", "text", num_perm, bands, k
+        )
+    pairs = incremental_minhash_pairs(
+        batch,
+        index.select("doc_id", "band", "bucket"),
+        corpus,
+        num_perm=num_perm,
+        bands=bands,
+        k=k,
+        threshold=threshold,
+    )
+    _write_batch_partition(pairs, epoch_id, pairs_path)
+    _write_batch_partition(
+        minhash_band_rows(batch, "doc_id", "text", num_perm, bands, k),
+        epoch_id,
+        index_path,
+    )
+    _write_batch_partition(batch, epoch_id, docs_path)
+
+
+def start_dedup_stream(
+    doc_stream: DataFrame,
+    index_path: str,
+    docs_path: str,
+    pairs_path: str,
+    checkpoint_path: str,
+    num_perm: int = 64,
+    bands: int = 32,
+    k: int = 3,
+    threshold: float = 0.6,
+    query_name: str = "continuous_dedup",
+):
+    """Start continuous dedup; returns the StreamingQuery."""
+    spark = doc_stream.sparkSession
+
+    def on_batch(batch: DataFrame, epoch_id: int) -> None:
+        process_dedup_batch(
+            spark,
+            batch,
+            epoch_id,
+            index_path,
+            docs_path,
+            pairs_path,
+            num_perm,
+            bands,
+            k,
+            threshold,
+        )
+
+    return (
+        doc_stream.writeStream.foreachBatch(on_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .queryName(query_name)
+        .start()
+    )
+
+
+def read_pairs(spark: SparkSession, pairs_path: str) -> DataFrame:
+    """All pairs emitted so far (union of batch partitions)."""
+    return spark.read.parquet(pairs_path).select("id_a", "id_b", "jaccard")
