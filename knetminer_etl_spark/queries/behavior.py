@@ -346,3 +346,60 @@ ORDER BY user_id
 
 QUERIES.update({"events_snapshot_diff": events_snapshot_diff})
 ORACLES.update({"events_snapshot_diff": EVENTS_SNAPSHOT_DIFF_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Nearest-match as-of join
+# ---------------------------------------------------------------------------
+
+
+def events_asof_nearest_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every click, the error closest in time for the same user
+    within ±10 minutes (operators/asof.py, direction='nearest' — the
+    full pandas merge_asof surface; one exchange, ties prefer the
+    earlier/backward error). Oracle = a per-click LATERAL top-1 by
+    absolute distance with the same tie order."""
+    from ..operators.asof import asof_join
+
+    ev = _events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", "value"
+    )
+    return (
+        asof_join(
+            clicks,
+            errors,
+            on="ts",
+            by="user_id",
+            direction="nearest",
+            tolerance_secs=600,
+        )
+        .select("event_id", "user_id", "ts_right", F.col("value_right"))
+        .orderBy("event_id")
+    )
+
+
+EVENTS_ASOF_NEAREST_SQL = """
+WITH c AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+),
+e AS (
+  SELECT user_id, ts, value FROM events WHERE event_type = 'error'
+)
+SELECT c.event_id, c.user_id, x.r_ts AS ts_right, x.v AS value_right
+FROM c LEFT JOIN LATERAL (
+  SELECT e.ts AS r_ts, e.value AS v
+  FROM e
+  WHERE e.user_id = c.user_id
+    AND abs(epoch(e.ts) - epoch(c.ts)) <= 600
+  ORDER BY abs(epoch(e.ts) - epoch(c.ts)), e.ts
+  LIMIT 1
+) x ON TRUE
+ORDER BY event_id
+"""
+
+QUERIES.update({"events_asof_nearest_error": events_asof_nearest_error})
+ORACLES.update({"events_asof_nearest_error": EVENTS_ASOF_NEAREST_SQL})
