@@ -307,8 +307,63 @@ def cms_bucket_sql(expr: str, j: int, width: int, seed: str = "cms") -> str:
 
 
 # ---------------------------------------------------------------------------
-# Exact heavy hitters (the baseline the sketches are judged against)
+# Histogram quantile sketch
 # ---------------------------------------------------------------------------
+
+
+def hist_bin(col: Column, lo: float, hi: float, n_bins: int) -> Column:
+    """Equal-width bin index in [0, n_bins): plain IEEE arithmetic
+    (deterministic cross-engine), values outside [lo, hi] clamp into
+    the edge bins."""
+    raw = F.floor((col.cast("double") - F.lit(lo)) * n_bins / F.lit(hi - lo))
+    return F.least(F.lit(n_bins - 1), F.greatest(F.lit(0), raw)).cast("int")
+
+
+def histogram_counts(
+    df: DataFrame,
+    col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 64,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """(group..., bin, n): the quantile sketch — ``n_bins`` counters per
+    group, sum-merge (map-side combined, valid partial-union and
+    streaming state, like the CMS counters). NULL values are excluded.
+    Completes the sketch family: HLL = distinct, CMS = frequency,
+    histogram = quantiles; all with bounded, mergeable state."""
+    keys = list(group_cols or [])
+    return (
+        df.filter(F.col(col).isNotNull())
+        .select(*keys, hist_bin(F.col(col), lo, hi, n_bins).alias("bin"))
+        .groupBy(*keys, "bin")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def hist_quantile(
+    bins: list[tuple[int, int]], lo: float, hi: float, n_bins: int, q: float
+) -> float | None:
+    """Interpolated quantile from a (bin, count) list — driver-side over
+    the bounded sketch (the centroid/broadcast-parameter shape).
+    Estimate error is bounded by the bin width. Exactly reproducible in
+    SQL: cumulative integer counts, one float multiply for the rank,
+    linear interpolation inside the covering bin."""
+    counts = dict(bins)
+    total = sum(counts.values())
+    if not total:
+        return None
+    rank = q * total  # double * exact int — deterministic
+    width = (hi - lo) / n_bins
+    cum = 0
+    for b in range(n_bins):
+        nb = counts.get(b, 0)
+        if nb and cum + nb >= rank:
+            frac = (rank - cum) / nb
+            return lo + (b + frac) * width
+        cum += nb
+    return hi
+
 
 
 def heavy_hitters(

@@ -194,3 +194,97 @@ ORACLES = {
     "doc_heavy_hitters": DOC_HEAVY_HITTERS_SQL,
     "doc_token_cms": DOC_TOKEN_CMS_SQL,
 }
+
+
+# ---------------------------------------------------------------------------
+# Histogram quantile sketch over event values
+# ---------------------------------------------------------------------------
+
+_H_LO, _H_HI, _H_BINS = 0.0, 500.0, 64
+_H_QS = (0.5, 0.9, 0.99)
+
+
+def events_value_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated quantile estimates from the 64-bin histogram sketch
+    next to the exact percentiles — the mergeable-state quantile
+    (bounded sum-merge counters, like CMS) whose per-bin error the
+    comparison column makes visible. The sketch is one bounded
+    shuffle; the estimate is computed over the 64-row table
+    driver-side (the broadcast-parameter shape)."""
+    from ..operators import sketch as SK
+
+    ev = _events(spark, sf_dir).select("value")
+    bins = [
+        (r["bin"], r["n"])
+        for r in SK.histogram_counts(ev, "value", _H_LO, _H_HI, _H_BINS).collect()
+    ]
+    ests = [
+        (float(q), SK.hist_quantile(bins, _H_LO, _H_HI, _H_BINS, q))
+        for q in _H_QS
+    ]
+    est_df = spark.createDataFrame(ests, "q double, hist_est double")
+    exact = ev.agg(
+        *[
+            F.round(F.expr(f"percentile(value, {q!r})"), 6).alias(f"_x{i}")
+            for i, q in enumerate(_H_QS)
+        ]
+    )
+    exploded = exact.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(float(q)).alias("q"),
+                        F.col(f"_x{i}").alias("exact_value"),
+                    )
+                    for i, q in enumerate(_H_QS)
+                ]
+            )
+        ).alias("e")
+    ).select("e.q", "e.exact_value")
+    return est_df.join(exploded, "q").orderBy("q")
+
+
+def _hist_sql() -> str:
+    width = (_H_HI - _H_LO) / _H_BINS
+    bin_expr = (
+        f"CAST(least({_H_BINS - 1}, greatest(0, "
+        f"floor((value - {_H_LO!r}) * {_H_BINS} / {_H_HI - _H_LO!r}))) AS INT)"
+    )
+    qs = ", ".join(f"{float(q)!r}::DOUBLE" for q in _H_QS)
+    return f"""
+WITH b AS (
+  SELECT {bin_expr} AS bin, count(*) AS n
+  FROM events WHERE value IS NOT NULL GROUP BY 1
+),
+c AS (
+  SELECT bin, n, sum(n) OVER (ORDER BY bin) AS cum,
+         sum(n) OVER () AS total
+  FROM b
+),
+pick AS (
+  SELECT q, bin, n, cum, total,
+         row_number() OVER (PARTITION BY q ORDER BY bin) AS rn
+  FROM (SELECT unnest([{qs}]) AS q) qs
+  JOIN c ON c.cum >= q * c.total
+),
+est AS (
+  SELECT q,
+         {_H_LO!r} + (bin + (q * total - (cum - n)) / n) * {width!r} AS hist_est
+  FROM pick WHERE rn = 1
+),
+exact AS (
+  SELECT unnest([{qs}]) AS q,
+         unnest([{", ".join(f"round(quantile_cont(value, {float(q)!r}), 6)" for q in _H_QS)}]) AS exact_value
+  FROM events
+)
+SELECT est.q, hist_est, exact_value
+FROM est JOIN exact USING (q)
+ORDER BY q
+"""
+
+
+EVENTS_HIST_QUANTILES_SQL = _hist_sql()
+
+QUERIES.update({"events_value_hist_quantiles": events_value_hist_quantiles})
+ORACLES.update({"events_value_hist_quantiles": EVENTS_HIST_QUANTILES_SQL})

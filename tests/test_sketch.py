@@ -110,3 +110,49 @@ def test_sketch_plans_are_bounded_shuffles(users_df):
     plan = SK.hll_registers(users_df, "user")._jdf.queryExecution().executedPlan().toString()
     assert "HashAggregate" in plan
     assert plan.count("Exchange") == 1
+
+
+class TestHistogramQuantiles:
+    def test_estimate_within_bin_width(self, spark):
+        from knetminer_etl_spark.operators import sketch as SK
+
+        import random
+
+        rnd = random.Random(7)
+        vals = [rnd.uniform(0, 100) for _ in range(5000)]
+        df = spark.createDataFrame([(v,) for v in vals], ["v"])
+        bins = [
+            (r["bin"], r["n"])
+            for r in SK.histogram_counts(df, "v", 0.0, 100.0, 50).collect()
+        ]
+        width = 100.0 / 50
+        svals = sorted(vals)
+        for q in (0.1, 0.5, 0.9, 0.99):
+            est = SK.hist_quantile(bins, 0.0, 100.0, 50, q)
+            exact = svals[min(len(svals) - 1, int(q * len(svals)))]
+            assert abs(est - exact) <= width + 1e-9, (q, est, exact)
+
+    def test_counts_merge_and_clamp(self, spark):
+        from knetminer_etl_spark.operators import sketch as SK
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame([(-5.0,), (0.0,), (99.0,), (250.0,)], ["v"])
+        bins = {
+            r["bin"]: r["n"]
+            for r in SK.histogram_counts(df, "v", 0.0, 100.0, 10).collect()
+        }
+        assert bins[0] == 2  # -5 clamps into bin 0
+        assert bins[9] == 2  # 99 and out-of-range 250 in the top bin
+        # sum-merge: histogram of two halves merges to the full histogram
+        h1 = SK.histogram_counts(df.limit(2), "v", 0.0, 100.0, 10)
+        h2 = SK.histogram_counts(df.subtract(df.limit(2)), "v", 0.0, 100.0, 10)
+        merged = {
+            r["bin"]: r["n"]
+            for r in h1.unionByName(h2).groupBy("bin").agg(F.sum("n").alias("n")).collect()
+        }
+        assert merged == bins
+
+    def test_empty_and_none(self, spark):
+        from knetminer_etl_spark.operators import sketch as SK
+
+        assert SK.hist_quantile([], 0.0, 1.0, 4, 0.5) is None
