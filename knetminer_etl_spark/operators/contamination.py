@@ -50,9 +50,16 @@ def ngram_contamination(
     # of the several token-array references inside shingles_from_tokens
     # (measured ~8s → ~1.5s at sf0.1). The distinct gram count rides along
     # with every exploded gram so no second scan/join is needed for totals.
+    # fan_out before shingling: regex normalization + n-gram assembly is
+    # CPU-bound per row, and a single-file input would otherwise tokenize
+    # on one task (under a broadcast exchange, not even pipeline-parallel);
+    # at real scale the scan arrives well-split and this is a no-op
     def _grams(df: DataFrame, *keep: str) -> DataFrame:
+        from .util import fan_out
+
         return (
-            df.select(*keep, tokens(normalize_text(F.col(text_col))).alias("_tok"))
+            fan_out(df)
+            .select(*keep, tokens(normalize_text(F.col(text_col))).alias("_tok"))
             .select(*keep, shingles_from_tokens(F.col("_tok"), n).alias("_sh"))
         )
 

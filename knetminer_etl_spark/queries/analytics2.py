@@ -208,9 +208,15 @@ def q12_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_orderdate") >= F.lit("1996-01-01"))
         & (F.col("o_orderdate") < F.lit("1997-01-01"))
     )
-    delay = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    # Epoch-second subtraction, not datediff: a timestamp→long cast is a
+    # fixed UTC-instant difference, immune to session-timezone date casts
+    # and to day-boundary-counting differences across SQL engines.
+    as_s = lambda c: F.col(c).cast("timestamp").cast("long")  # noqa: E731
+    delay = as_s("l_shipdate") - as_s("o_orderdate")
     bucket = (
-        F.when(delay > 90, "late").when(delay > 30, "slow").otherwise("fast")
+        F.when(delay > 90 * 86400, "late")
+        .when(delay > 30 * 86400, "slow")
+        .otherwise("fast")
     )
     crit = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
     return (
@@ -225,8 +231,10 @@ def q12_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 Q12_SQL = """
-SELECT CASE WHEN date_diff('day', o_orderdate, l_shipdate) > 90 THEN 'late'
-            WHEN date_diff('day', o_orderdate, l_shipdate) > 30 THEN 'slow'
+SELECT CASE WHEN epoch(l_shipdate) - epoch(o_orderdate) > 90 * 86400
+            THEN 'late'
+            WHEN epoch(l_shipdate) - epoch(o_orderdate) > 30 * 86400
+            THEN 'slow'
             ELSE 'fast' END AS ship_bucket,
        CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
                      THEN 1 ELSE 0 END) AS BIGINT)
