@@ -307,17 +307,46 @@ def embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     1 - 5.7e-6 at cosine 0.9, and the in-bucket exact-cosine verify means
     no false positives — so the LSH output equals the exact result up to
     that miss probability (recall also asserted on planted near-dups in
-    tests/test_dedup.py)."""
+    tests/test_dedup.py).
+
+    The synthetic embeddings are random (no natural pairs reach cosine
+    0.9 — the query would trivially match on an empty result), so a
+    deterministic near-duplicate is planted per tenth vector: a constant
+    +0.03 per-dimension shift of the unit-norm dim-64 vectors lands the
+    planted pair at cosine ≈ 0.97 (1/sqrt(1 + 64·0.03²)), above the
+    threshold but away from both 1.0 and the 0.9 boundary. Every planted
+    pair must come back through blocking + verification for the hash to
+    match (miss probability at 0.97 ≈ 1e-10)."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return DD.embedding_dup_pairs(emb, threshold=0.9)
+    planted = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"),
+        F.transform(
+            F.col("embedding"), lambda x: x.cast("double") + F.lit(0.03)
+        ).alias("embedding"),
+    )
+    corpus = emb.select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+    ).unionByName(planted)
+    return DD.embedding_dup_pairs(corpus, threshold=0.9)
 
 
 EMBEDDING_DUP_SQL = f"""
+WITH corpus AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS embedding
+  FROM embeddings
+  UNION ALL
+  SELECT vec_id + 10000000,
+         list_transform(embedding, x -> x::DOUBLE + 0.03)
+  FROM embeddings WHERE vec_id % 10 = 0
+)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        round({_DOT.format(a='a.embedding', b='b.embedding')}
              / (sqrt({_DOT.format(a='a.embedding', b='a.embedding')})
                 * sqrt({_DOT.format(a='b.embedding', b='b.embedding')})), 6) AS cosine
-FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
 WHERE round({_DOT.format(a='a.embedding', b='b.embedding')}
             / (sqrt({_DOT.format(a='a.embedding', b='a.embedding')})
                * sqrt({_DOT.format(a='b.embedding', b='b.embedding')})), 6) >= 0.9
