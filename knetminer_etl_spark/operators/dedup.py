@@ -25,7 +25,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .text import normalize_text, shingles_from_tokens, tokens, word_shingles
@@ -222,6 +222,59 @@ def near_dup_clusters(
         comp.groupBy("component")
         .agg(F.count("*").alias("cluster_size"))
         .select(F.col("component").alias("keep_id"), "cluster_size")
+    )
+
+
+def dedup_keep_best(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    score: Column | None = None,
+    k: int = 3,
+    threshold: float = 0.5,
+    pairs_fn=None,
+) -> DataFrame:
+    """Quality-aware survivor per near-dup cluster: ``(id, cluster_size,
+    score)`` for the highest-``score`` member of each cluster (ties break
+    to the min id — deterministic, oracle-reproducible).
+
+    The production corpus-dedup policy: min-id representatives (the
+    :func:`near_dup_clusters` default) throw away quality information —
+    when a cluster holds a clean original and a boilerplate-wrapped
+    scrape, the pipeline should keep the better document, not the one
+    with the smaller id. ``score`` is any deterministic Column over the
+    document row (default: whitespace token count).
+
+    Scale shape: components come from the O(log n)-round star algorithm;
+    survivor selection is ONE extra shuffle on the component key — both
+    window functions (rank, cluster size) share its partitioning, and
+    per-reducer state is bounded by the largest cluster, the same bound
+    the clustering itself must satisfy.
+    """
+    from .graph import connected_components  # local: avoid cycle at import
+    from .text import token_count
+
+    gen = pairs_fn or (
+        lambda d: ngram_jaccard_pairs(d, id_col, text_col, k, threshold)
+    )
+    comp = connected_components(
+        gen(df), "id_a", "id_b", nodes=df, node_id=id_col
+    ).withColumnRenamed("id", id_col)
+    score_col = score if score is not None else token_count(F.col(text_col))
+    scored = df.select(F.col(id_col), score_col.alias("score")).join(
+        comp, on=id_col
+    )
+    w = Window.partitionBy("component")
+    rn = F.row_number().over(w.orderBy(F.col("score").desc(), F.col(id_col)))
+    return (
+        scored.select(
+            id_col,
+            F.count("*").over(w).alias("cluster_size"),
+            "score",
+            rn.alias("_rn"),
+        )
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
     )
 
 

@@ -83,8 +83,8 @@ def sq_encode(
     levels = 1 << bits
     scales = _scales(mins, maxes, levels)
     dim_idx = F.sequence(F.lit(0), F.size(vec) - 1)
-    mn = F.array(*[F.lit(float(m)) for m in mins])
-    sc = F.array(*[F.lit(float(s)) for s in scales])
+    mn = F.lit([float(m) for m in mins])
+    sc = F.lit([float(s) for s in scales])
     return F.zip_with(
         _dvec(vec),
         dim_idx,
@@ -110,8 +110,8 @@ def sq_decode(
     levels = 1 << bits
     scales = _scales(mins, maxes, levels)
     dim_idx = F.sequence(F.lit(0), F.size(codes) - 1)
-    mn = F.array(*[F.lit(float(m)) for m in mins])
-    sc = F.array(*[F.lit(float(s)) for s in scales])
+    mn = F.lit([float(m) for m in mins])
+    sc = F.lit([float(s) for s in scales])
     return F.zip_with(
         codes,
         dim_idx,
@@ -146,10 +146,14 @@ def pq_train(
     """
     from .similarity import _sq_dist
 
+    # cache, not eager localCheckpoint: pins the projected corpus across
+    # the Lloyd rounds without paying a separate materialization job up
+    # front (the seeds job below fills the cache) — one fewer
+    # driver-synchronized job in a plan whose cost is job latency
     v = (
         corpus.select(F.col(id_col).alias("_id"), _dvec(F.col(vec_col)).alias("_v"))
         .filter(F.col("_v").isNotNull())
-        .localCheckpoint(eager=True)
+        .cache()
     )
     # dim comes from the seed rows — no separate first() job
     seeds = (
@@ -176,7 +180,7 @@ def pq_train(
             sub = F.slice(F.col("_v"), s * dsub + 1, dsub)
             entries = [
                 F.struct(
-                    _sq_dist(sub, F.array(*[F.lit(x) for x in c])).alias("d2"),
+                    _sq_dist(sub, F.lit([float(x) for x in c])).alias("d2"),
                     F.lit(cid).alias("cid"),
                 )
                 for cid, c in books[s]
@@ -217,7 +221,7 @@ def _pq_sub_code(
     sub = F.slice(vec, s * dsub + 1, dsub)
     entries = [
         F.struct(
-            _sq_dist(sub, F.array(*[F.lit(x) for x in c])).alias("d2"),
+            _sq_dist(sub, F.lit([float(x) for x in c])).alias("d2"),
             F.lit(cid).alias("cid"),
         )
         for cid, c in book
@@ -239,7 +243,7 @@ def pq_decode(codes: Column, books: list[list[tuple[int, list[float]]]]) -> Colu
     sub-centroids (codebooks inlined as literal array-of-arrays)."""
     subs = []
     for s, book in enumerate(books):
-        table = F.array(*[F.array(*[F.lit(x) for x in c]) for _, c in book])
+        table = F.array(*[F.lit([float(x) for x in c]) for _, c in book])
         subs.append(F.element_at(table, codes[s] + 1))
     return F.concat(*subs)
 

@@ -291,7 +291,7 @@ def kmeans_fit(
         entries = [
             F.struct(
                 _sq_dist(
-                    F.col("_v"), F.array(*[F.lit(x) for x in c])
+                    F.col("_v"), F.lit([float(x) for x in c])
                 ).alias("d2"),
                 F.lit(cid).alias("cid"),
             )
@@ -352,7 +352,7 @@ def assign_clusters(
             F.struct(
                 _sq_dist(
                     F.col("_vv"),
-                    F.array(*[F.lit(float(x)) for x in r["centroid"]]),
+                    F.lit([float(x) for x in r["centroid"]]),
                 ).alias("d2"),
                 F.lit(r["cluster_id"]).alias("cid"),
             )

@@ -72,6 +72,29 @@ FROM labels GROUP BY component
 """
 
 
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware cluster survivors: per near-dup cluster (word-
+    3-shingle Jaccard ≥ 0.5), keep the member with the most tokens
+    (ties → min doc_id) — the keep-the-better-document dedup policy
+    (operators/dedup.dedup_keep_best)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return DD.dedup_keep_best(docs, k=3, threshold=0.5).orderBy("doc_id")
+
+
+DEDUP_KEEP_BEST_SQL = _COMPONENTS_WALK + """
+, sized AS (
+  SELECT l.id, l.component, len(t.t) AS score,
+         count(*) OVER (PARTITION BY l.component) AS cluster_size,
+         row_number() OVER (PARTITION BY l.component
+                            ORDER BY len(t.t) DESC, l.id) AS rn
+  FROM labels l JOIN toks t ON t.doc_id = l.id
+)
+SELECT id AS doc_id, CAST(cluster_size AS BIGINT) AS cluster_size,
+       CAST(score AS INT) AS score
+FROM sized WHERE rn = 1 ORDER BY doc_id
+"""
+
+
 def kg_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Degree relation of the customer-placed-order graph (prefixed ids)."""
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
@@ -238,6 +261,7 @@ KG_PAGERANK_SQL = _pagerank_sql(iterations=5, damping=0.85)
 QUERIES = {
     "dedup_components": dedup_components,
     "dedup_corpus_clusters": dedup_corpus_clusters,
+    "dedup_keep_best": dedup_keep_best,
     "kg_degrees": kg_degrees,
     "kg_2hop": kg_2hop,
     "kg_triangles": kg_triangles,
@@ -248,6 +272,7 @@ ORACLES = {
     "kg_triangles": KG_TRIANGLES_SQL,
     "dedup_components": DEDUP_COMPONENTS_SQL,
     "dedup_corpus_clusters": DEDUP_CORPUS_SQL,
+    "dedup_keep_best": DEDUP_KEEP_BEST_SQL,
     "kg_degrees": KG_DEGREES_SQL,
     "kg_2hop": KG_2HOP_SQL,
     "kg_pagerank": KG_PAGERANK_SQL,

@@ -117,6 +117,40 @@ class TestNearDupCorpus:
         ).collect()
         assert sum(r["cluster_size"] for r in got) == corpus.count()
 
+    def test_keep_best_prefers_quality_over_min_id(self, spark, corpus):
+        # doc 3 is doc 1's near-dup but one token longer after the
+        # replace; extend it so the cluster's best-scoring member has a
+        # HIGHER id than the min-id representative near_dup_clusters picks
+        longer = corpus.withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") == 3,
+                F.concat(F.col("text"), F.lit(" with extra trailing words")),
+            ).otherwise(F.col("text")),
+        )
+        best = {
+            r["doc_id"]: (r["cluster_size"], r["score"])
+            for r in DD.dedup_keep_best(longer, threshold=0.5).collect()
+        }
+        assert 3 in best and best[3][0] == 3  # cluster {1,2,3}, 3 wins
+        assert 1 not in best and 2 not in best
+        assert best[4][0] == 1 and best[5][0] == 1  # singletons survive
+
+    def test_keep_best_ties_break_to_min_id(self, spark, corpus):
+        # docs 1 and 2 are identical (equal score) — min id must win
+        best = {r["doc_id"] for r in DD.dedup_keep_best(corpus).collect()}
+        assert 2 not in best
+
+    def test_keep_best_custom_score(self, spark, corpus):
+        # a score preferring the HIGHEST id flips every cluster's winner
+        best = {
+            r["doc_id"]
+            for r in DD.dedup_keep_best(
+                corpus, score=F.col("doc_id").cast("double")
+            ).collect()
+        }
+        assert 3 in best and not {1, 2} & best
+
 
 class TestEmbeddingDups:
     def test_identical_and_near_vectors(self, spark):
