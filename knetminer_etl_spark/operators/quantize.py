@@ -144,14 +144,15 @@ def pq_train(
     partition regardless of corpus size. Codebooks are driver-held
     (``m × ksub × dsub`` doubles — the broadcast-parameter shape).
     """
-    from .similarity import _sq_dist
-
     # cache, not eager localCheckpoint: pins the projected corpus across
     # the Lloyd rounds without paying a separate materialization job up
     # front (the seeds job below fills the cache) — one fewer
     # driver-synchronized job in a plan whose cost is job latency
+    from .util import fan_out
+
     v = (
-        corpus.select(F.col(id_col).alias("_id"), _dvec(F.col(vec_col)).alias("_v"))
+        fan_out(corpus)
+        .select(F.col(id_col).alias("_id"), _dvec(F.col(vec_col)).alias("_v"))
         .filter(F.col("_v").isNotNull())
         .cache()
     )
@@ -175,25 +176,19 @@ def pq_train(
         for s in range(m)
     ]
     for _ in range(iterations):
-        per_sub = []
-        for s in range(m):
-            sub = F.slice(F.col("_v"), s * dsub + 1, dsub)
-            entries = [
-                F.struct(
-                    _sq_dist(sub, F.lit([float(x) for x in c])).alias("d2"),
-                    F.lit(cid).alias("cid"),
-                )
-                for cid, c in books[s]
-            ]
-            per_sub.append(
-                F.struct(
-                    F.lit(s).alias("s"),
-                    F.array_min(F.array(*entries))["cid"].alias("cid"),
-                    sub.alias("sub"),
-                )
+        # SQL-string codegen, one expr() per round: building this tree
+        # node-by-node costs hundreds of driver API round-trips (~2 s per
+        # round measured) for identical semantics — see _sqdist_sql
+        per_sub = [
+            "named_struct('s', {s}, 'cid', {code}, 'sub', {sub})".format(
+                s=s,
+                code=_argmin_sql(f"slice(_v, {s * dsub + 1}, {dsub})", books[s]),
+                sub=f"slice(_v, {s * dsub + 1}, {dsub})",
             )
+            for s in range(m)
+        ]
         agg = (
-            v.select(F.explode(F.array(*per_sub)).alias("a"))
+            v.selectExpr(f"explode(array({', '.join(per_sub)})) AS a")
             .select("a.s", "a.cid", "a.sub")
             .groupBy("s", "cid")
             .agg(
@@ -213,7 +208,78 @@ def pq_train(
     return books
 
 
-def _pq_sub_code(
+def _d_sql(x: float) -> str:
+    """A double literal that round-trips exactly: Python ``repr`` emits
+    the shortest decimal that parses back to the same IEEE double, and
+    the SQL string→double cast performs that parse."""
+    return f"CAST('{float(x)!r}' AS DOUBLE)"
+
+
+def _arr_sql(vals: list[float]) -> str:
+    return "array(" + ", ".join(_d_sql(x) for x in vals) + ")"
+
+
+def _sqdist_sql(vec_sql: str, vals: list[float]) -> str:
+    """SQL twin of :func:`.similarity._sq_dist` — identical operations in
+    identical order (zip_with square fold, sequential sum), so the floats
+    are bit-equal to the Column form. Emitted as text because building
+    the per-centroid trees through the Column API costs one driver
+    round-trip per node — hundreds of calls and ~2 s per plan for the
+    default 4×8 codebook — while one ``expr()`` string parses in the JVM
+    in microseconds."""
+    return (
+        f"aggregate(zip_with({vec_sql}, {_arr_sql(vals)}, "
+        "(x, y) -> (x - y) * (x - y)), "
+        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def _argmin_sql(vec_sql: str, book: list[tuple[int, list[float]]]) -> str:
+    entries = ", ".join(
+        f"named_struct('d2', {_sqdist_sql(vec_sql, c)}, 'cid', {cid})"
+        for cid, c in book
+    )
+    return f"array_min(array({entries}))['cid']"
+
+
+def _pq_encode_sql(
+    vec_sql: str, books: list[list[tuple[int, list[float]]]]
+) -> str:
+    dsub = len(books[0][0][1])
+    dvec = f"transform({vec_sql}, x -> CAST(x AS DOUBLE))"
+    codes = ", ".join(
+        _argmin_sql(f"slice({dvec}, {s * dsub + 1}, {dsub})", b)
+        for s, b in enumerate(books)
+    )
+    return f"array({codes})"
+
+
+def _pq_decode_sql(
+    codes_sql: str, books: list[list[tuple[int, list[float]]]]
+) -> str:
+    subs = []
+    for s, book in enumerate(books):
+        table = "array(" + ", ".join(_arr_sql(c) for _, c in book) + ")"
+        subs.append(f"element_at({table}, {codes_sql}[{s}] + 1)")
+    return "concat(" + ", ".join(subs) + ")"
+
+
+def pq_encode(
+    vec: Column | str, books: list[list[tuple[int, list[float]]]]
+) -> Column:
+    """array<int> of ``m`` codes — nearest sub-centroid per subspace.
+    Narrow map with literal codebooks: encodes at scan speed. Pass the
+    column NAME (not a Column) to get the single-expr construction."""
+    if isinstance(vec, str):
+        return F.expr(_pq_encode_sql(vec, books))
+    dsub = len(books[0][0][1])
+    dvec = _dvec(vec)
+    return F.array(
+        *[_pq_sub_code_col(dvec, b, s, dsub) for s, b in enumerate(books)]
+    )
+
+
+def _pq_sub_code_col(
     vec: Column, book: list[tuple[int, list[float]]], s: int, dsub: int
 ) -> Column:
     from .similarity import _sq_dist
@@ -229,18 +295,14 @@ def _pq_sub_code(
     return F.array_min(F.array(*entries))["cid"]
 
 
-def pq_encode(vec: Column, books: list[list[tuple[int, list[float]]]]) -> Column:
-    """array<int> of ``m`` codes — nearest sub-centroid per subspace.
-    Narrow map with literal codebooks: encodes at scan speed."""
-    dsub = len(books[0][0][1])
-    return F.array(
-        *[_pq_sub_code(_dvec(vec), b, s, dsub) for s, b in enumerate(books)]
-    )
-
-
-def pq_decode(codes: Column, books: list[list[tuple[int, list[float]]]]) -> Column:
+def pq_decode(
+    codes: Column | str, books: list[list[tuple[int, list[float]]]]
+) -> Column:
     """array<double> reconstruction: concatenation of the coded
-    sub-centroids (codebooks inlined as literal array-of-arrays)."""
+    sub-centroids (codebooks inlined as literal array-of-arrays). Pass
+    the column NAME for the single-expr construction."""
+    if isinstance(codes, str):
+        return F.expr(_pq_decode_sql(codes, books))
     subs = []
     for s, book in enumerate(books):
         table = F.array(*[F.lit([float(x) for x in c]) for _, c in book])
@@ -270,9 +332,18 @@ def pq_topk(
     with per-query lookup tables, an Arrow-batch micro-optimization the
     decode form's codegen already approximates locally.
     """
+    from .util import fan_out
+
     books = pq_train(corpus, m, ksub, iterations, id_col, vec_col)
-    recon = corpus.withColumn(
-        vec_col, pq_decode(pq_encode(F.col(vec_col), books), books)
+    # fan_out BELOW the decode projection: cosine_topk repartitions its
+    # input, and a repartition above the (interpreted-HOF) encode/decode
+    # map would leave that work on the raw input's partitioning — one
+    # core for a single-file corpus
+    # single-expr string construction: the nested encode/decode tree
+    # built through the Column API costs ~2 s of driver round-trips per
+    # plan (measured); as one expr() it parses JVM-side in microseconds
+    recon = fan_out(corpus).withColumn(
+        vec_col, F.expr(_pq_decode_sql(_pq_encode_sql(vec_col, books), books))
     )
     from .similarity import cosine_topk
 
@@ -296,8 +367,10 @@ def sq_topk(
     which tests bound against the exact result."""
     from .similarity import cosine_topk
 
+    from .util import fan_out
+
     mins, maxes = sq_train(corpus, vec_col)
-    recon = corpus.withColumn(
+    recon = fan_out(corpus).withColumn(
         vec_col, sq_decode(sq_encode(F.col(vec_col), mins, maxes, bits), mins, maxes, bits)
     )
     return cosine_topk(recon, queries, k, id_col, vec_col, query_id_col)
