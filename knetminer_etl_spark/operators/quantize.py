@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .similarity import _dvec
+from .similarity import _arr_sql, _dvec
 
 
 _WIDE_AGG_MAX_DIM = 256
@@ -208,38 +208,10 @@ def pq_train(
     return books
 
 
-def _d_sql(x: float) -> str:
-    """A double literal that round-trips exactly: Python ``repr`` emits
-    the shortest decimal that parses back to the same IEEE double, and
-    the SQL string→double cast performs that parse."""
-    return f"CAST('{float(x)!r}' AS DOUBLE)"
-
-
-def _arr_sql(vals: list[float]) -> str:
-    return "array(" + ", ".join(_d_sql(x) for x in vals) + ")"
-
-
-def _sqdist_sql(vec_sql: str, vals: list[float]) -> str:
-    """SQL twin of :func:`.similarity._sq_dist` — identical operations in
-    identical order (zip_with square fold, sequential sum), so the floats
-    are bit-equal to the Column form. Emitted as text because building
-    the per-centroid trees through the Column API costs one driver
-    round-trip per node — hundreds of calls and ~2 s per plan for the
-    default 4×8 codebook — while one ``expr()`` string parses in the JVM
-    in microseconds."""
-    return (
-        f"aggregate(zip_with({vec_sql}, {_arr_sql(vals)}, "
-        "(x, y) -> (x - y) * (x - y)), "
-        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
-    )
-
-
 def _argmin_sql(vec_sql: str, book: list[tuple[int, list[float]]]) -> str:
-    entries = ", ".join(
-        f"named_struct('d2', {_sqdist_sql(vec_sql, c)}, 'cid', {cid})"
-        for cid, c in book
-    )
-    return f"array_min(array({entries}))['cid']"
+    from .similarity import _argmin_struct_sql
+
+    return _argmin_struct_sql(vec_sql, book) + "['cid']"
 
 
 def _pq_encode_sql(

@@ -84,6 +84,43 @@ def cosine_topk(
     )
 
 
+def _d_sql(x: float) -> str:
+    """A double literal that round-trips exactly: Python ``repr`` emits
+    the shortest decimal that parses back to the same IEEE double, and
+    the SQL string→double cast performs that parse."""
+    return f"CAST('{float(x)!r}' AS DOUBLE)"
+
+
+def _arr_sql(vals: list[float]) -> str:
+    return "array(" + ", ".join(_d_sql(x) for x in vals) + ")"
+
+
+def _sqdist_sql(vec_sql: str, vals: list[float]) -> str:
+    """SQL twin of :func:`_sq_dist` — identical operations in identical
+    order, so the floats are bit-equal to the Column form. Emitted as
+    text because building per-centroid trees through the Column API
+    costs one driver round-trip per node (hundreds of calls, ~2 s per
+    plan for a PQ codebook) while one ``expr()`` string parses JVM-side
+    in microseconds."""
+    return (
+        f"aggregate(zip_with({vec_sql}, {_arr_sql(vals)}, "
+        "(x, y) -> (x - y) * (x - y)), "
+        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def _argmin_struct_sql(
+    vec_sql: str, cents: list[tuple[int, list[float]]]
+) -> str:
+    """``array_min`` over (d2, cid) structs — nearest centroid with the
+    (distance, cluster-id) tie-break every fit/assign path shares."""
+    entries = ", ".join(
+        f"named_struct('d2', {_sqdist_sql(vec_sql, c)}, 'cid', {cid})"
+        for cid, c in cents
+    )
+    return f"array_min(array({entries}))"
+
+
 def _sign_bucket(vec: Column, n_planes: int) -> Column:
     """Deterministic sign-LSH bucket id from seeded pseudo-random planes."""
     dim_idx = F.sequence(F.lit(0), F.size(vec) - 1)
@@ -287,18 +324,12 @@ def kmeans_fit(
         # feeding a groupBy whose per-dimension sums partial-aggregate
         # map-side, so the shuffle carries nlist×(dim+1) combined values
         # per partition — not the n×dim exploded rows of a
-        # posexplode/avg formulation.
-        entries = [
-            F.struct(
-                _sq_dist(
-                    F.col("_v"), F.lit([float(x) for x in c])
-                ).alias("d2"),
-                F.lit(cid).alias("cid"),
-            )
-            for cid, c in cents_rows
-        ]
+        # posexplode/avg formulation. The argmin subtree is one expr()
+        # string (see _sqdist_sql) — bit-identical, cheap to rebuild.
         agg = (
-            v.withColumn("_cid", F.array_min(F.array(*entries))["cid"])
+            v.withColumn(
+                "_cid", F.expr(_argmin_struct_sql("_v", cents_rows) + "['cid']")
+            )
             .groupBy("_cid")
             .agg(
                 F.count("*").alias("_n"),
@@ -348,17 +379,12 @@ def assign_clusters(
         F.col(id_col).alias("_id"), _dvec(F.col(vec_col)).alias("_vv")
     )
     if rows and len(rows) * dim <= _LITERAL_ASSIGN_MAX:
-        entries = [
-            F.struct(
-                _sq_dist(
-                    F.col("_vv"),
-                    F.lit([float(x) for x in r["centroid"]]),
-                ).alias("d2"),
-                F.lit(r["cluster_id"]).alias("cid"),
+        best = F.expr(
+            _argmin_struct_sql(
+                "_vv",
+                [(r["cluster_id"], list(r["centroid"])) for r in rows],
             )
-            for r in rows
-        ]
-        best = F.array_min(F.array(*entries))
+        )
         cols = [F.col("_id").alias(id_col), best["cid"].alias("cluster_id")]
         if return_dist:
             cols.append(best["d2"].alias("d2"))
