@@ -385,14 +385,17 @@ def minhash_signatures(
     shingled = _with_shingles(df, id_col, text_col, k)
     # _sh is guaranteed non-empty, so the signature is never NULL — no
     # size()/NULL guard (such a guard becomes a pushable predicate that
-    # re-inlines the shingle pipeline below the exchange)
-    sig = F.array(
-        *[
-            F.array_min(
-                F.transform(F.col("_sh"), lambda s: F.xxhash64(s, F.lit(i)))
-            )
+    # re-inlines the shingle pipeline below the exchange).
+    # One expr() string, not num_perm Column subtrees: each Column call is
+    # a driver round-trip and 64 min-hash lanes cost ~0.5 s of pure plan
+    # construction per invocation (see SCALE.md, PQ note).
+    sig = F.expr(
+        "array("
+        + ", ".join(
+            f"array_min(transform(_sh, s -> xxhash64(s, {i})))"
             for i in range(num_perm)
-        ]
+        )
+        + ")"
     )
     return shingled.select(
         F.col("_id").alias("doc_id"),
@@ -416,28 +419,19 @@ def minhash_band_rows(
     corpus. Narrow map over the signatures; bands × rows per doc."""
     rows_per_band = num_perm // bands
     sigs = minhash_signatures(df, id_col, text_col, num_perm, k)
+    entries = ", ".join(
+        "named_struct('band', {b}, 'bucket', "
+        "xxhash64(concat_ws(',', {cols}), {b}))".format(
+            b=b,
+            cols=", ".join(
+                f"signature[{b * rows_per_band + r}]"
+                for r in range(rows_per_band)
+            ),
+        )
+        for b in range(bands)
+    )
     return sigs.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.col("signature")[b * rows_per_band + r]
-                                    for r in range(rows_per_band)
-                                ],
-                            ),
-                            F.lit(b),
-                        ).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
+        "doc_id", F.expr(f"explode(array({entries}))").alias("bb")
     ).select("doc_id", "bb.band", "bb.bucket")
 
 
@@ -641,17 +635,31 @@ def with_simhash64(
     the fast path; pass :func:`md5_hash60` with nbits=60 for an
     oracle-reproducible fingerprint)."""
     hf = hash_fn or (lambda s: F.xxhash64(s))
+    # votes/fp as expr() strings (same trees as _bit_vote/_votes_to_fp,
+    # one driver call per column instead of ~10 per bit — see SCALE.md)
+    vote = (
+        "aggregate(_h, 0, (acc, h) -> acc + "
+        "(CASE WHEN (h & CAST('{m}' AS BIGINT)) != 0 THEN 1 ELSE -1 END))"
+    )
     voted = (
         _with_shingles(df, id_col, text_col, k)
         .select("_id", F.transform(F.col("_sh"), hf).alias("_h"))
         .select(
             "_id",
-            *[_bit_vote(F.col("_h"), i).alias(f"_v{i}") for i in range(nbits)],
+            *[
+                F.expr(vote.format(m=_bit_mask(i))).alias(f"_v{i}")
+                for i in range(nbits)
+            ],
         )
     )
+    fp = "CAST(0 AS BIGINT)"
+    for i in range(nbits):
+        fp = (
+            f"({fp} | (CASE WHEN _v{i} > 0 THEN CAST('{_bit_mask(i)}' AS "
+            "BIGINT) ELSE CAST(0 AS BIGINT) END))"
+        )
     return voted.select(
-        F.col("_id").alias("doc_id"),
-        _votes_to_fp([F.col(f"_v{i}") for i in range(nbits)]).alias(out_col),
+        F.col("_id").alias("doc_id"), F.expr(fp).alias(out_col)
     )
 
 
