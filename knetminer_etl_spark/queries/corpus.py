@@ -747,3 +747,51 @@ DOC_LM_SCORES_SQL = _lm_sql()
 
 QUERIES.update({"doc_lm_scores": doc_lm_scores})
 ORACLES.update({"doc_lm_scores": DOC_LM_SCORES_SQL})
+
+
+# ---------------------------------------------------------------------------
+# BPE merge statistics (tokenizer training)
+# ---------------------------------------------------------------------------
+
+
+def doc_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 first-round BPE pair counts over the corpus (the statistic
+    each merge round of tokenizer training maximizes; operators/bpe.py).
+    The corpus is scanned once into a word-frequency vocabulary; pair
+    counts aggregate over that bounded relation, not the corpus."""
+    from ..operators import bpe as B
+
+    docs = _docs(spark, sf_dir)
+    return (
+        B.pair_counts(B.word_symbol_vocab(docs))
+        .orderBy(F.col("pair_count").desc(), "a", "b")
+        .limit(20)
+    )
+
+
+DOC_BPE_PAIRS_SQL = f"""
+WITH norm AS (SELECT doc_id, {_NORM_SQL} AS s FROM documents),
+words AS (
+  SELECT unnest(list_filter(string_split(s, ' '), x -> x <> '')) AS w
+  FROM norm
+),
+wf AS (SELECT w, count(*) AS freq FROM words GROUP BY w),
+sy AS (
+  SELECT freq,
+         [CASE WHEN i = length(w) THEN w[i:i] || '▁' ELSE w[i:i] END
+          for i in generate_series(1, length(w))] AS s
+  FROM wf
+),
+pr AS (
+  SELECT unnest([{{'a': s[i], 'b': s[i+1]}}
+                 for i in generate_series(1, len(s) - 1)]) AS p, freq
+  FROM sy WHERE len(s) >= 2
+)
+SELECT p.a AS a, p.b AS b, CAST(sum(freq) AS BIGINT) AS pair_count
+FROM pr GROUP BY 1, 2
+ORDER BY pair_count DESC, a, b
+LIMIT 20
+"""
+
+QUERIES.update({"doc_bpe_pairs": doc_bpe_pairs})
+ORACLES.update({"doc_bpe_pairs": DOC_BPE_PAIRS_SQL})
