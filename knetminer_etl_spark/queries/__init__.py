@@ -75,8 +75,8 @@ _PRIORITY = [
     # TPC-H-style relational core (agg, top-k join, multi-join, outer,
     # scalar subquery, semi/anti join)
     "q1_pricing_summary", "q3_shipping_priority", "q5_region_volume",
-    "q9_product_profit", "q12_late_shipments", "q13_customer_distribution",
-    "q15_top_supplier", "q18_large_orders", "q21_waiting_suppliers",
+    "q12_late_shipments", "q13_customer_distribution",
+    "q15_top_supplier", "q21_waiting_suppliers",
     # the product pipeline: tabular → triples → property graph
     "kg_triples_customer", "kg_edge_triples", "kg_pg_elements",
     # graph algorithms over the KG
@@ -89,16 +89,15 @@ _PRIORITY = [
     "embedding_pq_topk",
     # text analysis
     "text_stats", "token_counts", "lang_id_counts", "doc_fingerprints",
-    # corpus / training-data prep
+    # corpus / training-data prep (incl. tokenizer-training statistics)
     "doc_split_counts", "doc_quality_filter", "doc_pii_redaction",
     "doc_context_windows", "doc_repetition_stats", "doc_decontamination",
-    "doc_tfidf_terms", "doc_lm_scores", "doc_rag_chunks",
-    # event streams: windows, sessions, as-of, SCD2, gap-fill, funnels
+    "doc_tfidf_terms", "doc_lm_scores", "doc_bpe_pairs",
+    # event streams: windows, sessions, as-of, SCD2, gap-fill
     "events_tumbling_5m", "events_sessionize", "events_asof_last_error",
     "events_scd2", "events_gap_fill", "events_time_weighted_avg",
-    "events_funnel",
     # sketches
-    "events_distinct_hll", "doc_heavy_hitters", "doc_token_cms",
+    "events_distinct_hll", "doc_heavy_hitters",
     "events_value_hist_quantiles",
     # OLAP cube / training layout / data contracts
     "segment_year_cube", "doc_shard_manifest", "doc_temperature_mix",
