@@ -689,26 +689,50 @@ def simhash_pairs(
     The blocking is therefore EXACT (no false negatives), whatever the
     hash — the pair set equals a brute-force Hamming scan.
     """
+    fp = with_simhash64(
+        df, id_col, text_col, shingle_k, hash_fn=hash_fn, nbits=nbits
+    )
+    return hamming_pairs(fp, "doc_id", "fp", max_hamming, nbits)
+
+
+def hamming_pairs(
+    fp: DataFrame,
+    id_col: str = "doc_id",
+    fp_col: str = "fp",
+    max_hamming: int = 3,
+    nbits: int = 64,
+) -> DataFrame:
+    """All id pairs whose integer fingerprints differ in ≤ ``max_hamming``
+    bits — the generic Hamming-blocking engine behind
+    :func:`simhash_pairs` and image perceptual-hash dedup
+    (``multimodal.image_dup_pairs``).
+
+    Blocking: split the fingerprint into ``max_hamming+1`` equal bands;
+    by pigeonhole any pair within distance d agrees exactly on ≥1 band →
+    candidates come from band equi-joins, verified with bit_count. The
+    blocking is EXACT (no false negatives) whatever the hash — the pair
+    set equals a brute-force Hamming scan. Output: (id_a, id_b, hamming).
+    """
     nbands = max_hamming + 1
     width = nbits // nbands
-    # Pin the tiny (id, fp) table: SimHash chunk buckets can be huge on
+    # Pin the tiny (id, fp) table: chunk buckets can be huge on
     # self-similar corpora, so candidates come from a bucket SELF-JOIN
     # (row-streamed; AQE splits hot chunks) rather than per-bucket
     # combination arrays, whose size is quadratic in the bucket and
     # caused GC-bound 5x swings. The pin keeps the fingerprint pipeline
     # from running once per join side.
-    fp = with_simhash64(
-        df, id_col, text_col, shingle_k, hash_fn=hash_fn, nbits=nbits
+    fp = fp.select(
+        F.col(id_col).alias("_hid"), F.col(fp_col).alias("_hfp")
     ).localCheckpoint(eager=True)
     banded = fp.select(
-        "doc_id",
-        "fp",
+        "_hid",
+        "_hfp",
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.shiftrightunsigned(F.col("fp"), b * width)
+                        F.shiftrightunsigned(F.col("_hfp"), b * width)
                         .bitwiseAND(F.lit((1 << width) - 1).cast("long"))
                         .alias("chunk"),
                     )
@@ -716,12 +740,12 @@ def simhash_pairs(
                 ]
             )
         ).alias("bb"),
-    ).select("doc_id", "fp", "bb.band", "bb.chunk")
+    ).select("_hid", "_hfp", "bb.band", "bb.chunk")
     a = banded.select(
-        "band", "chunk", F.col("doc_id").alias("id_a"), F.col("fp").alias("fp_a")
+        "band", "chunk", F.col("_hid").alias("id_a"), F.col("_hfp").alias("fp_a")
     )
     b = banded.select(
-        "band", "chunk", F.col("doc_id").alias("id_b"), F.col("fp").alias("fp_b")
+        "band", "chunk", F.col("_hid").alias("id_b"), F.col("_hfp").alias("fp_b")
     )
     return (
         a.join(b, on=["band", "chunk"])

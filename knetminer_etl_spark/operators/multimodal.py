@@ -352,3 +352,112 @@ def frame_sample_plan(
             )
         ).alias("frame_ts_ms"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual image hashing + image near-dup
+# ---------------------------------------------------------------------------
+
+
+def _fake_pixels(data: bytes, fmt: str):
+    """Deterministic fake pixel decoder: a 16x16 grayscale grid derived
+    purely from the bytes (sha256-stretched), so tests exercise the full
+    hash pipeline with stable outputs. Production passes a PIL/ffmpeg
+    ``pixels_fn`` returning a 2-D uint8 array."""
+    import hashlib
+
+    import numpy as np
+
+    out = b""
+    seed = data or b""
+    while len(out) < 256:
+        seed = hashlib.sha256(seed).digest()
+        out += seed
+    return np.frombuffer(out[:256], dtype=np.uint8).reshape(16, 16)
+
+
+def _ahash_one(px, hash_size: int) -> int:
+    """Average-hash of one grayscale array: mean-pool to
+    ``hash_size``² cells, set bit i when cell i > grid mean. Row-major
+    bit order, bit 0 = MSB cell — the standard aHash layout."""
+    import numpy as np
+
+    px = np.asarray(px, dtype=np.float64)
+    h, w = px.shape
+    # integral mean-pool: trim to a multiple of hash_size, then average
+    # each block (deterministic; no interpolation kernels to disagree on)
+    th, tw = h - h % hash_size, w - w % hash_size
+    px = px[:th, :tw]
+    bh, bw = th // hash_size, tw // hash_size
+    pooled = px.reshape(hash_size, bh, hash_size, bw).mean(axis=(1, 3))
+    bits = (pooled > pooled.mean()).ravel()
+    v = 0
+    for bit in bits:
+        v = (v << 1) | int(bit)
+    # two's-complement into a signed 64-bit long for the fp column
+    if v >= 1 << 63:
+        v -= 1 << 64
+    return v
+
+
+def image_ahash(
+    df: DataFrame,
+    id_col: str = "media_id",
+    binary_col: str = "data",
+    fmt_col: str | None = None,
+    pixels_fn: Callable[[bytes, str], Any] | None = None,
+    hash_size: int = 8,
+) -> DataFrame:
+    """(media_id, ahash): 64-bit average perceptual hash per image —
+    robust to re-encoding/resize, the standard cheap near-dup signal for
+    image corpora. Arrow-batched ``mapInPandas`` (same scale shape as
+    :func:`decode_media`); ``pixels_fn=None`` selects the deterministic
+    fake decoder so plumbing is testable without codec libraries."""
+    import pandas as pd
+
+    fn = pixels_fn or _fake_pixels
+    cols = [id_col, binary_col] + ([fmt_col] if fmt_col else [])
+    src = df.select(*cols)
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            ids = pdf[id_col].to_numpy()
+            datas = pdf[binary_col].to_numpy()
+            fmts = (
+                pdf[fmt_col].astype(str).to_numpy()
+                if fmt_col
+                else ["bin"] * len(pdf)
+            )
+            out = [
+                (
+                    int(mid),
+                    _ahash_one(
+                        fn(bytes(d) if d is not None else b"", fmt), hash_size
+                    ),
+                )
+                for mid, d, fmt in zip(ids, datas, fmts)
+            ]
+            yield pd.DataFrame(out, columns=["media_id", "ahash"])
+
+    return src.mapInPandas(
+        batches, "media_id long, ahash long"
+    )
+
+
+def image_dup_pairs(
+    df: DataFrame,
+    id_col: str = "media_id",
+    binary_col: str = "data",
+    fmt_col: str | None = None,
+    pixels_fn: Callable[[bytes, str], Any] | None = None,
+    max_hamming: int = 5,
+) -> DataFrame:
+    """Near-duplicate image pairs: perceptual aHash + the exact Hamming
+    banding engine (``dedup.hamming_pairs`` — no false negatives at the
+    fingerprint level). The image-corpus dedup composition: decode once,
+    block by fingerprint bands, verify with bit_count — the corpus is
+    never self-joined on raw bytes. Output: (id_a, id_b, hamming)."""
+    from .dedup import hamming_pairs
+
+    fp = image_ahash(df, id_col, binary_col, fmt_col, pixels_fn)
+    return hamming_pairs(fp, "media_id", "ahash", max_hamming)

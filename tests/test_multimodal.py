@@ -235,3 +235,77 @@ class TestMp4Decode:
         decoded = MM.decode_media(df, decode_fn=MM.video_header_decode)
         frames = MM.frame_sample_plan(decoded, every_ms=1000)
         assert [r["frame_ts_ms"] for r in frames.collect()] == [0, 1000, 2000, 3000]
+
+
+class TestImageHash:
+    def test_ahash_deterministic_and_distinct(self, spark):
+        from knetminer_etl_spark.operators.multimodal import image_ahash
+
+        rows = [(1, b"image-one"), (2, b"image-one"), (3, b"other-bytes")]
+        df = spark.createDataFrame(rows, "media_id long, data binary")
+        got = {r["media_id"]: r["ahash"] for r in image_ahash(df).collect()}
+        assert got[1] == got[2]  # same bytes -> same hash
+        assert got[1] != got[3]
+
+    def test_ahash_known_grid(self, spark):
+        """Hand-checked 8x8 grid: top half bright -> top 32 bits set."""
+        import numpy as np
+
+        from knetminer_etl_spark.operators.multimodal import image_ahash
+
+        def grid_fn(data, fmt):
+            px = np.zeros((8, 8), dtype=np.uint8)
+            px[:4, :] = 200
+            return px
+
+        df = spark.createDataFrame([(1, b"x")], "media_id long, data binary")
+        h = image_ahash(df, pixels_fn=grid_fn).first()["ahash"]
+        assert h == -(1 << 63) + ((1 << 63) - (1 << 32))  # 0xFFFFFFFF00000000 signed
+
+    def test_mean_pool_resizes_larger_images(self, spark):
+        import numpy as np
+
+        from knetminer_etl_spark.operators.multimodal import image_ahash
+
+        def big_fn(data, fmt):  # 32x32 with the same bright-top pattern
+            px = np.zeros((32, 32), dtype=np.uint8)
+            px[:16, :] = 200
+            return px
+
+        def small_fn(data, fmt):
+            px = np.zeros((8, 8), dtype=np.uint8)
+            px[:4, :] = 200
+            return px
+
+        df = spark.createDataFrame([(1, b"x")], "media_id long, data binary")
+        assert (
+            image_ahash(df, pixels_fn=big_fn).first()["ahash"]
+            == image_ahash(df, pixels_fn=small_fn).first()["ahash"]
+        )
+
+    def test_image_dup_pairs_finds_near_duplicates(self, spark):
+        import numpy as np
+
+        from knetminer_etl_spark.operators.multimodal import image_dup_pairs
+
+        base = np.zeros((8, 8), dtype=np.uint8)
+        base[:4, :] = 200
+
+        def fn(data, fmt):
+            px = base.copy()
+            if data == b"near":  # flip 2 cells -> hamming 2
+                px[0, 0] = 0
+                px[7, 7] = 200
+            if data == b"far":  # inverted -> hamming ~64
+                px = 200 - px
+            return px
+
+        rows = [(1, b"orig"), (2, b"orig"), (3, b"near"), (4, b"far")]
+        df = spark.createDataFrame(rows, "media_id long, data binary")
+        pairs = {
+            (r["id_a"], r["id_b"]): r["hamming"]
+            for r in image_dup_pairs(df, pixels_fn=fn, max_hamming=5).collect()
+        }
+        assert pairs[(1, 2)] == 0
+        assert pairs[(1, 3)] == 2 and pairs[(2, 3)] == 2
+        assert not any(4 in p for p in pairs)
