@@ -361,3 +361,53 @@ def pagerank(
             .localCheckpoint(eager=True)
         )
     return ranks.select("id", F.round("rank", 8).alias("rank"))
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 5,
+) -> DataFrame:
+    """(id, label) community detection by synchronous label propagation
+    (Raghavan et al. 2007, the GraphFrames `labelPropagation` semantics
+    made deterministic): labels start as node ids; each round every node
+    adopts the most frequent label among its neighbors, ties to the
+    SMALLEST label, isolated nodes keep their own. Fixed ``iterations``
+    synchronous rounds → deterministic, SQL-oracle-reproducible (unlike
+    the async/random-order variants).
+
+    Scale shape per round: one edge⋈labels join (shuffle on the node
+    id), one (node, label) count aggregate (map-side combined), one
+    argmax-by-(count, label) aggregate — the same two-exchange round as
+    PageRank, state bounded by the node set. Loop invariants are pinned
+    once; each round's labels are pinned (referenced by the next round's
+    join) so lineage stays flat.
+    """
+    e = _sym_edges(edges, src, dst).distinct().localCheckpoint(eager=True)
+    ids = (
+        e.select(F.col("src").alias("id")).unionByName(
+            e.select(F.col("dst").alias("id"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = ids.withColumn("label", F.col("id"))
+    for _ in range(iterations):
+        votes = (
+            e.join(labels, e["src"] == labels["id"])
+            .groupBy(F.col("dst").alias("nid"), "label")
+            .agg(F.count("*").alias("c"))
+        )
+        # argmax by (count desc, label asc): min over (-count, label)
+        best = votes.groupBy("nid").agg(
+            F.min(F.struct((-F.col("c")).alias("nc"), F.col("label").alias("l")))[
+                "l"
+            ].alias("new_label")
+        )
+        labels = (
+            ids.join(best, ids["id"] == best["nid"], "left")
+            .select("id", F.coalesce("new_label", F.col("id")).alias("label"))
+            .localCheckpoint(eager=True)
+        )
+    return labels

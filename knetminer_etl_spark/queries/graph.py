@@ -258,6 +258,58 @@ r{k} AS (
 KG_PAGERANK_SQL = _pagerank_sql(iterations=5, damping=0.85)
 
 
+def kg_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-propagation communities over the (undirected) customer-order
+    graph — 3 fixed synchronous rounds, ties to the smallest label
+    (operators/graph.label_propagation). Deterministic, so the oracle
+    unrolls the identical rounds."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    edges = orders.select(
+        F.concat(F.lit("C:"), F.col("o_custkey").cast("string")).alias("src"),
+        F.concat(F.lit("O:"), F.col("o_orderkey").cast("string")).alias("dst"),
+    )
+    return G.label_propagation(edges, iterations=3)
+
+
+def _lpa_sql(iterations: int = 3) -> str:
+    """Unrolled synchronous label propagation (same update rule as
+    operators.graph.label_propagation: most frequent neighbor label,
+    ties to the smallest, isolated keep their own)."""
+    parts = [
+        """WITH dedges AS (
+  SELECT DISTINCT 'C:' || o_custkey AS src, 'O:' || o_orderkey AS dst FROM orders
+),
+gedges AS (SELECT src, dst FROM dedges UNION SELECT dst, src FROM dedges),
+ids AS (SELECT DISTINCT src AS id FROM gedges),
+l0 AS (SELECT id, id AS label FROM ids)"""
+    ]
+    for k in range(1, iterations + 1):
+        parts.append(
+            f""",
+v{k} AS (
+  SELECT e.dst AS nid, l.label, count(*) AS c
+  FROM gedges e JOIN l{k - 1} l ON l.id = e.src
+  GROUP BY 1, 2
+),
+b{k} AS (
+  SELECT nid, label AS new_label FROM (
+    SELECT nid, label,
+           row_number() OVER (PARTITION BY nid ORDER BY c DESC, label) AS rn
+    FROM v{k}
+  ) WHERE rn = 1
+),
+l{k} AS (
+  SELECT i.id, coalesce(b.new_label, i.id) AS label
+  FROM ids i LEFT JOIN b{k} b ON b.nid = i.id
+)"""
+        )
+    parts.append(f"\nSELECT id, label FROM l{iterations}")
+    return "".join(parts)
+
+
+KG_COMMUNITIES_SQL = _lpa_sql(3)
+
+
 QUERIES = {
     "dedup_components": dedup_components,
     "dedup_corpus_clusters": dedup_corpus_clusters,
@@ -266,6 +318,7 @@ QUERIES = {
     "kg_2hop": kg_2hop,
     "kg_triangles": kg_triangles,
     "kg_pagerank": kg_pagerank,
+    "kg_communities": kg_communities,
 }
 
 ORACLES = {
@@ -276,4 +329,5 @@ ORACLES = {
     "kg_degrees": KG_DEGREES_SQL,
     "kg_2hop": KG_2HOP_SQL,
     "kg_pagerank": KG_PAGERANK_SQL,
+    "kg_communities": KG_COMMUNITIES_SQL,
 }

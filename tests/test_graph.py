@@ -97,3 +97,56 @@ class TestTriangles:
         )
         got = {r["id"]: r["triangles"] for r in G.triangle_counts(e).collect()}
         assert got == {1: 1, 2: 1, 3: 1}
+
+
+class TestLabelPropagation:
+    @staticmethod
+    def _ref_lpa(edges, iterations):
+        """Pure-Python synchronous LPA mirror (most-frequent neighbor
+        label, ties to smallest, isolated keep their own)."""
+        nbrs: dict = {}
+        for u, v in edges:
+            nbrs.setdefault(u, []).append(v)
+            nbrs.setdefault(v, []).append(u)
+        labels = {n: n for n in nbrs}
+        for _ in range(iterations):
+            nxt = {}
+            for n, ns in nbrs.items():
+                counts: dict = {}
+                for m in ns:
+                    counts[labels[m]] = counts.get(labels[m], 0) + 1
+                nxt[n] = min(counts, key=lambda l: (-counts[l], l))
+            labels = nxt
+        return labels
+
+    def test_matches_python_reference(self, spark):
+        edges = [
+            ("a", "b"), ("b", "c"), ("a", "c"),  # triangle 1
+            ("x", "y"), ("y", "z"), ("x", "z"),  # triangle 2
+            ("c", "x"),  # bridge
+        ]
+        from knetminer_etl_spark.operators.graph import label_propagation
+
+        df = spark.createDataFrame(edges, "src string, dst string")
+        for rounds in (1, 3, 5):
+            got = {
+                r["id"]: r["label"]
+                for r in label_propagation(df, iterations=rounds).collect()
+            }
+            assert got == self._ref_lpa(edges, rounds), f"rounds={rounds}"
+
+    def test_communities_form_on_separated_cliques(self, spark):
+        edges = [
+            ("a", "b"), ("b", "c"), ("a", "c"),
+            ("x", "y"), ("y", "z"), ("x", "z"),
+        ]
+        from knetminer_etl_spark.operators.graph import label_propagation
+
+        df = spark.createDataFrame(edges, "src string, dst string")
+        got = {
+            r["id"]: r["label"]
+            for r in label_propagation(df, iterations=5).collect()
+        }
+        assert len({got["a"], got["b"], got["c"]}) == 1
+        assert len({got["x"], got["y"], got["z"]}) == 1
+        assert got["a"] != got["x"]
