@@ -377,3 +377,58 @@ def weighted_priority_sql(
     A-ES priority ``u^(1/w)`` (same md5 uniform, same IEEE pow)."""
     u = f"({hash60_sql(key_expr, seed)}::DOUBLE / {float(1 << 60)!r})"
     return f"pow({u}, 1.0 / CAST({weight_expr} AS DOUBLE))"
+
+
+def difficulty_bands(
+    df: DataFrame,
+    score_col: str,
+    n_bands: int = 10,
+    out_col: str = "band",
+) -> DataFrame:
+    """Append an equal-width difficulty band 0..n_bands-1 over
+    ``score_col`` — the curriculum-learning layout step (order training
+    data easy→hard in coarse bands, shuffle within bands).
+
+    Equal-WIDTH bands, not equal-frequency: frequency banding needs a
+    global rank (`ntile` = one reducer sorting the corpus, the classic
+    scale collapse) or interpolated percentiles (engine-specific float
+    interpolation — oracle-fragile at band boundaries). Width banding is
+    one (min, max) aggregate — two exact data values — and a narrow
+    arithmetic map whose IEEE operations an oracle replays bit-for-bit.
+    NULL scores get NULL band; a constant score puts everything in band
+    0; the max score lands in the top band (clamped).
+    """
+    if n_bands < 1:
+        raise ValueError("n_bands must be >= 1")
+    agg = df.agg(
+        F.min(score_col).alias("mn"), F.max(score_col).alias("mx")
+    ).first()
+    mn, mx = agg["mn"], agg["mx"]
+    if mn is None or mx is None or mx == mn:
+        band = F.when(F.col(score_col).isNotNull(), F.lit(0))
+    else:
+        width = (float(mx) - float(mn)) / n_bands
+        band = F.when(
+            F.col(score_col).isNotNull(),
+            F.least(
+                F.lit(n_bands - 1),
+                F.floor(
+                    (F.col(score_col) - F.lit(float(mn))) / F.lit(width)
+                ).cast("int"),
+            ),
+        )
+    return df.withColumn(out_col, band.cast("int"))
+
+
+def difficulty_band_sql(
+    score_expr: str, mn_expr: str, mx_expr: str, n_bands: int = 10
+) -> str:
+    """DuckDB expression computing exactly :func:`difficulty_bands`'s
+    band (same subtraction/division/floor order)."""
+    width = f"(({mx_expr}) - ({mn_expr})) / {n_bands}"
+    return (
+        f"CASE WHEN {score_expr} IS NULL THEN NULL "
+        f"WHEN ({mx_expr}) = ({mn_expr}) THEN 0 "
+        f"ELSE least({n_bands - 1}, "
+        f"CAST(floor((({score_expr}) - ({mn_expr})) / ({width})) AS INT)) END"
+    )

@@ -795,3 +795,52 @@ LIMIT 20
 
 QUERIES.update({"doc_bpe_pairs": doc_bpe_pairs})
 ORACLES.update({"doc_bpe_pairs": DOC_BPE_PAIRS_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Curriculum difficulty bands
+# ---------------------------------------------------------------------------
+
+
+def doc_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum layout statistics: every document's LM quality score
+    banded into 10 equal-width difficulty bands (rank-free — no
+    global-sort ntile; operators/sampling.difficulty_bands), with
+    per-band volume and mean score."""
+    from ..operators import lmscore as LM
+    from ..operators import sampling as SP2
+
+    docs = _docs(spark, sf_dir)
+    vocab = LM.unigram_train(docs, vocab_size=_LM_VOCAB)
+    scores = LM.lm_score(docs, vocab)
+    banded = SP2.difficulty_bands(scores, "avg_logprob", 10)
+    return (
+        banded.groupBy("band")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("avg_logprob"), 6).alias("band_avg_logprob"),
+        )
+        .orderBy("band")
+    )
+
+
+def _curriculum_sql() -> str:
+    from ..operators.sampling import difficulty_band_sql
+
+    band = difficulty_band_sql(
+        "avg_logprob", "(SELECT mn FROM st)", "(SELECT mx FROM st)", 10
+    )
+    return f"""
+WITH scores AS ({_lm_sql()}),
+st AS (SELECT min(avg_logprob) AS mn, max(avg_logprob) AS mx FROM scores)
+SELECT {band} AS band, CAST(count(*) AS BIGINT) AS n_docs,
+       round(avg(avg_logprob), 6) AS band_avg_logprob
+FROM scores
+GROUP BY 1 ORDER BY band
+"""
+
+
+DOC_CURRICULUM_SQL = _curriculum_sql()
+
+QUERIES.update({"doc_curriculum": doc_curriculum})
+ORACLES.update({"doc_curriculum": DOC_CURRICULUM_SQL})

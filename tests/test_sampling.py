@@ -209,3 +209,33 @@ class TestTemperatureSample:
         # alpha=1: every source keeps the same fraction 625/1250 = 0.5
         for src in ("big", "mid", "small"):
             assert abs(fr[src] - 0.5) < 1e-3, fr
+
+
+class TestDifficultyBands:
+    def test_band_edges_and_clamp(self, spark):
+        from knetminer_etl_spark.operators.sampling import difficulty_bands
+
+        df = spark.createDataFrame(
+            [(i, float(i)) for i in range(11)], "id long, score double"
+        )
+        got = {r["id"]: r["band"] for r in difficulty_bands(df, "score", 10).collect()}
+        assert got[0] == 0 and got[10] == 9  # max clamps into top band
+        assert got[5] == 5
+
+    def test_constant_and_null_scores(self, spark):
+        from knetminer_etl_spark.operators.sampling import difficulty_bands
+
+        df = spark.createDataFrame(
+            [(1, 2.0), (2, 2.0), (3, None)], "id long, score double"
+        )
+        got = {r["id"]: r["band"] for r in difficulty_bands(df, "score", 4).collect()}
+        assert got[1] == 0 and got[2] == 0 and got[3] is None
+
+    def test_no_global_sort_in_plan(self, spark):
+        from knetminer_etl_spark.operators.sampling import difficulty_bands
+
+        df = spark.createDataFrame(
+            [(i, float(i % 7)) for i in range(50)], "id long, score double"
+        )
+        plan = difficulty_bands(df, "score", 5)._jdf.queryExecution().executedPlan().toString()
+        assert "Window" not in plan  # banding must not be a global window
