@@ -209,3 +209,72 @@ def rolling_zscore(
             "z": z,
         }
     )
+
+
+def ewma(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    alpha: float = 0.3,
+    tiebreak_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Per-key exponentially-weighted moving average, one output row per
+    input row: ``y_0 = x_0``, ``y_i = α·x_i + (1−α)·y_{i−1}`` in
+    (ts, tiebreaks) order — pandas ``ewm(alpha).mean()`` with
+    ``adjust=False``.
+
+    The recursion is what rules out plain window functions (no
+    `lag(y)` of a column being defined); the closed form (a power-series
+    sum) evaluates in a different float order and drifts from the
+    recurrence. Shape: ONE shuffle on the keys — collect each key's
+    series as a sorted array, run the recurrence as a sequential
+    higher-order fold (exact float-op order, oracle-reproducible via a
+    recursive CTE), posexplode back to rows. Per-key state is the series
+    array — the same per-key bound the output itself must satisfy (the
+    gap_fill contract; a key with a trillion events needs pre-bucketing
+    regardless of engine).
+
+    ``tiebreak_cols``: pass a unique id to pin equal-timestamp order.
+    Output: keys + (ts_col, tiebreaks…, value_col, ewma).
+    """
+    from ..runtime.checkpoint import group_agg_partitions
+
+    a = float(alpha)
+    if not 0.0 < a <= 1.0:
+        raise ValueError("alpha must be in (0, 1]")
+    tb = list(tiebreak_cols)
+    ordered = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.col(ts_col).alias("_ts"),
+                *[F.col(c).alias(f"_tb{i}") for i, c in enumerate(tb)],
+                F.col(value_col).cast("double").alias("_x"),
+            )
+        )
+    )
+    per_key = (
+        df.repartition(group_agg_partitions(df), *keys)
+        .groupBy(*keys)
+        .agg(ordered.alias("_s"))
+    )
+    # sequential fold producing the running series: acc is the array of
+    # smoothed values; element i uses exactly a*x + (1-a)*y_prev
+    fold = F.expr(
+        "aggregate(_s, CAST(array() AS ARRAY<DOUBLE>), "
+        f"(acc, e) -> CASE WHEN size(acc) = 0 THEN array(e._x) "
+        f"ELSE concat(acc, array(CAST('{a!r}' AS DOUBLE) * e._x "
+        f"+ CAST('{1.0 - a!r}' AS DOUBLE) * element_at(acc, -1))) END)"
+    )
+    exploded = per_key.select(
+        *keys, F.posexplode(F.arrays_zip(F.col("_s"), fold.alias("_y")))
+    ).select(
+        *keys,
+        F.col("col._s._ts").alias(ts_col),
+        *[
+            F.col(f"col._s._tb{i}").alias(c) for i, c in enumerate(tb)
+        ],
+        F.col("col._s._x").alias(value_col),
+        F.round(F.col("col._y"), 6).alias("ewma"),
+    )
+    return exploded

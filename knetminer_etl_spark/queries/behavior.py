@@ -403,3 +403,41 @@ ORDER BY event_id
 
 QUERIES.update({"events_asof_nearest_error": events_asof_nearest_error})
 ORACLES.update({"events_asof_nearest_error": EVENTS_ASOF_NEAREST_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Per-user EWMA (recursive smoothing)
+# ---------------------------------------------------------------------------
+
+
+def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially-weighted moving average of purchase
+    values (α=0.3, event_id tie-break) — the recursive smoothing a
+    window function cannot express (operators/timeseries.ewma); the
+    oracle replays the identical recurrence via a recursive CTE."""
+    ev = _events(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    return TS.ewma(
+        ev, ["user_id"], "ts", "value", alpha=0.3, tiebreak_cols=["event_id"]
+    ).orderBy("user_id", "ts", "event_id")
+
+
+EVENTS_EWMA_SQL = """
+WITH RECURSIVE erows AS (
+  SELECT user_id, ts, event_id, value::DOUBLE AS value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events WHERE event_type = 'purchase'
+),
+walk(user_id, rn, y) AS (
+  SELECT user_id, rn, value FROM erows WHERE rn = 1
+  UNION ALL
+  SELECT r.user_id, r.rn,
+         CAST('0.3' AS DOUBLE) * r.value + CAST('0.7' AS DOUBLE) * w.y
+  FROM walk w JOIN erows r ON r.user_id = w.user_id AND r.rn = w.rn + 1
+)
+SELECT r.user_id, r.ts, r.event_id, r.value, round(w.y, 6) AS ewma
+FROM erows r JOIN walk w USING (user_id, rn)
+ORDER BY user_id, ts, event_id
+"""
+
+QUERIES.update({"events_ewma": events_ewma})
+ORACLES.update({"events_ewma": EVENTS_EWMA_SQL})

@@ -206,3 +206,48 @@ def test_rolling_zscore_single_shuffle(spark):
         .toString()
     )
     assert plan.count("Exchange") == 1  # one hash exchange on the keys
+
+
+class TestEwma:
+    def test_matches_pandas_ewm_adjust_false(self, spark):
+        import pandas as pd
+
+        from knetminer_etl_spark.operators.timeseries import ewma
+
+        rows = [
+            ("a", i, float(v))
+            for i, v in enumerate([10, 12, 8, 11, 30, 5])
+        ] + [("b", i, float(v)) for i, v in enumerate([1, 2, 3])]
+        df = spark.createDataFrame(rows, "k string, ts long, v double")
+        sdf = df.withColumn("ts", F.timestamp_seconds("ts"))
+        got = {
+            (r["k"], r["ts"].second + r["ts"].minute * 60): r["ewma"]
+            for r in ewma(sdf, ["k"], "ts", "v", alpha=0.3).collect()
+        }
+        pdf = pd.DataFrame(rows, columns=["k", "ts", "v"])
+        for k, grp in pdf.groupby("k"):
+            ref = grp["v"].ewm(alpha=0.3, adjust=False).mean().tolist()
+            for (_, ts, _), want in zip(grp.itertuples(index=False), ref):
+                assert abs(got[(k, ts)] - round(want, 6)) < 1e-9, (k, ts)
+
+    def test_one_row_per_input_and_first_is_identity(self, spark):
+        from knetminer_etl_spark.operators.timeseries import ewma
+
+        df = spark.createDataFrame(
+            [("a", 1, 5.0), ("a", 2, 7.0)], "k string, ts long, v double"
+        ).withColumn("ts", F.timestamp_seconds("ts"))
+        out = ewma(df, ["k"], "ts", "v", alpha=0.5).orderBy("ts").collect()
+        assert len(out) == 2
+        assert out[0]["ewma"] == 5.0
+        assert out[1]["ewma"] == 6.0  # 0.5*7 + 0.5*5
+
+    def test_single_shuffle_plan(self, spark):
+        from knetminer_etl_spark.operators.timeseries import ewma
+
+        df = spark.createDataFrame(
+            [("a", 1, 5.0)], "k string, ts long, v double"
+        ).withColumn("ts", F.timestamp_seconds("ts"))
+        plan = (
+            ewma(df, ["k"], "ts", "v")._jdf.queryExecution().executedPlan().toString()
+        )
+        assert plan.count("Exchange") <= 1
