@@ -1071,3 +1071,53 @@ WHERE round(inter / (n_a + n_b - inter), 6) >= 0.6
 
 QUERIES.update({"doc_incremental_dedup": doc_incremental_dedup})
 ORACLES.update({"doc_incremental_dedup": DOC_INCREMENTAL_DEDUP_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Record linkage (entity resolution)
+# ---------------------------------------------------------------------------
+
+
+def customer_link_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution candidates among customers: drop-one-position
+    blocking over the 18-char name (pigeonhole-exact for Hamming-1
+    variants — re-keyed serials, single-character typos), scored by
+    normalized edit similarity, kept at score ≥ 0.94 (= edit distance
+    ≤ 1 at this length). operators/linkage.py."""
+    from ..operators import linkage as L
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    return L.link_records(
+        cust,
+        "c_custkey",
+        L.drop_position_keys(F.col("c_name"), 18),
+        {"c_name": 1.0},
+        min_score=0.94,
+    ).orderBy("id_a", "id_b")
+
+
+CUSTOMER_LINK_SQL = """
+WITH keyed AS (
+  SELECT c_custkey, c_name,
+         unnest([CAST(i AS VARCHAR) || ':' || substr(c_name, 1, i)
+                 || substr(c_name, i + 2)
+                 for i in generate_series(0, 17)]) AS k
+  FROM customer
+),
+cand AS (
+  SELECT DISTINCT a.c_custkey AS id_a, b.c_custkey AS id_b
+  FROM keyed a JOIN keyed b ON a.k = b.k AND a.c_custkey < b.c_custkey
+)
+SELECT id_a, id_b,
+       round(1.0 - levenshtein(a.c_name, b.c_name)
+             / greatest(length(a.c_name), length(b.c_name)), 6) AS score
+FROM cand
+JOIN customer a ON a.c_custkey = id_a
+JOIN customer b ON b.c_custkey = id_b
+WHERE round(1.0 - levenshtein(a.c_name, b.c_name)
+            / greatest(length(a.c_name), length(b.c_name)), 6) >= 0.94
+ORDER BY id_a, id_b
+"""
+
+QUERIES.update({"customer_link_pairs": customer_link_pairs})
+ORACLES.update({"customer_link_pairs": CUSTOMER_LINK_SQL})
