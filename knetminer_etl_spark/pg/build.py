@@ -291,3 +291,88 @@ def dangling_edges(pg: DataFrame) -> DataFrame:
     bad_from = edges.join(nodes, F.col("from") == F.col("_node_id"), "left_anti")
     bad_to = edges.join(nodes, F.col("to") == F.col("_node_id"), "left_anti")
     return bad_from.unionByName(bad_to).dropDuplicates(["id"])
+
+
+def flatten_pg(pg: DataFrame) -> DataFrame:
+    """Map-typed PG → the deterministic string shape of
+    :func:`triples_to_pg_flat` (labels_str / from_id / to_id /
+    props_str) — for export and oracle comparison of PG relations that
+    were built or merged in map form."""
+    pkeys = F.array_sort(F.map_keys("properties"))
+    props_str = F.array_join(
+        F.transform(
+            pkeys,
+            lambda k: F.concat(
+                k,
+                F.lit("=["),
+                F.array_join(F.col("properties")[k], ","),
+                F.lit("]"),
+            ),
+        ),
+        ";",
+    )
+    return pg.select(
+        "id",
+        "type",
+        F.array_join("labels", "|").alias("labels_str"),
+        F.col("from").alias("from_id"),
+        F.col("to").alias("to_id"),
+        props_str.alias("props_str"),
+    )
+
+
+def merge_pg(old: DataFrame, delta: DataFrame) -> DataFrame:
+    """Merge two PG relations into one, equivalent to rebuilding from the
+    union of their source triples (asserted in tests and the
+    ``kg_pg_incremental`` oracle) — the incremental-build primitive:
+    aggregate only the DELTA's triples, then set-merge per id instead of
+    re-aggregating the whole corpus.
+
+    Merge rules mirror the aggregation semantics exactly: labels =
+    sorted distinct union; endpoints = ``greatest`` (null-skipping max,
+    = max over the unioned values); properties = per-key sorted distinct
+    union via ``map_zip_with`` (key union); type recomputed from the
+    merged ``from``. One full-outer join on id — at scale, bucket the
+    stored PG by id hash and join only the delta-touched buckets
+    (dynamic partition overwrite), so the rewrite cost tracks the delta,
+    not the corpus.
+    """
+    earr = F.array().cast("array<string>")
+    emap = F.expr("map()").cast("map<string,array<string>>")
+    o = old.select(
+        "id",
+        F.col("labels").alias("_la"),
+        F.col("from").alias("_fa"),
+        F.col("to").alias("_ta"),
+        F.col("properties").alias("_pa"),
+    )
+    d = delta.select(
+        "id",
+        F.col("labels").alias("_lb"),
+        F.col("from").alias("_fb"),
+        F.col("to").alias("_tb"),
+        F.col("properties").alias("_pb"),
+    )
+    m = o.join(d, on="id", how="full_outer")
+    labels = F.array_sort(
+        F.array_union(F.coalesce("_la", earr), F.coalesce("_lb", earr))
+    )
+    frm = F.greatest("_fa", "_fb")
+    to = F.greatest("_ta", "_tb")
+    props = F.map_zip_with(
+        F.coalesce("_pa", emap),
+        F.coalesce("_pb", emap),
+        lambda k, x, y: F.array_sort(
+            F.array_union(F.coalesce(x, earr), F.coalesce(y, earr))
+        ),
+    )
+    return m.select(
+        "id",
+        F.when(frm.isNotNull(), F.lit(str(PGElementType.EDGE)))
+        .otherwise(F.lit(str(PGElementType.NODE)))
+        .alias("type"),
+        labels.alias("labels"),
+        frm.alias("from"),
+        to.alias("to"),
+        props.alias("properties"),
+    )

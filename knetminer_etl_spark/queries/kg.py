@@ -198,3 +198,45 @@ ORACLES = {
     "kg_edge_triples": KG_EDGE_TRIPLES_SQL,
     "kg_pg_elements": KG_PG_ELEMENTS_SQL,
 }
+
+
+def kg_pg_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental KG build: the PG relation produced by aggregating an
+    OLD batch (customer triples + orders' hasStatus) and set-merging a
+    DELTA batch (orders' remaining properties + placed edges) via
+    ``pg.build.merge_pg`` — order ids overlap across batches, so the
+    per-id property-map merge is genuinely exercised. The oracle is the
+    FULL REBUILD over all triples: incremental == rebuild is the
+    correctness contract of incremental maintenance."""
+    from ..pg.build import flatten_pg, merge_pg, triples_to_pg
+    from ..tabmap.compiler import chain_mappers
+
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+
+    old_orders = DataFrameMapper(
+        ExprValueMapper(F.concat(F.lit("O:"), F.col("o_orderkey").cast("string"))),
+        [column_triple_mapper("o_orderstatus", "hasStatus")],
+        [],
+    )
+    delta_orders = DataFrameMapper(
+        ExprValueMapper(F.concat(F.lit("O:"), F.col("o_orderkey").cast("string"))),
+        [column_triple_mapper("o_totalprice", "hasTotal")],
+        [type_triple_mapper("Order")],
+    )
+    old_triples = chain_mappers(customer, _customer_mapper()).unionByName(
+        old_orders.to_triples(orders)
+    )
+    delta_triples = chain_mappers(orders, delta_orders, _placed_mapper())
+    merged = merge_pg(
+        triples_to_pg(old_triples), triples_to_pg(delta_triples)
+    )
+    return flatten_pg(merged).select(
+        "id", "type", "labels_str", "from_id", "to_id", "props_str"
+    )
+
+
+KG_PG_INCREMENTAL_SQL = KG_PG_ELEMENTS_SQL
+
+QUERIES["kg_pg_incremental"] = kg_pg_incremental
+ORACLES["kg_pg_incremental"] = KG_PG_INCREMENTAL_SQL

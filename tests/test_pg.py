@@ -185,3 +185,59 @@ class TestPGBuild:
         pg = triples_to_pg(triples.unionByName(extra))
         bad = {r["id"] for r in dangling_edges(pg).collect()}
         assert bad == {"E2"}
+
+
+class TestMergePg:
+    def test_merge_equals_rebuild_with_overlap(self, spark):
+        from pyspark.sql import functions as F
+        from pyspark.testing import assertDataFrameEqual
+
+        from knetminer_etl_spark.pg.build import (
+            flatten_pg,
+            merge_pg,
+            triples_to_pg,
+        )
+
+        old = spark.createDataFrame(
+            [
+                ("N1", "@type", "Gene"),
+                ("N1", "name", '"abc"'),
+                ("E1", "@from", "N1"),
+            ],
+            "id string, key string, value string",
+        )
+        delta = spark.createDataFrame(
+            [
+                ("N1", "@type", "Protein"),   # new label, same id
+                ("N1", "name", '"abc"'),      # duplicate value -> set dedup
+                ("N1", "alias", '"x"'),       # new property key
+                ("E1", "@to", "N2"),          # completes the edge
+                ("N2", "@type", "Gene"),      # brand-new element
+            ],
+            "id string, key string, value string",
+        )
+        merged = merge_pg(triples_to_pg(old), triples_to_pg(delta))
+        rebuilt = triples_to_pg(old.unionByName(delta))
+        assertDataFrameEqual(
+            flatten_pg(merged).orderBy("id"),
+            flatten_pg(rebuilt).orderBy("id"),
+        )
+        row = {r["id"]: r for r in merged.collect()}
+        assert row["N1"]["labels"] == ["Gene", "Protein"]
+        assert row["N1"]["properties"]["name"] == ['"abc"']
+        assert row["E1"]["type"] == "edge" and row["E1"]["to"] == "N2"
+
+    def test_merge_delta_only_and_old_only_ids(self, spark):
+        from knetminer_etl_spark.pg.build import merge_pg, triples_to_pg
+
+        old = spark.createDataFrame(
+            [("A", "@type", "T")], "id string, key string, value string"
+        )
+        delta = spark.createDataFrame(
+            [("B", "@type", "U")], "id string, key string, value string"
+        )
+        got = {r["id"]: r for r in merge_pg(
+            triples_to_pg(old), triples_to_pg(delta)
+        ).collect()}
+        assert set(got) == {"A", "B"}
+        assert got["A"]["labels"] == ["T"] and got["B"]["labels"] == ["U"]
