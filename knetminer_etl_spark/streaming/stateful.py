@@ -187,3 +187,58 @@ def stream_rolling_zscore(events: DataFrame, n: int = 20) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+EWMA_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("ewma", T.DoubleType()),
+    ]
+)
+
+_EWMA_STATE_SCHEMA = T.StructType([T.StructField("y", T.DoubleType())])
+
+
+def make_ewma_update(alpha: float):
+    """Update fn for :func:`stream_ewma` — the recurrence's entire state
+    is ONE double per key (y_prev), the smallest possible stateful
+    operator; arithmetic matches the batch fold exactly
+    (a*x + (1-a)*y_prev)."""
+    a = float(alpha)
+    b = 1.0 - a
+
+    def update(
+        key: tuple[Any, ...],
+        batches: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterable[pd.DataFrame]:
+        (user_id,) = key
+        y = state.get[0] if state.exists else None
+        out: list[tuple] = []
+        for pdf in batches:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for ev, v in zip(pdf["event_id"], pdf["value"]):
+                v = float(v)
+                y = v if y is None else a * v + b * y
+                out.append((user_id, int(ev), v, round(y, 6)))
+        if y is not None:
+            state.update((y,))
+        yield pd.DataFrame(out, columns=["user_id", "event_id", "value", "ewma"])
+
+    return update
+
+
+def stream_ewma(events: DataFrame, alpha: float = 0.3) -> DataFrame:
+    """Streaming twin of ``operators.timeseries.ewma``: the per-key
+    recurrence carried across micro-batches as a single double in the
+    state store (checkpoint-recoverable); each event is emitted once
+    with its running smoothed value (update mode)."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        make_ewma_update(alpha),
+        outputStructType=EWMA_SCHEMA,
+        stateStructType=_EWMA_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

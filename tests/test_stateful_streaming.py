@@ -123,3 +123,28 @@ def test_stream_rolling_zscore_matches_batch(spark):
     }
     assert len(got) == len(want)
     assert got == want
+
+
+def test_stream_ewma_matches_batch(spark):
+    from knetminer_etl_spark.operators import timeseries as TS
+    from knetminer_etl_spark.streaming.stateful import stream_ewma
+
+    stream = EV.read_event_stream(spark, f"{SF_DIR}/events*")
+    out = stream_ewma(stream, alpha=0.3)
+    EV.run_stream_to_memory(out, "stream_ewma_t", output_mode="update")
+    got = {
+        r["event_id"]: r["ewma"]
+        for r in spark.sql("SELECT event_id, ewma FROM stream_ewma_t").collect()
+    }
+
+    batch = TS.ewma(
+        EV.load_events(spark, f"{SF_DIR}/events.parquet"),
+        ["user_id"],
+        "ts",
+        "value",
+        alpha=0.3,
+        tiebreak_cols=["event_id"],
+    )
+    want = {r["event_id"]: r["ewma"] for r in batch.collect()}
+    assert len(got) == len(want)
+    assert got == want
