@@ -6,11 +6,25 @@ multimodal, as-of / range joins). Import the submodules directly:
 
 from . import (  # noqa: F401 - re-exported for discoverability
     asof,
+    bloomjoin,
+    bpe,
+    cdc,
+    contamination,
     dedup,
+    funnel,
     graph,
+    linkage,
+    lmscore,
     multimodal,
+    packing,
+    quantize,
     rangejoin,
+    sampling,
     similarity,
+    sketch,
     text,
+    timeseries,
     util,
+    validate,
+    zorder,
 )

@@ -34,7 +34,13 @@ import glob
 import io
 import os
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
 from pyspark.sql.types import StringType, StructField, StructType
 
 _DELIMS = ["\t", ",", ";", "|"]
@@ -127,9 +133,14 @@ class _TabReader(DataSourceReader):
                 if not seen_header:
                     seen_header = True  # header row consumed by _read_header
                     continue
+                # empty field → NULL: delimited text cannot distinguish
+                # the two, and the engine's drop-on-null/empty mapping
+                # semantics (reference P6) treat them alike anyway
                 batch.append(
                     [
-                        row[pos[c]] if c in pos and pos[c] < len(row) else None
+                        (row[pos[c]] or None)
+                        if c in pos and pos[c] < len(row)
+                        else None
                         for c in data_cols
                     ]
                 )
@@ -163,6 +174,58 @@ class TabDataSource(DataSource):
 
     def reader(self, schema: StructType) -> DataSourceReader:
         return _TabReader(schema, dict(self.options))
+
+    def writer(self, schema: StructType, overwrite: bool) -> "_TabWriter":
+        return _TabWriter(schema, dict(self.options), overwrite)
+
+
+class _TabCommit(WriterCommitMessage):
+    def __init__(self, path: str):
+        self.path = path
+
+
+class _TabWriter(DataSourceWriter):
+    """Partition-parallel TSV sink: one headered part file per partition,
+    ``_SUCCESS`` written at commit (the engine's done-marker contract),
+    staged part files removed on abort. Paths must be on a filesystem
+    every executor can reach (local/NFS — the Python DataSource API
+    leaves IO to the implementation; this sink exists for drop-zone
+    round-trips and tests, not object stores)."""
+
+    def __init__(self, schema: StructType, options: dict, overwrite: bool):
+        self.cols = [f.name for f in schema.fields]
+        self.path = options["path"]
+        self.delimiter = options.get("delimiter", "\t")
+        self.overwrite = overwrite
+
+    def write(self, iterator) -> _TabCommit:
+        import uuid
+
+        os.makedirs(self.path, exist_ok=True)
+        out = os.path.join(self.path, f"part-{uuid.uuid4().hex}.tsv")
+        with open(out, "w", encoding="utf-8", newline="") as fh:
+            w = csv.writer(fh, delimiter=self.delimiter, lineterminator="\n")
+            w.writerow(self.cols)
+            for row in iterator:
+                w.writerow(
+                    ["" if v is None else str(v) for v in row]
+                )
+        return _TabCommit(out)
+
+    def commit(self, messages) -> None:
+        if self.overwrite:
+            keep = {m.path for m in messages if m is not None}
+            for f in os.listdir(self.path):
+                full = os.path.join(self.path, f)
+                if full not in keep and f.startswith("part-"):
+                    os.remove(full)
+        with open(os.path.join(self.path, "_SUCCESS"), "w") as fh:
+            fh.write("")
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            if m is not None and os.path.exists(m.path):
+                os.remove(m.path)
 
 
 def register_tab_source(spark) -> None:

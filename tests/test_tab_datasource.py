@@ -77,3 +77,29 @@ class TestTabDataSource:
         }
         assert ("1", "hasName", '"alpha"') in got
         assert ("4", "@type", "Thing") in got
+
+
+class TestTabWriter:
+    def test_write_read_round_trip(self, spark, tmp_path):
+        register_tab_source(spark)
+        out = str(tmp_path / "sink")
+        df = spark.createDataFrame(
+            [("1", "alpha", None), ("2", "beta", "x")], "id string, name string, note string"
+        )
+        df.write.format("ketl_tab").option("path", out).mode("append").save()
+        import os
+
+        assert os.path.exists(os.path.join(out, "_SUCCESS"))
+        back = spark.read.format("ketl_tab").option("path", out).load()
+        rows = {r["id"]: (r["name"], r["note"]) for r in back.collect()}
+        assert rows == {"1": ("alpha", None), "2": ("beta", "x")}
+
+    def test_overwrite_replaces_previous_parts(self, spark, tmp_path):
+        register_tab_source(spark)
+        out = str(tmp_path / "sink2")
+        one = spark.createDataFrame([("1", "a")], "id string, v string").coalesce(1)
+        two = spark.createDataFrame([("9", "z")], "id string, v string").coalesce(1)
+        one.write.format("ketl_tab").option("path", out).mode("append").save()
+        two.write.format("ketl_tab").option("path", out).mode("overwrite").save()
+        back = spark.read.format("ketl_tab").option("path", out).load()
+        assert {r["id"] for r in back.collect()} == {"9"}
