@@ -77,8 +77,10 @@ _PRIORITY = [
     "q1_pricing_summary", "q3_shipping_priority", "q5_region_volume",
     "q12_late_shipments", "q13_customer_distribution",
     "q15_top_supplier", "q21_waiting_suppliers",
-    # the product pipeline: tabular → triples → property graph
+    # the product pipeline: tabular → triples → property graph,
+    # plus incremental graph maintenance (merge == rebuild contract)
     "kg_triples_customer", "kg_edge_triples", "kg_pg_elements",
+    "kg_pg_incremental",
     # graph algorithms over the KG
     "dedup_components", "kg_degrees", "kg_pagerank", "kg_triangles",
     # deduplication family
@@ -88,7 +90,7 @@ _PRIORITY = [
     "embedding_topk", "embedding_lsh_topk", "embedding_ivf_topk",
     "embedding_pq_topk",
     # text analysis
-    "text_stats", "token_counts", "lang_id_counts", "doc_fingerprints",
+    "text_stats", "token_counts", "lang_id_counts",
     # corpus / training-data prep (incl. tokenizer-training statistics)
     "doc_split_counts", "doc_quality_filter", "doc_pii_redaction",
     "doc_context_windows", "doc_repetition_stats", "doc_decontamination",
