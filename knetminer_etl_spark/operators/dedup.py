@@ -715,6 +715,10 @@ def hamming_pairs(
     """
     nbands = max_hamming + 1
     width = nbits // nbands
+    # width == 64 (max_hamming == 0, exact-match blocking): the all-ones
+    # mask doesn't fit an unsigned long literal — it IS -1 in two's
+    # complement
+    full_mask = -1 if width >= 64 else (1 << width) - 1
     # Pin the tiny (id, fp) table: chunk buckets can be huge on
     # self-similar corpora, so candidates come from a bucket SELF-JOIN
     # (row-streamed; AQE splits hot chunks) rather than per-bucket
@@ -733,7 +737,7 @@ def hamming_pairs(
                     F.struct(
                         F.lit(b).alias("band"),
                         F.shiftrightunsigned(F.col("_hfp"), b * width)
-                        .bitwiseAND(F.lit((1 << width) - 1).cast("long"))
+                        .bitwiseAND(F.lit(full_mask).cast("long"))
                         .alias("chunk"),
                     )
                     for b in range(nbands)

@@ -146,3 +146,63 @@ def test_pg_jsonl_roundtrip_preserves_value_types(spark, props, tmp_path_factory
         for g, w in zip(got[k], want[k]):
             assert g == w
             assert type(g) is type(w)  # bool vs int, str '123' vs 123 …
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    fps=st.lists(
+        st.integers(min_value=-(1 << 63), max_value=(1 << 63) - 1),
+        min_size=2,
+        max_size=20,
+        unique=True,
+    ),
+    max_hamming=st.integers(min_value=0, max_value=5),
+)
+def test_hamming_pairs_equals_brute_force(spark, fps, max_hamming):
+    """The pigeonhole band blocking must be EXACT: its output equals a
+    brute-force Hamming scan for any fingerprints and any distance."""
+    from knetminer_etl_spark.operators.dedup import hamming_pairs
+
+    df = spark.createDataFrame(
+        [(i, f) for i, f in enumerate(fps)], "doc_id long, fp long"
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in hamming_pairs(df, max_hamming=max_hamming).collect()
+    }
+    want = {}
+    for i, a in enumerate(fps):
+        for j, b in enumerate(fps):
+            if i < j:
+                d = bin((a ^ b) & ((1 << 64) - 1)).count("1")
+                if d <= max_hamming:
+                    want[(i, j)] = d
+    assert got == want
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    words=st.lists(
+        st.text(alphabet="abcd", min_size=1, max_size=6),
+        min_size=1,
+        max_size=15,
+    ),
+    n_merges=st.integers(min_value=1, max_value=5),
+)
+def test_bpe_train_matches_reference_on_random_corpora(spark, words, n_merges):
+    from knetminer_etl_spark.operators import bpe as B
+    from tests.test_bpe import _ref_bpe
+
+    corpus = " ".join(words)
+    docs = spark.createDataFrame([(1, corpus)], "doc_id long, text string")
+    got = B.bpe_train(docs, n_merges=n_merges)
+    want, _ = _ref_bpe(corpus, n_merges)
+    assert got == want
