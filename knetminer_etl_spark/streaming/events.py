@@ -241,14 +241,19 @@ def stream_interval_join(
     errors: DataFrame,
     window: str = "6 hours",
     watermark: str = "1 hour",
+    how: str = "inner",
 ) -> DataFrame:
     """Streaming twin of the batch range join (clicks matched to errors
-    whose trailing ``window`` contains them): a **stream-stream inner
-    join** with an event-time range condition. Both sides are
-    watermarked; Spark derives each side's state retention from the time
-    constraint, so join state is bounded and evicted as the watermark
-    advances — the scale-correct shape for unbounded interval matching.
-    Output: (user_id, c_ts, e_ts) per contained click/error pair.
+    whose trailing ``window`` contains them): a **stream-stream join**
+    with an event-time range condition. Both sides are watermarked;
+    Spark derives each side's state retention from the time constraint,
+    so join state is bounded and evicted as the watermark advances — the
+    scale-correct shape for unbounded interval matching.
+
+    ``how="left_outer"`` emits unmatched clicks too (NULL ``e_ts``) —
+    outer results materialize only once the watermark proves no future
+    match can arrive, the semantics that make streaming outer joins
+    correct rather than racy. Output: (user_id, c_ts, e_ts).
     """
     c = clicks.select(
         F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
@@ -262,7 +267,7 @@ def stream_interval_join(
             f"c_user = e_user AND c_ts >= e_ts - INTERVAL {window}"
             " AND c_ts <= e_ts"
         ),
-        "inner",
+        how,
     ).select(F.col("c_user").alias("user_id"), "c_ts", "e_ts")
 
 

@@ -141,3 +141,45 @@ class TestStreamingHLL:
         est = SK.hll_estimate(merged).collect()[0]["hll_est"]
         true_n = events.select("user_id").distinct().count()
         assert abs(est - true_n) < 0.3 * true_n, (est, true_n)
+
+
+class TestStreamOuterIntervalJoin:
+    def test_left_outer_emits_unmatched_clicks(self, spark, events):
+        """Left-outer stream-stream interval join: matched pairs == the
+        inner join's; every emitted NULL-match click truly has no error
+        in its window (checked against the batch join); all clicks are
+        accounted for (matched or null-matched) up to watermark holdback."""
+        from pyspark.sql import functions as F
+
+        stream = EV.read_event_stream(spark, f"{SF_DIR}/events*")
+        out = EV.stream_interval_join(
+            stream.filter("event_type = 'click'"),
+            stream.filter("event_type = 'error'"),
+            how="left_outer",
+        )
+        EV.run_stream_to_memory(out, "oij_out")
+        rows = spark.sql("SELECT * FROM oij_out").collect()
+        matched = {(r["user_id"], r["c_ts"]) for r in rows if r["e_ts"] is not None}
+        unmatched = {(r["user_id"], r["c_ts"]) for r in rows if r["e_ts"] is None}
+        # a click with any match must never appear with a NULL match
+        assert not (matched & unmatched)
+
+        clicks = events.filter("event_type = 'click'").select("user_id", "ts")
+        errors = events.filter("event_type = 'error'").select(
+            F.col("user_id").alias("e_user"), F.col("ts").alias("e_ts")
+        )
+        batch_matched = {
+            (r["user_id"], r["ts"])
+            for r in clicks.join(
+                errors,
+                (F.col("user_id") == F.col("e_user"))
+                & (F.col("ts") >= F.col("e_ts") - F.expr("INTERVAL 6 HOURS"))
+                & (F.col("ts") <= F.col("e_ts")),
+                "inner",
+            ).collect()
+        }
+        # no emitted null-match click actually has a batch match
+        assert not (unmatched & batch_matched)
+        # the join saw most clicks (file stream EOF holds back the tail)
+        n_clicks = clicks.count()
+        assert len(matched | unmatched) >= n_clicks - 100
