@@ -82,12 +82,15 @@ def save(
     path: str | Path,
     target_partition_bytes: int | None = DEFAULT_TARGET_PARTITION_BYTES,
     mode: str = "overwrite",
+    format: str = "parquet",
 ) -> None:
-    """Checkpoint ``df`` to Parquet with ~target-sized output files.
+    """Checkpoint ``df`` with ~target-sized output files.
 
     Shrinks with ``coalesce`` (no shuffle) and grows with ``repartition``
     (reference src/ketl/spark/utils.py:60-71) — growth is rare and usually
-    better left to upstream parallelism.
+    better left to upstream parallelism. ``format`` selects any Spark
+    batch sink (parquet default; orc/json/csv for interchange — prefer
+    the columnar formats for anything that will be re-read).
     """
     out = df
     if target_partition_bytes:
@@ -98,7 +101,7 @@ def save(
                 out = df.coalesce(want)
             elif want > have * 2:  # only shuffle when badly under-split
                 out = df.repartition(want)
-    out.write.mode(mode).parquet(df_path(path))
+    out.write.mode(mode).format(format).save(df_path(path))
 
 
 def group_agg_partitions(
@@ -165,11 +168,15 @@ def save_partitioned(
     writer.partitionBy(*partition_cols).parquet(df_path(path))
 
 
-def load(source: DataFrame | str | Path, spark: SparkSession) -> DataFrame:
-    """DataFrame passthrough or Parquet scan (accepts ``_SUCCESS`` paths)."""
+def load(
+    source: DataFrame | str | Path,
+    spark: SparkSession,
+    format: str = "parquet",
+) -> DataFrame:
+    """DataFrame passthrough or file scan (accepts ``_SUCCESS`` paths)."""
     if isinstance(source, DataFrame):
         return source
-    return spark.read.parquet(df_path(source))
+    return spark.read.format(format).load(df_path(source))
 
 
 def is_done(path: str | Path) -> bool:

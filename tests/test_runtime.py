@@ -136,3 +136,19 @@ def test_group_agg_partitions_ignores_unknown_stats_sentinel(spark):
     spark.range(0, 1000).write.parquet(d)
     n2 = group_agg_partitions(spark.read.parquet(d))
     assert 1 <= n2 <= 4096
+
+
+class TestFormatRoundTrips:
+    def test_orc_and_json_round_trip(self, spark, tmp_path):
+        from knetminer_etl_spark.runtime import checkpoint as CP
+
+        df = spark.createDataFrame(
+            [(1, "a", 1.5), (2, None, 2.5)], "id long, s string, v double"
+        )
+        for fmt in ("orc", "json"):
+            p = str(tmp_path / fmt)
+            CP.save(df, p, format=fmt)
+            assert CP.is_done(p)
+            back = CP.load(p, spark, format=fmt)
+            got = sorted((r["id"], r["s"], r["v"]) for r in back.collect())
+            assert got == [(1, "a", 1.5), (2, None, 2.5)]
