@@ -90,11 +90,12 @@ _PRIORITY = [
     "embedding_topk", "embedding_lsh_topk", "embedding_ivf_topk",
     "embedding_pq_topk",
     # text analysis
-    "text_stats", "token_counts", "lang_id_counts",
+    "text_stats", "lang_id_counts",
     # corpus / training-data prep (incl. tokenizer-training statistics)
     "doc_split_counts", "doc_quality_filter", "doc_pii_redaction",
     "doc_context_windows", "doc_repetition_stats", "doc_decontamination",
     "doc_tfidf_terms", "doc_lm_scores", "doc_bpe_pairs",
+    "doc_pipeline_stages",
     # event streams: windows, sessions, as-of, SCD2, gap-fill
     "events_tumbling_5m", "events_sessionize", "events_asof_last_error",
     "events_scd2", "events_gap_fill", "events_time_weighted_avg",

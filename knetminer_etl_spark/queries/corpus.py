@@ -844,3 +844,149 @@ DOC_CURRICULUM_SQL = _curriculum_sql()
 
 QUERIES.update({"doc_curriculum": doc_curriculum})
 ORACLES.update({"doc_curriculum": DOC_CURRICULUM_SQL})
+
+
+# ---------------------------------------------------------------------------
+# The full corpus-cleaning pipeline, end to end
+# ---------------------------------------------------------------------------
+
+
+def doc_pipeline_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production corpus-prep chain run end-to-end, reporting the
+    surviving document count after every stage:
+
+      raw → token-count/digit quality gate → exact dedup → near-dup
+      dedup (3-shingle Jaccard ≥ 0.5) → deterministic 80/10/10 split
+      (train) → benchmark decontamination (4-gram overlap vs the test
+      split of the deduped corpus).
+
+    Each stage is a separately-oracled operator; THIS query pins their
+    composition — stage inputs are the previous stage's survivors, so
+    one value-hash covers the whole flow's plumbing (the judge-me-on-
+    the-product query). Output: (stage_no, stage, n_docs)."""
+    from ..operators import contamination as CT2
+    from ..operators import dedup as DD2
+    from ..operators import sampling as SP3
+    from ..operators.text import token_count
+
+    docs = _docs(spark, sf_dir)
+    digits = F.length(F.regexp_replace("text", "[^0-9]", ""))
+    gate = (token_count(F.col("text")) >= 20) & (
+        digits / F.greatest(F.length("text"), F.lit(1)) <= 0.2
+    )
+    quality = docs.filter(gate)
+    exact = DD2.drop_exact_dups(quality)
+    near = DD2.drop_near_dups(exact, k=3, threshold=0.5)
+    split = SP3.hash_split(near, "doc_id", _SPLIT_WEIGHTS, seed=_SPLIT_SEED)
+    train = split.filter(F.col("split") == "train")
+    test = split.filter(F.col("split") == "test")
+    clean = CT2.decontaminate(train, test, "doc_id", "text", n=_DECON_N)
+
+    stages = [
+        (0, "raw", docs),
+        (1, "quality", quality),
+        (2, "exact_dedup", exact),
+        (3, "near_dedup", near),
+        (4, "train_split", train),
+        (5, "decontaminated", clean),
+    ]
+    spark_ = docs.sparkSession
+    counts = None
+    for no, name, frame in stages:
+        c = frame.agg(F.count("*").alias("n_docs")).select(
+            F.lit(no).alias("stage_no"), F.lit(name).alias("stage"), "n_docs"
+        )
+        counts = c if counts is None else counts.unionByName(c)
+    return counts.orderBy("stage_no")
+
+
+DOC_PIPELINE_SQL = f"""
+WITH RECURSIVE
+quality AS (
+  SELECT doc_id, text FROM documents
+  WHERE len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) >= 20
+    AND length(regexp_replace(text, '[^0-9]', '', 'g'))
+        / greatest(length(text), 1) <= 0.2
+),
+exact AS (
+  SELECT d.doc_id, d.text
+  FROM quality d
+  JOIN (SELECT md5(text) AS h, min(doc_id) AS keep FROM quality GROUP BY 1) k
+    ON md5(d.text) = k.h AND d.doc_id = k.keep
+),
+norm2 AS (SELECT doc_id, {_NORM_SQL} AS s FROM exact),
+toks2 AS (SELECT doc_id, list_filter(string_split(s, ' '), x -> x <> '') AS t FROM norm2),
+sh2 AS (
+  SELECT doc_id,
+         CASE WHEN len(t) < 3 THEN
+                (CASE WHEN len(t) > 0 THEN [array_to_string(t, ' ')] ELSE [] END)
+              ELSE list_distinct([array_to_string(t[i:i+2], ' ')
+                                  for i in generate_series(1, len(t) - 2)])
+         END AS sh
+  FROM toks2
+),
+ex2 AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM sh2),
+jp AS (
+  SELECT id_a, id_b FROM (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS n_a, b.n AS n_b,
+           count(*) AS inter
+    FROM ex2 a JOIN ex2 b ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY 1, 2, 3, 4
+  ) p WHERE round(inter / (n_a + n_b - inter), 6) >= 0.5
+),
+ged AS (SELECT id_a AS src, id_b AS dst FROM jp UNION SELECT id_b, id_a FROM jp),
+walk2(id, comp) AS (
+  SELECT doc_id, doc_id FROM exact
+  UNION
+  SELECT e.dst, w.comp FROM walk2 w JOIN ged e ON e.src = w.id
+),
+lab AS (SELECT id, min(comp) AS component FROM walk2 GROUP BY id),
+near AS (
+  SELECT d.doc_id, d.text FROM exact d
+  JOIN lab ON lab.id = d.doc_id AND lab.component = d.doc_id
+),
+split AS (
+  SELECT doc_id, text,
+         {SP.split_sql("doc_id", _SPLIT_WEIGHTS, _SPLIT_SEED)} AS split
+  FROM near
+),
+tr AS (SELECT doc_id, text FROM split WHERE split = 'train'),
+te AS (SELECT doc_id, text FROM split WHERE split = 'test'),
+trt AS (SELECT doc_id,
+               list_filter(string_split({_NORM_SQL}, ' '), x -> x <> '') AS t
+        FROM tr),
+tet AS (SELECT doc_id,
+               list_filter(string_split({_NORM_SQL}, ' '), x -> x <> '') AS t
+        FROM te),
+trg AS (
+  SELECT doc_id, unnest(
+    CASE WHEN len(t) < {_DECON_N} THEN
+           (CASE WHEN len(t) > 0 THEN [array_to_string(t, ' ')] ELSE [] END)
+         ELSE list_distinct([array_to_string(t[i:i+{_DECON_N - 1}], ' ')
+                             for i in generate_series(1, len(t) - {_DECON_N - 1})])
+    END) AS g
+  FROM trt
+),
+teg AS (
+  SELECT DISTINCT unnest(
+    CASE WHEN len(t) < {_DECON_N} THEN
+           (CASE WHEN len(t) > 0 THEN [array_to_string(t, ' ')] ELSE [] END)
+         ELSE list_distinct([array_to_string(t[i:i+{_DECON_N - 1}], ' ')
+                             for i in generate_series(1, len(t) - {_DECON_N - 1})])
+    END) AS g
+  FROM tet
+),
+flagged AS (SELECT DISTINCT trg.doc_id FROM trg JOIN teg USING (g)),
+clean AS (SELECT doc_id FROM tr WHERE doc_id NOT IN (SELECT doc_id FROM flagged))
+SELECT * FROM (
+  SELECT 0 AS stage_no, 'raw' AS stage, count(*) AS n_docs FROM documents
+  UNION ALL SELECT 1, 'quality', count(*) FROM quality
+  UNION ALL SELECT 2, 'exact_dedup', count(*) FROM exact
+  UNION ALL SELECT 3, 'near_dedup', count(*) FROM near
+  UNION ALL SELECT 4, 'train_split', count(*) FROM tr
+  UNION ALL SELECT 5, 'decontaminated', count(*) FROM clean
+) ORDER BY stage_no
+"""
+
+QUERIES.update({"doc_pipeline_stages": doc_pipeline_stages})
+ORACLES.update({"doc_pipeline_stages": DOC_PIPELINE_SQL})
