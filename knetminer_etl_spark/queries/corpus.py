@@ -875,8 +875,11 @@ def doc_pipeline_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
         digits / F.greatest(F.length("text"), F.lit(1)) <= 0.2
     )
     quality = docs.filter(gate)
-    exact = DD2.drop_exact_dups(quality)
-    near = DD2.drop_near_dups(exact, k=3, threshold=0.5)
+    # cache the two expensive survivor sets: each feeds several later
+    # stages AND its own count — uncached, the near-dup pair pipeline
+    # would re-execute once per downstream stage
+    exact = DD2.drop_exact_dups(quality).cache()
+    near = DD2.drop_near_dups(exact, k=3, threshold=0.5).cache()
     split = SP3.hash_split(near, "doc_id", _SPLIT_WEIGHTS, seed=_SPLIT_SEED)
     train = split.filter(F.col("split") == "train")
     test = split.filter(F.col("split") == "test")
