@@ -43,6 +43,7 @@ class StageResult:
     name: str
     ran: bool  # False = checkpoint reused
     path: str
+    n_rows: int | None = None  # observed during the write; None when reused
 
 
 class Pipeline:
@@ -102,10 +103,18 @@ class Pipeline:
                 d: checkpoint.load(self.path_of(d), spark) for d in st.deps
             }
             df = st.fn(spark, inputs)
+            # row count observed DURING the checkpoint write (df.observe)
+            # — per-stage metrics at zero extra scans
+            from ..functions.metrics import pipeline_counters
+
+            df, obs = pipeline_counters(df)
             checkpoint.save(
                 df, out, target_partition_bytes=st.target_partition_bytes
             )
-            results.append(StageResult(name, ran=True, path=out))
+            n_rows = obs.get.get("n_rows")
+            results.append(
+                StageResult(name, ran=True, path=out, n_rows=n_rows)
+            )
         return results
 
     def load(self, spark: SparkSession, stage: str) -> DataFrame:

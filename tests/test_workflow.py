@@ -98,3 +98,24 @@ class TestSkewJoins:
             for r in split_skew_join(big, small, "key", hot_min_count=100).collect()
         )
         assert split == plain
+
+
+def test_stage_results_carry_observed_row_counts(spark, tmp_path):
+    from knetminer_etl_spark.runtime.workflow import Pipeline
+
+    pipe = Pipeline(tmp_path / "obs_pipe")
+
+    @pipe.stage("src")
+    def src(spark_, inputs):
+        return spark_.range(7).toDF("id")
+
+    @pipe.stage("doubled", deps=["src"])
+    def doubled(spark_, inputs):
+        return inputs["src"].selectExpr("id * 2 AS id")
+
+    results = {r.name: r for r in pipe.run(spark)}
+    assert results["src"].n_rows == 7
+    assert results["doubled"].n_rows == 7
+    # reused stages report no count (nothing was recomputed)
+    rerun = {r.name: r for r in pipe.run(spark)}
+    assert rerun["src"].ran is False and rerun["src"].n_rows is None
