@@ -63,3 +63,55 @@ class TestObservedMetrics:
         )
         out.collect()
         assert obs.get == {"total": 45, "big": 2}
+
+
+class TestGroupedAggUDFs:
+    def test_weighted_median_in_groupby(self, spark):
+        from knetminer_etl_spark.functions.udafs import weighted_median_agg
+
+        rows = [
+            ("a", 1.0, 1.0), ("a", 2.0, 1.0), ("a", 100.0, 0.1),
+            ("b", 5.0, 10.0), ("b", 50.0, 1.0),
+        ]
+        df = spark.createDataFrame(rows, "k string, v double, w double")
+        got = {
+            r["k"]: r["wm"]
+            for r in df.groupBy("k")
+            .agg(weighted_median_agg("v", "w").alias("wm"))
+            .collect()
+        }
+        # a: total w=2.1, half=1.05 -> cum reaches 1.05 at v=2.0
+        assert got["a"] == 2.0
+        # b: half=5.5 -> first v with cum>=5.5 is 5.0
+        assert got["b"] == 5.0
+
+    def test_trimmed_mean_matches_manual(self, spark):
+        from knetminer_etl_spark.functions.udafs import trimmed_mean
+
+        vals = list(map(float, range(1, 21))) + [1000.0]  # one outlier
+        df = spark.createDataFrame([(v,) for v in vals], "v double")
+        got = df.agg(trimmed_mean("v").alias("t")).first()["t"]
+        import statistics
+
+        s = sorted(vals)
+        k = int(len(s) * 0.1)
+        assert abs(got - statistics.mean(s[k : len(s) - k])) < 1e-9
+
+    def test_weighted_median_over_window(self, spark):
+        from pyspark.sql import Window
+
+        from knetminer_etl_spark.functions.udafs import weighted_median_agg
+
+        df = spark.createDataFrame(
+            [("a", 1.0, 1.0), ("a", 3.0, 1.0), ("b", 9.0, 1.0)],
+            "k string, v double, w double",
+        )
+        w = Window.partitionBy("k")
+        got = {
+            (r["k"], r["v"]): r["wm"]
+            for r in df.withColumn(
+                "wm", weighted_median_agg("v", "w").over(w)
+            ).collect()
+        }
+        assert got[("a", 1.0)] == 1.0 and got[("a", 3.0)] == 1.0
+        assert got[("b", 9.0)] == 9.0
