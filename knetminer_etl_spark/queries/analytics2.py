@@ -603,9 +603,17 @@ def q2_min_price_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "s_name",
             "s_acctbal",
             "n_name",
-            F.round(F.col("l_extendedprice") / F.col("l_quantity"), 4).alias(
-                "unit_price"
-            ),
+            # explicit floor(x*1e4 + 0.5)/1e4, not round(): at an exact
+            # 4-dp tie Spark's decimal HALF_UP and DuckDB's float
+            # rounding disagree on the binary value just below the tie
+            # (caught by the sf0.001 sweep: 26.24125 -> .2412 vs .2413)
+            (
+                F.floor(
+                    F.col("l_extendedprice") / F.col("l_quantity") * 1e4
+                    + F.lit(0.5)
+                )
+                / 1e4
+            ).alias("unit_price"),
         )
     )
     min_price = F.min("unit_price").over(Window.partitionBy("p_partkey"))
@@ -624,7 +632,8 @@ def q2_min_price_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q2_SQL = """
 WITH offers AS (
   SELECT p_partkey, p_name, s_suppkey, s_name, s_acctbal, n_name,
-         round(l_extendedprice / l_quantity, 4) AS unit_price
+         floor(l_extendedprice / l_quantity * 10000.0 + 0.5) / 10000.0
+           AS unit_price
   FROM lineitem
   JOIN part ON p_partkey = l_partkey
   JOIN supplier ON s_suppkey = l_suppkey
