@@ -134,3 +134,108 @@ def vocab_sql(text_col: str, vocab_size: int, table: str = "documents") -> str:
   ORDER BY n DESC, token ASC
   LIMIT {vocab_size}
 """
+
+
+# ---------------------------------------------------------------------------
+# Bigram LM (conditional probabilities, same bounded-table discipline)
+# ---------------------------------------------------------------------------
+
+
+def bigram_train(
+    corpus: DataFrame,
+    text_col: str = "text",
+    table_size: int = 50_000,
+) -> DataFrame:
+    """(w1, w2, n) for the top-``table_size`` adjacent token pairs
+    (count desc, (w1, w2) asc tie-break) — the bigram model table, one
+    map-side-combined aggregate over narrow zip_with pair expansion
+    (no window, no shuffle of the corpus beyond the count agg)."""
+    toks = tokens(F.lower(F.col(text_col)))
+    pairs = F.expr(
+        "zip_with(slice(_t, 1, size(_t) - 1), slice(_t, 2, size(_t) - 1), "
+        "(a, b) -> named_struct('w1', a, 'w2', b))"
+    )
+    return (
+        corpus.select(toks.alias("_t"))
+        .filter(F.size("_t") >= 2)
+        .select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("w1"), F.asc("w2"))
+        .limit(table_size)
+    )
+
+
+def bigram_score(
+    docs: DataFrame,
+    unigrams: DataFrame,
+    bigrams: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab_size: int | None = None,
+) -> DataFrame:
+    """(id, n_bigrams, avg_logprob): mean add-one-smoothed conditional
+    log-probability ``ln p(w_i | w_{i-1})`` per document, with
+
+        p(w2 | w1) = (c(w1,w2) + 1) / (c(w1) + V + 1)
+
+    ``c(w1)`` the context's unigram count (0 for out-of-vocab contexts)
+    and ``V`` the unigram vocabulary size — unseen pairs and contexts
+    degrade gracefully to the smoothed floor. Both model tables
+    broadcast; the corpus never shuffles except the per-doc aggregate.
+    Documents with fewer than 2 tokens yield no row (no bigrams to
+    score) — the same convention as SQL aggregation over zero rows.
+    """
+    if vocab_size is None:
+        vocab_size = unigrams.count()
+    toks = tokens(F.lower(F.col(text_col)))
+    pairs = F.expr(
+        "zip_with(slice(_t, 1, size(_t) - 1), slice(_t, 2, size(_t) - 1), "
+        "(a, b) -> named_struct('w1', a, 'w2', b))"
+    )
+    exploded = (
+        docs.select(F.col(id_col).alias("_id"), toks.alias("_t"))
+        .filter(F.size("_t") >= 2)
+        .select("_id", F.explode(pairs).alias("p"))
+        .select("_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
+    joined = exploded.join(
+        F.broadcast(bigrams.withColumnRenamed("n", "_nbi")), ["w1", "w2"], "left"
+    ).join(
+        F.broadcast(
+            unigrams.select(F.col("token").alias("w1"), F.col("n").alias("_nuni"))
+        ),
+        "w1",
+        "left",
+    )
+    logp = F.log(
+        (F.coalesce(F.col("_nbi"), F.lit(0)) + F.lit(1.0))
+        / (F.coalesce(F.col("_nuni"), F.lit(0)) + F.lit(float(vocab_size + 1)))
+    )
+    return (
+        joined.groupBy("_id")
+        .agg(
+            F.count("*").cast("int").alias("n_bigrams"),
+            F.round(F.avg(logp), 6).alias("avg_logprob"),
+        )
+        .select(F.col("_id").alias(id_col), "n_bigrams", "avg_logprob")
+    )
+
+
+def bigram_sql(text_col: str, table_size: int, table: str = "documents") -> str:
+    """DuckDB twin of :func:`bigram_train`."""
+    toks = (
+        f"list_filter(string_split_regex(trim(lower({text_col})), '\\s+'),"
+        " x -> x <> '')"
+    )
+    return f"""
+  SELECT p['w1'] AS w1, p['w2'] AS w2, CAST(count(*) AS BIGINT) AS n
+  FROM (
+    SELECT unnest([{{'w1': t[i], 'w2': t[i+1]}}
+                   for i in generate_series(1, len(t) - 1)]) AS p
+    FROM (SELECT {toks} AS t FROM {table}) WHERE len(t) >= 2
+  )
+  GROUP BY 1, 2
+  ORDER BY n DESC, w1 ASC, w2 ASC
+  LIMIT {table_size}
+"""

@@ -993,3 +993,60 @@ SELECT * FROM (
 
 QUERIES.update({"doc_pipeline_stages": doc_pipeline_stages})
 ORACLES.update({"doc_pipeline_stages": DOC_PIPELINE_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Bigram LM quality scores
+# ---------------------------------------------------------------------------
+
+
+def doc_bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean add-one-smoothed bigram conditional
+    log-probability under tables trained on the corpus itself (top-500
+    unigram vocab, top-2000 bigram table) — the higher-order LM filter
+    (operators/lmscore.bigram_*)."""
+    from ..operators import lmscore as LM
+
+    docs = _docs(spark, sf_dir)
+    uni = LM.unigram_train(docs, vocab_size=_LM_VOCAB)
+    bi = LM.bigram_train(docs, table_size=2000)
+    return LM.bigram_score(docs, uni, bi).orderBy("doc_id")
+
+
+def _bigram_lm_sql() -> str:
+    from ..operators.lmscore import bigram_sql, vocab_sql
+
+    toks = (
+        "list_filter(string_split_regex(trim(lower(text)), '\\s+'),"
+        " x -> x <> '')"
+    )
+    return f"""
+WITH vocab AS ({vocab_sql("text", _LM_VOCAB)}),
+bi AS ({bigram_sql("text", 2000)}),
+vtot AS (SELECT count(*) AS V FROM vocab),
+dp AS (
+  SELECT doc_id, p['w1'] AS w1, p['w2'] AS w2
+  FROM (
+    SELECT doc_id, unnest([{{'w1': t[i], 'w2': t[i+1]}}
+                           for i in generate_series(1, len(t) - 1)]) AS p
+    FROM (SELECT doc_id, {toks} AS t FROM documents) WHERE len(t) >= 2
+  )
+)
+SELECT dp.doc_id,
+       CAST(count(*) AS INT) AS n_bigrams,
+       round(avg(ln((coalesce(bi.n, 0) + 1.0)
+                    / (coalesce(vocab.n, 0) + vtot.V + 1.0))), 6)
+         AS avg_logprob
+FROM dp
+LEFT JOIN bi ON bi.w1 = dp.w1 AND bi.w2 = dp.w2
+LEFT JOIN vocab ON vocab.token = dp.w1
+CROSS JOIN vtot
+GROUP BY dp.doc_id
+ORDER BY doc_id
+"""
+
+
+DOC_BIGRAM_LM_SQL = _bigram_lm_sql()
+
+QUERIES.update({"doc_bigram_lm_scores": doc_bigram_lm_scores})
+ORACLES.update({"doc_bigram_lm_scores": DOC_BIGRAM_LM_SQL})

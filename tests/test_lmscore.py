@@ -71,3 +71,59 @@ def test_score_plan_broadcasts_vocab(spark, corpus):
         .toString()
     )
     assert "BroadcastHashJoin" in plan  # corpus side never shuffles to join
+
+
+class TestBigramLM:
+    def test_hand_computed_scores(self, spark):
+        import math
+
+        from knetminer_etl_spark.operators.lmscore import (
+            bigram_score,
+            bigram_train,
+            unigram_train,
+        )
+
+        corpus = spark.createDataFrame(
+            [(1, "a b a b"), (2, "a b")], "doc_id long, text string"
+        )
+        uni = unigram_train(corpus, vocab_size=10)     # a:3, b:3 -> V=2
+        bi = bigram_train(corpus, table_size=10)       # (a,b):3, (b,a):1
+        got = {
+            r["doc_id"]: (r["n_bigrams"], r["avg_logprob"])
+            for r in bigram_score(corpus, uni, bi).collect()
+        }
+        # p(b|a) = (3+1)/(3+2+1) = 4/6; p(a|b) = (1+1)/(3+3) = 2/6
+        pab, pba = math.log(4 / 6), math.log(2 / 6)
+        assert got[1][0] == 3
+        assert abs(got[1][1] - round((2 * pab + pba) / 3, 6)) < 1e-9
+        assert got[2] == (1, round(pab, 6))
+
+    def test_gibberish_scores_below_fluent(self, spark):
+        from knetminer_etl_spark.operators.lmscore import (
+            bigram_score,
+            bigram_train,
+            unigram_train,
+        )
+
+        fluent = "the cat sat on the mat and the dog sat on the rug"
+        rows = [(i, fluent) for i in range(5)] + [(99, "zq xv qq vv zz xx")]
+        corpus = spark.createDataFrame(rows, "doc_id long, text string")
+        uni = unigram_train(corpus, vocab_size=100)
+        bi = bigram_train(corpus, table_size=100)
+        got = {r["doc_id"]: r["avg_logprob"] for r in bigram_score(corpus, uni, bi).collect()}
+        assert got[99] < got[0]
+
+    def test_single_token_docs_emit_no_row(self, spark):
+        from knetminer_etl_spark.operators.lmscore import (
+            bigram_score,
+            bigram_train,
+            unigram_train,
+        )
+
+        corpus = spark.createDataFrame(
+            [(1, "hello"), (2, "hello world")], "doc_id long, text string"
+        )
+        uni = unigram_train(corpus, vocab_size=10)
+        bi = bigram_train(corpus, table_size=10)
+        ids = {r["doc_id"] for r in bigram_score(corpus, uni, bi).collect()}
+        assert ids == {2}
