@@ -411,3 +411,59 @@ def label_propagation(
             .localCheckpoint(eager=True)
         )
     return labels
+
+
+def find_motifs(edges: DataFrame, pattern: str) -> DataFrame:
+    """GraphFrames-style motif finding: ``"(a)-[]->(b); (b)-[]->(c)"``
+    returns one row per binding of the named vertices, columns named by
+    the pattern variables. Each edge term compiles to one equi-join of
+    the edge relation — the plan is exactly the chain of joins a hand-
+    written query would build (Catalyst reorders/broadcasts as usual),
+    so motif search inherits every join optimization instead of a
+    bespoke traversal engine. Distinct vertex variables are NOT forced
+    unequal (same as GraphFrames); filter afterwards for strict motifs.
+
+    Grammar: semicolon-separated ``(x)-[]->(y)`` terms, variable names
+    ``\\w+``. Duplicate variables express the topology (shared joins).
+    """
+    import re
+
+    terms = [t.strip() for t in pattern.split(";") if t.strip()]
+    rx = re.compile(r"^\((\w+)\)-\[\]->\((\w+)\)$")
+    pairs: list[tuple[str, str]] = []
+    for t in terms:
+        m = rx.match(t)
+        if not m:
+            raise ValueError(f"bad motif term {t!r}")
+        pairs.append((m.group(1), m.group(2)))
+    if not pairs:
+        raise ValueError("empty motif pattern")
+
+    out: DataFrame | None = None
+    bound: set[str] = set()
+    for i, (a, b) in enumerate(pairs):
+        e = edges.select(F.col("src").alias(f"_s{i}"), F.col("dst").alias(f"_d{i}"))
+        if out is None:
+            out = e.select(F.col(f"_s{i}").alias(a), F.col(f"_d{i}").alias(b))
+            bound |= {a, b}
+            continue
+        conds = []
+        if a in bound:
+            conds.append(F.col(a) == F.col(f"_s{i}"))
+        if b in bound:
+            conds.append(F.col(b) == F.col(f"_d{i}"))
+        if not conds:
+            raise ValueError(
+                f"term ({a})->({b}) shares no variable with earlier terms"
+            )
+        cond = conds[0]
+        for c in conds[1:]:
+            cond = cond & c
+        out = out.join(e, cond)
+        if a not in bound:
+            out = out.withColumn(a, F.col(f"_s{i}"))
+        if b not in bound:
+            out = out.withColumn(b, F.col(f"_d{i}"))
+        bound |= {a, b}
+        out = out.drop(f"_s{i}", f"_d{i}")
+    return out.select(*sorted(bound))

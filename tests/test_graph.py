@@ -150,3 +150,49 @@ class TestLabelPropagation:
         assert len({got["a"], got["b"], got["c"]}) == 1
         assert len({got["x"], got["y"], got["z"]}) == 1
         assert got["a"] != got["x"]
+
+
+class TestMotifs:
+    @staticmethod
+    def _edges(spark):
+        rows = [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d")]
+        return spark.createDataFrame(rows, "src string, dst string")
+
+    def test_two_hop_paths(self, spark):
+        from knetminer_etl_spark.operators.graph import find_motifs
+
+        got = {
+            (r["x"], r["y"], r["z"])
+            for r in find_motifs(
+                self._edges(spark), "(x)-[]->(y); (y)-[]->(z)"
+            ).collect()
+        }
+        assert got == {("a", "b", "c"), ("b", "c", "d"), ("a", "c", "d")}
+
+    def test_triangle_motif_matches_triangle_count(self, spark):
+        from knetminer_etl_spark.operators.graph import find_motifs
+
+        tri = find_motifs(
+            self._edges(spark), "(x)-[]->(y); (y)-[]->(z); (x)-[]->(z)"
+        ).collect()
+        assert {(r["x"], r["y"], r["z"]) for r in tri} == {("a", "b", "c")}
+
+    def test_fan_in_motif(self, spark):
+        from knetminer_etl_spark.operators.graph import find_motifs
+
+        got = {
+            (r["x"], r["y"], r["z"])
+            for r in find_motifs(
+                self._edges(spark), "(x)-[]->(z); (y)-[]->(z)"
+            ).collect()
+        }
+        assert ("a", "b", "c") in got  # a->c and b->c fan into c
+        assert all(gz == "c" or gz == "d" or gz == "b" for _, _, gz in got)
+
+    def test_disconnected_term_rejected(self, spark):
+        import pytest as _pt
+
+        from knetminer_etl_spark.operators.graph import find_motifs
+
+        with _pt.raises(ValueError):
+            find_motifs(self._edges(spark), "(x)-[]->(y); (p)-[]->(q)")
