@@ -275,6 +275,8 @@ def ewma(
             F.col(f"col._s._tb{i}").alias(c) for i, c in enumerate(tb)
         ],
         F.col("col._s._x").alias(value_col),
-        F.round(F.col("col._y"), 6).alias("ewma"),
+        # floor(y*1e6 + 0.5)/1e6, not round(): decimal HALF_UP vs float
+        # rounding diverge on exact 6-dp ties (caught by the sf0.1 sweep)
+        (F.floor(F.col("col._y") * 1e6 + F.lit(0.5)) / 1e6).alias("ewma"),
     )
     return exploded

@@ -434,7 +434,8 @@ walk(user_id, rn, y) AS (
          CAST('0.3' AS DOUBLE) * r.value + CAST('0.7' AS DOUBLE) * w.y
   FROM walk w JOIN erows r ON r.user_id = w.user_id AND r.rn = w.rn + 1
 )
-SELECT r.user_id, r.ts, r.event_id, r.value, round(w.y, 6) AS ewma
+SELECT r.user_id, r.ts, r.event_id, r.value,
+       floor(w.y * 1000000.0 + 0.5) / 1000000.0 AS ewma
 FROM erows r JOIN walk w USING (user_id, rn)
 ORDER BY user_id, ts, event_id
 """

@@ -11,6 +11,7 @@ evicted via timeouts. This is the streaming twin of the engine's
 
 from __future__ import annotations
 
+import math
 from collections.abc import Iterable
 from typing import Any
 
@@ -222,7 +223,11 @@ def make_ewma_update(alpha: float):
             for ev, v in zip(pdf["event_id"], pdf["value"]):
                 v = float(v)
                 y = v if y is None else a * v + b * y
-                out.append((user_id, int(ev), v, round(y, 6)))
+                # same floor rounding as the batch fold (Python round()
+                # is half-even on the binary value — a third semantics)
+                out.append(
+                    (user_id, int(ev), v, math.floor(y * 1e6 + 0.5) / 1e6)
+                )
         if y is not None:
             state.update((y,))
         yield pd.DataFrame(out, columns=["user_id", "event_id", "value", "ewma"])
