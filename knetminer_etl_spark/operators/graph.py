@@ -360,7 +360,11 @@ def pagerank(
             )
             .localCheckpoint(eager=True)
         )
-    return ranks.select("id", F.round("rank", 8).alias("rank"))
+    # floor(x*1e8 + 0.5)/1e8, not round(): decimal HALF_UP vs float
+    # rounding diverge on exact 8-dp ties (the q2/ewma divergence class)
+    return ranks.select(
+        "id", (F.floor(F.col("rank") * 1e8 + F.lit(0.5)) / 1e8).alias("rank")
+    )
 
 
 def label_propagation(

@@ -250,7 +250,7 @@ r{k} AS (
 )"""
         )
     parts.append(
-        f"\nSELECT id, round(rank, 8) AS rank FROM r{iterations}"
+        f"\nSELECT id, floor(rank * 100000000.0 + 0.5) / 100000000.0 AS rank FROM r{iterations}"
     )
     return "".join(parts)
 
