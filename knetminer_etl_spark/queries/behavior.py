@@ -442,3 +442,55 @@ ORDER BY user_id, ts, event_id
 
 QUERIES.update({"events_ewma": events_ewma})
 ORACLES.update({"events_ewma": EVENTS_EWMA_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Weighted median per user (grouped-agg pandas UDF, oracle-checked)
+# ---------------------------------------------------------------------------
+
+
+def events_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user lower weighted median of purchase values under
+    deterministic pseudo-weights (event_id % 5 + 1) — oracle coverage
+    for the GROUPED_AGG pandas-UDF surface (functions/udafs.py): the
+    Python aggregation must agree with a pure-SQL cumulative-weight
+    formulation. The median is an exact data value, so the comparison
+    is float-rounding-free."""
+    from ..functions.udafs import weighted_median
+
+    ev = (
+        _events(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("value").alias("v"),
+            ((F.col("event_id") % 5) + 1).cast("double").alias("wt"),
+        )
+    )
+    return (
+        ev.groupBy("user_id")
+        .agg(weighted_median(F.col("v"), F.col("wt")).alias("wmedian"))
+        .orderBy("user_id")
+    )
+
+
+EVENTS_WEIGHTED_MEDIAN_SQL = """
+WITH w AS (
+  SELECT user_id, value AS v, CAST(event_id % 5 + 1 AS DOUBLE) AS wt
+  FROM events WHERE event_type = 'purchase'
+),
+c AS (
+  SELECT user_id, v,
+         sum(wt) OVER (PARTITION BY user_id ORDER BY v
+                       ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(wt) OVER (PARTITION BY user_id) AS tot
+  FROM w
+)
+SELECT user_id, min(v) AS wmedian
+FROM c WHERE cum >= tot / 2.0
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+QUERIES.update({"events_weighted_median": events_weighted_median})
+ORACLES.update({"events_weighted_median": EVENTS_WEIGHTED_MEDIAN_SQL})
