@@ -331,3 +331,52 @@ ORACLES = {
     "kg_pagerank": KG_PAGERANK_SQL,
     "kg_communities": KG_COMMUNITIES_SQL,
 }
+
+
+def kg_motif_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Motif query over the heterogeneous KG edge set: count the
+    customer→order→part paths per customer via the pattern API
+    ``(c)-[]->(o); (o)-[]->(p)`` (operators/graph.find_motifs) — the
+    motif compiles to the same chained equi-joins the oracle writes by
+    hand."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    e1 = orders.select(
+        F.concat(F.lit("C:"), F.col("o_custkey").cast("string")).alias("src"),
+        F.concat(F.lit("O:"), F.col("o_orderkey").cast("string")).alias("dst"),
+    )
+    e2 = lineitem.select(
+        F.concat(F.lit("O:"), F.col("l_orderkey").cast("string")).alias("src"),
+        F.concat(F.lit("P:"), F.col("l_partkey").cast("string")).alias("dst"),
+    ).distinct()
+    paths = G.find_motifs(
+        e1.unionByName(e2), "(c)-[]->(o); (o)-[]->(p)"
+    )
+    # only O:* middles reach parts, so the motif's C->O->P bindings are
+    # exactly the two-hop paths; count per customer
+    return (
+        paths.filter(F.col("c").startswith("C:"))
+        .groupBy("c")
+        .agg(F.count("*").alias("n_paths"))
+        .orderBy("c")
+    )
+
+
+KG_MOTIF_PATHS_SQL = """
+WITH e1 AS (
+  SELECT 'C:' || o_custkey AS src, 'O:' || o_orderkey AS dst FROM orders
+),
+e2 AS (
+  SELECT DISTINCT 'O:' || l_orderkey AS src, 'P:' || l_partkey AS dst
+  FROM lineitem
+),
+gedges AS (SELECT * FROM e1 UNION ALL SELECT * FROM e2)
+SELECT a.src AS c, count(*) AS n_paths
+FROM gedges a JOIN gedges b ON a.dst = b.src
+WHERE a.src LIKE 'C:%'
+GROUP BY a.src
+ORDER BY c
+"""
+
+QUERIES["kg_motif_paths"] = kg_motif_paths
+ORACLES["kg_motif_paths"] = KG_MOTIF_PATHS_SQL
