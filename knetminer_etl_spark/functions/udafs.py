@@ -20,9 +20,15 @@ import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import DoubleType
+
+# return types as DataType INSTANCES, not DDL strings: string types are
+# parsed through the active SparkContext at decoration time, which makes
+# importing this module require a live session (breaks test collection
+# and any import-before-session program)
 
 
-@pandas_udf("double")
+@pandas_udf(DoubleType())
 def weighted_median(v: pd.Series, w: pd.Series) -> float:
     """Weight-interpolation-free weighted median: the smallest v whose
     cumulative weight reaches half the total (lower weighted median —
@@ -37,7 +43,7 @@ def weighted_median(v: pd.Series, w: pd.Series) -> float:
     return float(df.loc[cum >= half, "v"].iloc[0])
 
 
-@pandas_udf("double")
+@pandas_udf(DoubleType())
 def trimmed_mean(v: pd.Series) -> float:
     """10%-trimmed mean (drop the lowest/highest decile before
     averaging) — the robust-location statistic quality dashboards want;
