@@ -479,7 +479,10 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     l = _t(spark, sf_dir, "lineitem")
     s = _t(spark, sf_dir, "supplier")
-    late = F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) > 60
+    # epoch-second subtraction (not datediff): invariant to session
+    # timezone and per-engine day-boundary semantics — see q12
+    _sec = lambda c: F.col(c).cast("timestamp").cast("long")  # noqa: E731
+    late = (_sec("l_shipdate") - _sec("o_orderdate")) > 60 * 86400
     ld = l.join(o, l["l_orderkey"] == o["o_orderkey"]).select(
         "l_orderkey", "l_suppkey", late.alias("late")
     )
@@ -513,7 +516,7 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q21_SQL = """
 WITH ld AS (
   SELECT l_orderkey, l_suppkey,
-         date_diff('day', o_orderdate, l_shipdate) > 60 AS late
+         epoch(l_shipdate) - epoch(o_orderdate) > 60 * 86400 AS late
   FROM lineitem JOIN orders ON o_orderkey = l_orderkey
   WHERE o_orderstatus = 'F'
 )

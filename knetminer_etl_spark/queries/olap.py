@@ -134,9 +134,18 @@ def customer_order_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             2,
         ).alias("cum_revenue"),
-        F.datediff(
-            "o_orderdate", F.lag("o_orderdate").over(w)
-        ).alias("days_since_prev"),
+        # epoch-second difference / 86400 (timestamps are midnight, so
+        # the quotient is the exact day count) — engine/timezone-proof,
+        # unlike datediff's per-engine date-cast semantics (see q12)
+        (
+            (
+                F.col("o_orderdate").cast("timestamp").cast("long")
+                - F.lag(
+                    F.col("o_orderdate").cast("timestamp").cast("long")
+                ).over(w)
+            )
+            / 86400
+        ).cast("long").alias("days_since_prev"),
         F.round(F.percent_rank().over(wp), 6).alias("price_pct_rank"),
     ).orderBy("o_custkey", "order_seq")
 
@@ -148,7 +157,8 @@ SELECT o_custkey,
        round(sum(o_totalprice) OVER (
          PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS cum_revenue,
-       date_diff('day', lag(o_orderdate) OVER w, o_orderdate) AS days_since_prev,
+       CAST((epoch(o_orderdate) - epoch(lag(o_orderdate) OVER w)) / 86400
+            AS BIGINT) AS days_since_prev,
        round(percent_rank() OVER (
          PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey), 6)
          AS price_pct_rank
