@@ -45,7 +45,9 @@ HEADLINE = [
     "doc_repetition_stats",
     "doc_decontamination",
     "doc_tfidf_terms",
-    # round-3 additions: sketches, training layout, PQ
+    # round-3 additions: sketches, training layout, PQ, the composed
+    # corpus pipeline (the flagship multi-stage flow)
+    "doc_pipeline_stages",
     "doc_heavy_hitters",
     "doc_token_cms",
     "events_distinct_hll",
