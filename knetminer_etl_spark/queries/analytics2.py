@@ -989,3 +989,70 @@ ORACLES.update(
         "orders_profile": ORDERS_PROFILE_SQL,
     }
 )
+
+
+# -- Part affinity (market-basket lift) ---------------------------------------
+
+
+def part_affinity_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket affinity: the top-20 part pairs by lift —
+    ``p(a,b) / (p(a)·p(b))`` over order baskets, support ≥ 3 baskets.
+    The pair expansion is the degree-bounded co-order join (the same
+    shape as the triangle edge build); supports are one bounded
+    aggregate each; lift arithmetic is identical in both engines and
+    the output is rounded via the floor form (tie-proof)."""
+    l = _t(spark, sf_dir, "lineitem")
+    op = l.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    n_orders = op.select("o").distinct().count()
+    supp = op.groupBy("p").agg(F.count("*").alias("n"))
+    pairs = (
+        op.alias("a")
+        .join(op.alias("b"), on="o")
+        .filter(F.col("a.p") < F.col("b.p"))
+        .groupBy(F.col("a.p").alias("pa"), F.col("b.p").alias("pb"))
+        .agg(F.count("*").alias("n_ab"))
+        .filter(F.col("n_ab") >= 3)
+    )
+    sa = supp.select(F.col("p").alias("pa"), F.col("n").alias("n_a"))
+    sb = supp.select(F.col("p").alias("pb"), F.col("n").alias("n_b"))
+    lift = (
+        F.col("n_ab") * F.lit(float(n_orders)) / (F.col("n_a") * F.col("n_b"))
+    )
+    return (
+        pairs.join(sa, on="pa")
+        .join(sb, on="pb")
+        .select(
+            "pa",
+            "pb",
+            "n_ab",
+            (F.floor(lift * 1e6 + F.lit(0.5)) / 1e6).alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), "pa", "pb")
+        .limit(20)
+    )
+
+
+PART_AFFINITY_SQL = """
+WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+tot AS (SELECT CAST(count(DISTINCT o) AS DOUBLE) AS n_orders FROM op),
+supp AS (SELECT p, count(*) AS n FROM op GROUP BY p),
+pairs AS (
+  SELECT a.p AS pa, b.p AS pb, count(*) AS n_ab
+  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+  GROUP BY 1, 2 HAVING count(*) >= 3
+)
+SELECT pa, pb, n_ab,
+       floor(n_ab * tot.n_orders / (sa.n * sb.n) * 1000000.0 + 0.5)
+         / 1000000.0 AS lift
+FROM pairs
+JOIN supp sa ON sa.p = pa
+JOIN supp sb ON sb.p = pb
+CROSS JOIN tot
+ORDER BY lift DESC, pa, pb
+LIMIT 20
+"""
+
+QUERIES.update({"part_affinity_lift": part_affinity_lift})
+ORACLES.update({"part_affinity_lift": PART_AFFINITY_SQL})
