@@ -381,3 +381,81 @@ def heavy_hitters(
         .orderBy(F.desc("n"), F.asc(item_col))
         .limit(k)
     )
+
+
+def hll_pairwise_jaccard(
+    df: DataFrame,
+    key_col: str,
+    set_col: str,
+    seed: str = "hll",
+    p: int = 8,
+) -> DataFrame:
+    """Estimated Jaccard similarity between every pair of sets (one set
+    per distinct ``set_col`` value, elements from ``key_col``) — the
+    sketch-ALGEBRA composition HLL exists for: per-set register tables
+    are max-merged into pairwise UNION sketches, and
+
+        J(A,B) ≈ (|A| + |B| − |A∪B|) / |A∪B|
+
+    by inclusion-exclusion over the three estimates. No raw element ever
+    leaves its aggregate: the pairwise join is over register tables
+    (≤ 2^p rows per set), so comparing S sets costs S²·2^p sketch rows
+    however large the sets — the 100 TB shape for similarity matrices
+    over user populations. Estimates are bit-reproducible (exact-integer
+    register algebra + the shared literal ln table), so an oracle
+    replays them exactly. Output: (set_a, set_b, est_a, est_b,
+    est_union, jaccard_est) for set_a < set_b, jaccard in floor-rounded
+    6 dp.
+    """
+    regs = hll_registers(df, key_col, [set_col], seed, p)
+    a = regs.select(
+        F.col(set_col).alias("set_a"), "reg_idx", F.col("reg_rho").alias("_ra")
+    )
+    b = regs.select(
+        F.col(set_col).alias("set_b"), "reg_idx", F.col("reg_rho").alias("_rb")
+    )
+    # full outer per pair: a register present in only one sketch keeps
+    # its rank in the union (max-merge with an absent register = itself);
+    # build the pair frame from the distinct set ids so empty overlap
+    # still yields every pair
+    sets = regs.select(F.col(set_col).alias("s")).distinct()
+    pairs = (
+        sets.select(F.col("s").alias("set_a"))
+        .crossJoin(sets.select(F.col("s").alias("set_b")))
+        .filter(F.col("set_a") < F.col("set_b"))
+    )
+    # pair × register union via union-of-sides + max-merge (an absent
+    # register keeps the other side's rank — exactly HLL union algebra)
+    ua = pairs.join(a, on="set_a").select(
+        "set_a", "set_b", "reg_idx", F.col("_ra").alias("reg_rho")
+    )
+    ub = pairs.join(b, on="set_b").select(
+        "set_a", "set_b", "reg_idx", F.col("_rb").alias("reg_rho")
+    )
+    merged = (
+        ua.unionByName(ub)
+        .groupBy("set_a", "set_b", "reg_idx")
+        .agg(F.max("reg_rho").alias("reg_rho"))
+    )
+    eu = hll_estimate(merged, ["set_a", "set_b"], p, "est_union").select(
+        "set_a", "set_b", "est_union"
+    )
+    singles = hll_estimate(regs, [set_col], p, "est").select(
+        F.col(set_col).alias("s"), "est"
+    )
+    j = (
+        (F.col("est_a") + F.col("est_b") - F.col("est_union"))
+        / F.col("est_union")
+    )
+    return (
+        eu.join(singles.select(F.col("s").alias("set_a"), F.col("est").alias("est_a")), on="set_a")
+        .join(singles.select(F.col("s").alias("set_b"), F.col("est").alias("est_b")), on="set_b")
+        .select(
+            "set_a",
+            "set_b",
+            "est_a",
+            "est_b",
+            "est_union",
+            (F.floor(j * 1e6 + F.lit(0.5)) / 1e6).alias("jaccard_est"),
+        )
+    )

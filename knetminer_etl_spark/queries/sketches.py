@@ -288,3 +288,73 @@ EVENTS_HIST_QUANTILES_SQL = _hist_sql()
 
 QUERIES.update({"events_value_hist_quantiles": events_value_hist_quantiles})
 ORACLES.update({"events_value_hist_quantiles": EVENTS_HIST_QUANTILES_SQL})
+
+
+# ---------------------------------------------------------------------------
+# HLL set algebra: pairwise Jaccard between event-type user sets
+# ---------------------------------------------------------------------------
+
+
+def events_hll_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimated Jaccard similarity between every pair of event types'
+    user populations via HLL register algebra (union = register
+    max-merge, inclusion-exclusion on the three estimates) — set
+    similarity matrices over populations without ever joining raw
+    members (operators/sketch.hll_pairwise_jaccard)."""
+    ev = _events(spark, sf_dir).select("event_type", "user_id")
+    return SK.hll_pairwise_jaccard(ev, "user_id", "event_type", p=_P).orderBy(
+        "set_a", "set_b"
+    )
+
+
+def _hll_jaccard_sql() -> str:
+    idx, rho = SK.hll_idx_rho_sql("user_id", "hll", _P)
+    est = SK.hll_estimate_sql(1 << _P, _RHO_MAX)
+    return f"""
+WITH base AS (SELECT event_type, user_id FROM events),
+regs AS (
+  SELECT event_type, {idx} AS reg_idx, max({rho}) AS reg_rho
+  FROM base GROUP BY 1, 2
+),
+sets AS (SELECT DISTINCT event_type AS s FROM base),
+pairs AS (
+  SELECT a.s AS set_a, b.s AS set_b
+  FROM sets a JOIN sets b ON a.s < b.s
+),
+merged AS (
+  SELECT set_a, set_b, reg_idx, max(reg_rho) AS reg_rho FROM (
+    SELECT p.set_a, p.set_b, r.reg_idx, r.reg_rho
+    FROM pairs p JOIN regs r ON r.event_type = p.set_a
+    UNION ALL
+    SELECT p.set_a, p.set_b, r.reg_idx, r.reg_rho
+    FROM pairs p JOIN regs r ON r.event_type = p.set_b
+  ) GROUP BY 1, 2, 3
+),
+est_u AS (
+  SELECT set_a, set_b,
+         sum(1::BIGINT << ({_RHO_MAX} - reg_rho)) AS _z_present,
+         count(*) AS _n_present
+  FROM merged GROUP BY 1, 2
+),
+eu AS (SELECT set_a, set_b, {est} AS est_union FROM est_u),
+est_s AS (
+  SELECT event_type,
+         sum(1::BIGINT << ({_RHO_MAX} - reg_rho)) AS _z_present,
+         count(*) AS _n_present
+  FROM regs GROUP BY 1
+),
+es AS (SELECT event_type, {est} AS est FROM est_s)
+SELECT set_a, set_b, sa.est AS est_a, sb.est AS est_b, est_union,
+       floor((sa.est + sb.est - est_union) / est_union * 1000000.0 + 0.5)
+         / 1000000.0 AS jaccard_est
+FROM eu
+JOIN es sa ON sa.event_type = set_a
+JOIN es sb ON sb.event_type = set_b
+ORDER BY set_a, set_b
+"""
+
+
+EVENTS_HLL_JACCARD_SQL = _hll_jaccard_sql()
+
+QUERIES.update({"events_hll_jaccard": events_hll_jaccard})
+ORACLES.update({"events_hll_jaccard": EVENTS_HLL_JACCARD_SQL})

@@ -156,3 +156,44 @@ class TestHistogramQuantiles:
         from knetminer_etl_spark.operators import sketch as SK
 
         assert SK.hist_quantile([], 0.0, 1.0, 4, 0.5) is None
+
+
+class TestHllJaccard:
+    def test_estimates_track_true_jaccard(self, spark):
+        from knetminer_etl_spark.operators.sketch import hll_pairwise_jaccard
+
+        rows = (
+            [("A", f"u{i}") for i in range(400)]
+            + [("B", f"u{i}") for i in range(200, 600)]   # J(A,B)=200/600
+            + [("C", f"v{i}") for i in range(300)]        # disjoint
+        )
+        df = spark.createDataFrame(rows, "grp string, uid string")
+        got = {
+            (r["set_a"], r["set_b"]): r
+            for r in hll_pairwise_jaccard(df, "uid", "grp").collect()
+        }
+        ab = got[("A", "B")]
+        assert abs(ab["jaccard_est"] - 1 / 3) < 0.12  # p=8 -> ~6.5% rse
+        ac = got[("A", "C")]
+        assert ac["jaccard_est"] < 0.1
+        assert abs(ab["est_union"] - 600) / 600 < 0.2
+
+    def test_union_estimate_is_register_max_merge(self, spark):
+        """The pairwise union estimate must equal estimating the merged
+        register table directly (sketch algebra, not re-hashing)."""
+        from knetminer_etl_spark.operators.sketch import (
+            hll_estimate,
+            hll_pairwise_jaccard,
+            hll_registers,
+        )
+        from pyspark.sql import functions as F
+
+        rows = [("A", f"x{i}") for i in range(100)] + [
+            ("B", f"x{i}") for i in range(50, 150)
+        ]
+        df = spark.createDataFrame(rows, "grp string, uid string")
+        pairwise = hll_pairwise_jaccard(df, "uid", "grp").first()
+        direct = hll_estimate(
+            hll_registers(df.select("uid"), "uid"), []
+        ).first()["hll_est"]
+        assert pairwise["est_union"] == direct
