@@ -115,9 +115,14 @@ def doc_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rule-based quality audit of every document: which named Gopher-style
     rules it violates and whether it survives the filter."""
     out = TX.quality_rules(_docs(spark, sf_dir).select("doc_id", "text"))
-    return out.select("doc_id", "n_tokens", "fail_reasons", "passes").orderBy(
-        "doc_id"
-    )
+    # fail_reasons is sorted on both sides; join to a flat string so the
+    # harness canonicalizer (pandas sort/hash) never sees a list cell.
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        F.array_join("fail_reasons", "|").alias("fail_reasons"),
+        "passes",
+    ).orderBy("doc_id")
 
 
 _TOKS = "list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')"
@@ -152,7 +157,8 @@ WITH feat AS (
          ], x -> x IS NOT NULL)) AS fail_reasons
   FROM feat
 )
-SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens, fail_reasons,
+SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+       coalesce(array_to_string(fail_reasons, '|'), '') AS fail_reasons,
        len(fail_reasons) = 0 AS passes
 FROM rules
 ORDER BY doc_id
@@ -311,7 +317,7 @@ def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "top_2gram_char_frac",
         "top_3gram_char_frac",
         "dup_5gram_char_frac",
-        "fail_reasons",
+        F.array_join("fail_reasons", "|").alias("fail_reasons"),
         "passes",
     ).orderBy("doc_id")
 
@@ -387,14 +393,14 @@ SELECT doc_id,
   round(top_2gram_char_frac, 4) AS top_2gram_char_frac,
   round(top_3gram_char_frac, 4) AS top_3gram_char_frac,
   round(dup_5gram_char_frac, 4) AS dup_5gram_char_frac,
-  list_sort(list_filter([
+  coalesce(array_to_string(list_sort(list_filter([
     CASE WHEN dup_5gram_char_frac > 0.15 THEN 'dup_5gram_char_frac' END,
     CASE WHEN dup_line_char_frac > 0.20 THEN 'dup_line_char_frac' END,
     CASE WHEN dup_line_frac > 0.30 THEN 'dup_line_frac' END,
     CASE WHEN dup_para_frac > 0.30 THEN 'dup_para_frac' END,
     CASE WHEN top_2gram_char_frac > 0.20 THEN 'top_2gram_char_frac' END,
     CASE WHEN top_3gram_char_frac > 0.18 THEN 'top_3gram_char_frac' END
-  ], x -> x IS NOT NULL)) AS fail_reasons,
+  ], x -> x IS NOT NULL)), '|'), '') AS fail_reasons,
   len(list_filter([
     CASE WHEN dup_5gram_char_frac > 0.15 THEN 'x' END,
     CASE WHEN dup_line_char_frac > 0.20 THEN 'x' END,
