@@ -870,10 +870,13 @@ def doc_pipeline_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
     composition — stage inputs are the previous stage's survivors, so
     one value-hash covers the whole flow's plumbing (the judge-me-on-
     the-product query). Output: (stage_no, stage, n_docs)."""
+    import tempfile
+
     from ..operators import contamination as CT2
     from ..operators import dedup as DD2
     from ..operators import sampling as SP3
     from ..operators.text import token_count
+    from ..runtime import checkpoint as CK
 
     docs = _docs(spark, sf_dir)
     digits = F.length(F.regexp_replace("text", "[^0-9]", ""))
@@ -881,11 +884,20 @@ def doc_pipeline_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
         digits / F.greatest(F.length("text"), F.lit(1)) <= 0.2
     )
     quality = docs.filter(gate)
-    # cache the two expensive survivor sets: each feeds several later
-    # stages AND its own count — uncached, the near-dup pair pipeline
-    # would re-execute once per downstream stage
-    exact = DD2.drop_exact_dups(quality).cache()
-    near = DD2.drop_near_dups(exact, k=3, threshold=0.5).cache()
+    # checkpoint the two expensive survivor sets to Parquet: each feeds
+    # several later stages AND its own count. Unstaged, the near-dup pair
+    # pipeline re-executes once per downstream stage; .cache() avoids that
+    # locally but at corpus scale pins the deduped corpus in executor
+    # memory, and an eviction silently recomputes the whole near-dup
+    # chain — disk-backed staging (the engine's own checkpoint operator)
+    # keeps the plan cut per stage regardless of memory pressure.
+    ck = tempfile.mkdtemp(prefix="doc_pipeline_stages_")
+    exact = DD2.drop_exact_dups(quality)
+    CK.save(exact, f"{ck}/exact")
+    exact = CK.load(f"{ck}/exact", spark)
+    near = DD2.drop_near_dups(exact, k=3, threshold=0.5)
+    CK.save(near, f"{ck}/near")
+    near = CK.load(f"{ck}/near", spark)
     split = SP3.hash_split(near, "doc_id", _SPLIT_WEIGHTS, seed=_SPLIT_SEED)
     train = split.filter(F.col("split") == "train")
     test = split.filter(F.col("split") == "test")

@@ -191,12 +191,20 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.ngram_jaccard_pairs(_docs(spark, sf_dir), k=3, threshold=0.5)
 
 
+# The oracle mirrors the operator's default max_shingle_freq=1000 cap
+# (rare AS rare: shingles shared by >1000 docs are excluded from pair
+# generation on BOTH engines; no-op at the test scales, where max
+# shingle doc-frequency is 25).
 NGRAM_JACCARD_SQL = f"""
 WITH {_SHINGLES_CTE},
+exf AS (
+  SELECT ex.* FROM ex
+  JOIN (SELECT s FROM ex GROUP BY s HAVING count(*) <= 1000) keep USING (s)
+),
 pairs AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS n_a, b.n AS n_b,
          count(*) AS inter
-  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  FROM exf a JOIN exf b ON a.s = b.s AND a.doc_id < b.doc_id
   GROUP BY 1, 2, 3, 4
 )
 SELECT id_a, id_b, round(inter / (n_a + n_b - inter), 6) AS jaccard
