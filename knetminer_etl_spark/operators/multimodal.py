@@ -10,14 +10,19 @@ libs imported once per executor, partition-parallel).
 header**: :func:`image_header_decode` (PNG/JPEG/GIF dimensions),
 :func:`audio_header_decode` (WAV sample rate/channels/duration),
 :func:`video_header_decode` (MP4/MOV dimensions + duration from the
-moov box) — all pure-stdlib byte parsing, no codec library. Only
-*content* decode (pixels, compressed-audio samples, video frames)
-remains **stubbed** (codec libraries are not in this environment):
-``decode_fn=None`` selects a deterministic fake decoder so the
-Spark-side plumbing — schema, batching, partitioning, UDF signatures —
-is real and tested; pass a real ``decode_fn`` (ffmpeg/torchaudio
-based) in production, or use :func:`real_decode_stub` to see the
-integration point raise ``NotImplementedError``.
+moov box) — all pure-stdlib byte parsing, no codec library.
+
+**Content decode**: PNG pixels are decoded for real by a stdlib zlib
+codec (:func:`png_pixels`, filters 0-4; :func:`png_encode` writes
+spec-conformant files); :func:`pil_pixels` covers every other image
+format when Pillow (the ``media`` extra) is installed;
+:func:`auto_pixels` picks the best available. Compressed audio/video
+content remains **stubbed** (``decode_fn=None`` selects a
+deterministic fake so the Spark-side plumbing — schema, batching,
+partitioning, UDF signatures — is real and tested); pass an
+ffmpeg/torchaudio ``decode_fn`` in production, or use
+:func:`real_decode_stub` to see the integration point raise
+``NotImplementedError``.
 """
 
 from __future__ import annotations
@@ -131,6 +136,165 @@ def image_header_decode(data: bytes, fmt: str) -> dict[str, Any]:
         raise ValueError(f"unrecognized image container (fmt hint: {fmt})")
     w, h, _ = meta
     return {"width": w, "height": h, "duration_ms": None, "features": None}
+
+
+# ---------------------------------------------------------------------------
+# Real PNG pixel codec (stdlib zlib) + optional Pillow general decoder
+# ---------------------------------------------------------------------------
+
+
+def png_encode(px) -> bytes:
+    """Encode a 2-D uint8 grayscale or (h, w, 3) uint8 RGB array as a
+    real, spec-conformant PNG (zlib is stdlib — no codec library).
+    Filter type 0 per scanline; decoders everywhere accept it."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    px = np.ascontiguousarray(np.asarray(px, dtype=np.uint8))
+    if px.ndim == 2:
+        color_type, h, w = 0, *px.shape
+        raw = b"".join(b"\x00" + px[r].tobytes() for r in range(h))
+    elif px.ndim == 3 and px.shape[2] == 3:
+        color_type, (h, w) = 2, px.shape[:2]
+        raw = b"".join(b"\x00" + px[r].tobytes() for r in range(h))
+    else:
+        raise ValueError("expected (h, w) grayscale or (h, w, 3) RGB uint8")
+
+    def chunk(tag: bytes, payload: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(payload))
+            + tag
+            + payload
+            + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def png_pixels(data: bytes):
+    """Decode a real 8-bit non-interlaced grayscale/RGB PNG to a uint8
+    array — pure stdlib (zlib inflate + full filter reconstruction,
+    types 0-4 incl. Paeth), so PNG content decode needs NO external
+    codec even here. RGB returns (h, w, 3); grayscale (h, w)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if data[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG")
+    i, idat, meta = 8, b"", None
+    while i + 8 <= len(data):
+        (length,) = struct.unpack(">I", data[i : i + 4])
+        tag = data[i + 4 : i + 8]
+        payload = data[i + 8 : i + 8 + length]
+        if tag == b"IHDR":
+            w, h, depth, color_type, _, _, interlace = struct.unpack(
+                ">IIBBBBB", payload
+            )
+            if depth != 8 or interlace != 0 or color_type not in (0, 2):
+                raise ValueError(
+                    "only 8-bit non-interlaced grayscale/RGB supported "
+                    "(use pil_pixels for the general case)"
+                )
+            meta = (w, h, 1 if color_type == 0 else 3)
+        elif tag == b"IDAT":
+            idat += payload
+        elif tag == b"IEND":
+            break
+        i += 12 + length
+    if meta is None:
+        raise ValueError("missing IHDR")
+    w, h, nch = meta
+    raw = zlib.decompress(idat)
+    stride = w * nch
+    out = np.zeros((h, stride), dtype=np.uint8)
+    pos = 0
+    for r in range(h):
+        ft = raw[pos]
+        line = np.frombuffer(raw[pos + 1 : pos + 1 + stride], dtype=np.uint8)
+        pos += 1 + stride
+        cur = line.astype(np.int32)
+        prev = out[r - 1].astype(np.int32) if r else np.zeros(stride, np.int32)
+        if ft == 0:
+            rec = cur
+        elif ft == 2:  # Up
+            rec = (cur + prev) & 0xFF
+        elif ft in (1, 3, 4):  # Sub / Average / Paeth need left-recursion
+            rec = np.zeros(stride, np.int32)
+            for x in range(stride):
+                a = rec[x - nch] if x >= nch else 0
+                b = prev[x]
+                if ft == 1:
+                    pred = a
+                elif ft == 3:
+                    pred = (a + b) // 2
+                else:
+                    c = prev[x - nch] if x >= nch else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                rec[x] = (cur[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"bad filter type {ft}")
+        out[r] = rec.astype(np.uint8)
+    return out.reshape(h, w) if nch == 1 else out.reshape(h, w, 3)
+
+
+def _to_gray(px):
+    """(h, w[, 3]) uint8 → (h, w) float grayscale (ITU-R 601 luma)."""
+    import numpy as np
+
+    px = np.asarray(px)
+    if px.ndim == 2:
+        return px
+    return (
+        0.299 * px[..., 0] + 0.587 * px[..., 1] + 0.114 * px[..., 2]
+    )
+
+
+def pil_pixels(data: bytes, fmt: str = "bin"):
+    """General real pixel decoder via Pillow (any format PIL reads),
+    returning grayscale uint8. Gated: raises ImportError with guidance
+    when Pillow is absent (install the ``media`` extra)."""
+    try:
+        from PIL import Image
+    except ImportError as e:  # pragma: no cover - PIL absent here
+        raise ImportError(
+            "Pillow is required for pil_pixels; pip install "
+            "'knetminer-etl-spark[media]' (PNG decode works without it: "
+            "auto_pixels / png_pixels)"
+        ) from e
+    import io as _io
+
+    import numpy as np
+
+    with Image.open(_io.BytesIO(data)) as im:
+        return np.asarray(im.convert("L"), dtype=np.uint8)
+
+
+def auto_pixels(data: bytes, fmt: str = "bin"):
+    """Best real decoder available: stdlib PNG codec for PNG bytes,
+    Pillow for anything else when installed, else the deterministic fake
+    (plumbing keeps working; hashes stay stable within one environment).
+    This is the production default for ``pixels_fn``."""
+    data = data or b""
+    if data[:8] == b"\x89PNG\r\n\x1a\n":
+        import numpy as np
+
+        return np.asarray(_to_gray(png_pixels(data)), dtype=np.uint8)
+    try:
+        return pil_pixels(data, fmt)
+    except ImportError:
+        return _fake_pixels(data, fmt)
 
 
 def parse_wav_header(data: bytes) -> tuple[int, int, int, int] | None:
