@@ -56,6 +56,8 @@ HEADLINE = [
     "embedding_pq_topk",
     "doc_lm_scores",
     "orders_bloom_pruned",
+    # round-4 addition: semantic (embedding-cluster) dedup
+    "embedding_semantic_dedup",
 ]
 
 

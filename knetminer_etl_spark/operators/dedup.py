@@ -889,3 +889,103 @@ def embedding_dup_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup (SemDeDup)
+# ---------------------------------------------------------------------------
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 8,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication over an embedding column
+    (Abbas et al. 2023, "SemDeDup: Data-efficient learning at web-scale
+    through semantic deduplication"): cluster the embedding space, then
+    drop every item that has a more-canonical near-twin *within its own
+    cluster* — cross-cluster pairs are never examined, which is the
+    entire scale trick.
+
+    Deterministic, oracle-reproducible simplification of the paper:
+
+    * centroids = the ``n_clusters`` vectors with the smallest
+      ``md5(id)`` (a seeded uniform draw both engines compute
+      identically), instead of k-means iterates;
+    * assignment = argmax cosine to a centroid (6-dp rounded;
+      ties → lowest centroid index);
+    * keep rule = x survives iff no y < x (by id) in the same cluster
+      has ``cos(x, y) ≥ threshold`` (the paper's keep-one-per-
+      semantic-neighborhood policy with min-id canonicalization).
+
+    Scale shape: centroids are driver-held model state (n_clusters ×
+    dim floats — the MLlib broadcast shape); assignment is one narrow
+    map; within-cluster pairs go through the join-free bucket combiner,
+    so the quadratic term is Σ|cluster|² — bounded by sizing
+    ``n_clusters`` ∝ corpus (the paper runs 50k clusters for LAION;
+    cluster size, not cluster count, is the invariant to hold).
+    Output: ``(id, cluster, keep)``, one row per input.
+    """
+    from .similarity import _dot, _norm
+
+    vecs = df.select(
+        F.col(id_col).alias("_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
+    )
+    cent_rows = (
+        vecs.orderBy(F.md5(F.col("_id").cast("string")), "_id")
+        .limit(n_clusters)
+        .collect()
+    )  # bounded: n_clusters × dim — driver-held model state
+    cents = [list(r["_v"]) for r in cent_rows]
+
+    def _cos_to(c: list[float]) -> Column:
+        cv = F.array(*[F.lit(float(x)) for x in c])
+        return F.round(
+            _dot(F.col("_v"), cv) / (_norm(F.col("_v")) * _norm(cv)), 6
+        )
+
+    best = F.array_max(
+        F.array(
+            *[
+                F.struct(_cos_to(c).alias("cos"), F.lit(-i).alias("negidx"))
+                for i, c in enumerate(cents)
+            ]
+        )
+    )
+    assigned = vecs.select(
+        "_id", "_v", (-best["negidx"]).cast("int").alias("cluster")
+    )
+
+    cands = candidate_pairs_from_buckets(
+        assigned.select(F.col("_id").alias("doc_id"), "cluster"), ["cluster"]
+    )
+    va = assigned.select(F.col("_id").alias("id_a"), F.col("_v").alias("v_a"))
+    vb = assigned.select(F.col("_id").alias("id_b"), F.col("_v").alias("v_b"))
+    dropped = (
+        cands.join(va, on="id_a")
+        .join(vb, on="id_b")
+        .withColumn(
+            "_cos",
+            F.round(
+                _dot(F.col("v_a"), F.col("v_b"))
+                / (_norm(F.col("v_a")) * _norm(F.col("v_b"))),
+                6,
+            ),
+        )
+        .filter(F.col("_cos") >= threshold)
+        .select(F.col("id_b").alias("_id"))  # id_a < id_b: b has a smaller twin
+        .distinct()
+        .withColumn("_dropped", F.lit(True))
+    )
+    return (
+        assigned.join(dropped, on="_id", how="left")
+        .select(
+            F.col("_id").alias(id_col),
+            "cluster",
+            F.coalesce(~F.col("_dropped"), F.lit(True)).alias("keep"),
+        )
+    )

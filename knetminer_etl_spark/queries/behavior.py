@@ -37,9 +37,16 @@ def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     # engines, so the outputs are emitted UNROUNDED — a final round()
     # would reintroduce divergence exactly on the decimal ties the
     # 6 dp inputs make common (Spark HALF_UP vs DuckDB float rounding
-    # disagree on e.g. 5.21625 → .2163 / .2162).
+    # disagree on e.g. 5.21625 → .2163 / .2162). The 6 dp rounding
+    # itself uses the tie-safe floor(x*1e6+0.5) form both engines
+    # compute with the same IEEE ops (see the q2/EWMA divergence class).
     out = TS.gap_fill(
-        ev, ["user_id"], "ts", "value", 86_400, agg=F.round(F.sum("value"), 6)
+        ev,
+        ["user_id"],
+        "ts",
+        "value",
+        86_400,
+        agg=F.floor(F.sum("value") * 1e6 + F.lit(0.5)) / 1e6,
     )
     return out.select(
         "user_id",
@@ -54,7 +61,7 @@ EVENTS_GAP_FILL_SQL = """
 WITH daily AS (
   SELECT user_id,
          CAST(floor(epoch(ts)) AS BIGINT) // 86400 * 86400 AS b,
-         round(sum(value), 6) AS v
+         floor(sum(value) * 1000000.0 + 0.5) / 1000000.0 AS v
   FROM events
   WHERE event_type = 'purchase'
   GROUP BY 1, 2

@@ -1129,3 +1129,82 @@ ORDER BY id_a, id_b
 
 QUERIES.update({"customer_link_pairs": customer_link_pairs})
 ORACLES.update({"customer_link_pairs": CUSTOMER_LINK_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup (SemDeDup)
+# ---------------------------------------------------------------------------
+
+
+def embedding_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the embedding corpus (operators/dedup.semantic_dedup):
+    md5-seeded deterministic centroids, within-cluster cosine keep rule.
+    Same +0.03 near-twin planting as ``embedding_dup_pairs`` so the
+    drop rule has real work to do (planted twins sit at cosine ≈ 0.97 >
+    0.95); the oracle unrolls the identical centroid draw, assignment,
+    and keep rule in SQL."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    planted = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"),
+        F.transform(
+            F.col("embedding"), lambda x: x.cast("double") + F.lit(0.03)
+        ).alias("embedding"),
+    )
+    corpus = emb.select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+    ).unionByName(planted)
+    return DD.semantic_dedup(
+        corpus, n_clusters=8, threshold=0.95
+    ).orderBy("vec_id")
+
+
+EMBEDDING_SEMANTIC_DEDUP_SQL = f"""
+WITH corpus AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+  FROM embeddings
+  UNION ALL
+  SELECT vec_id + 10000000,
+         list_transform(embedding, x -> x::DOUBLE + 0.03)
+  FROM embeddings WHERE vec_id % 10 = 0
+),
+cent AS (
+  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
+           AS cidx, v
+  FROM (SELECT * FROM corpus
+        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8)
+),
+scored AS (
+  SELECT c.vec_id, cent.cidx,
+         round({_DOT.format(a='c.v', b='cent.v')}
+               / (sqrt({_DOT.format(a='c.v', b='c.v')})
+                  * sqrt({_DOT.format(a='cent.v', b='cent.v')})), 6) AS cos
+  FROM corpus c CROSS JOIN cent
+),
+assigned AS (
+  SELECT vec_id, cidx AS cluster FROM (
+    SELECT vec_id, cidx,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY cos DESC, cidx) AS rn
+    FROM scored) WHERE rn = 1
+),
+dropped AS (
+  SELECT DISTINCT b.vec_id
+  FROM corpus a
+  JOIN assigned aa ON aa.vec_id = a.vec_id
+  JOIN assigned ab ON ab.cluster = aa.cluster AND ab.vec_id > aa.vec_id
+  JOIN corpus b ON b.vec_id = ab.vec_id
+  WHERE round({_DOT.format(a='a.v', b='b.v')}
+              / (sqrt({_DOT.format(a='a.v', b='a.v')})
+                 * sqrt({_DOT.format(a='b.v', b='b.v')})), 6) >= 0.95
+)
+SELECT a.vec_id, CAST(a.cluster AS INT) AS cluster,
+       (d.vec_id IS NULL) AS keep
+FROM assigned a LEFT JOIN dropped d ON d.vec_id = a.vec_id
+ORDER BY a.vec_id
+"""
+
+QUERIES.update({"embedding_semantic_dedup": embedding_semantic_dedup})
+ORACLES.update({"embedding_semantic_dedup": EMBEDDING_SEMANTIC_DEDUP_SQL})

@@ -223,9 +223,15 @@ def events_value_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         for q in _H_QS
     ]
     est_df = spark.createDataFrame(ests, "q double, hist_est double")
+    # tie-safe floor(x*1e6+0.5) rounding, not round(): interpolated
+    # percentiles land on exact decimal ties where Spark's HALF_UP and
+    # DuckDB's float rounding disagree (the q2/EWMA divergence class)
     exact = ev.agg(
         *[
-            F.round(F.expr(f"percentile(value, {q!r})"), 6).alias(f"_x{i}")
+            (
+                F.floor(F.expr(f"percentile(value, {q!r})") * 1e6 + F.lit(0.5))
+                / 1e6
+            ).alias(f"_x{i}")
             for i, q in enumerate(_H_QS)
         ]
     )
@@ -275,7 +281,7 @@ est AS (
 ),
 exact AS (
   SELECT unnest([{qs}]) AS q,
-         unnest([{", ".join(f"round(quantile_cont(value, {float(q)!r}), 6)" for q in _H_QS)}]) AS exact_value
+         unnest([{", ".join(f"floor(quantile_cont(value, {float(q)!r}) * 1000000.0 + 0.5) / 1000000.0" for q in _H_QS)}]) AS exact_value
   FROM events
 )
 SELECT est.q, hist_est, exact_value

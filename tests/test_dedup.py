@@ -321,3 +321,54 @@ class TestIncrementalMinhash:
         )
         pairs = {(r["id_a"], r["id_b"]) for r in inc.collect()}
         assert pairs == {(1, 2)}
+
+
+class TestSemanticDedup:
+    """SemDeDup: deterministic-centroid clustering + within-cluster
+    cosine keep rule (operators/dedup.semantic_dedup)."""
+
+    def _emb(self, spark, n=40, dim=8):
+        import numpy as np
+
+        rng = np.random.default_rng(3)
+        rows = []
+        for i in range(n):
+            v = rng.normal(size=dim)
+            rows.append((i, [float(x) for x in v / np.linalg.norm(v)]))
+        return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def test_planted_twin_dropped_min_id_kept(self, spark):
+        from knetminer_etl_spark.operators.dedup import semantic_dedup
+
+        base = self._emb(spark)
+        twins = base.filter("vec_id < 5").selectExpr(
+            "vec_id + 1000 AS vec_id",
+            "transform(embedding, x -> x + 0.001) AS embedding",
+        )
+        out = semantic_dedup(
+            base.unionByName(twins), n_clusters=4, threshold=0.95
+        )
+        rows = {r["vec_id"]: r for r in out.collect()}
+        assert len(rows) == 45  # one row per input
+        for i in range(5):
+            # the twin pair lands in the same cluster (cosine ~1) and the
+            # min-id member survives
+            assert rows[i]["cluster"] == rows[i + 1000]["cluster"]
+            assert rows[i]["keep"] is True
+            assert rows[i + 1000]["keep"] is False
+
+    def test_random_corpus_all_kept(self, spark):
+        from knetminer_etl_spark.operators.dedup import semantic_dedup
+
+        out = semantic_dedup(self._emb(spark), n_clusters=4, threshold=0.95)
+        assert all(r["keep"] for r in out.collect())
+
+    def test_partitioning_invariant(self, spark):
+        from knetminer_etl_spark.operators.dedup import semantic_dedup
+
+        df = self._emb(spark)
+        a = sorted(map(tuple, semantic_dedup(df, n_clusters=4, threshold=0.9).collect()))
+        b = sorted(
+            map(tuple, semantic_dedup(df.repartition(7), n_clusters=4, threshold=0.9).collect())
+        )
+        assert a == b
