@@ -956,9 +956,13 @@ def semantic_dedup(
             ]
         )
     )
+    # pin: referenced by the pair generator, both verify join sides, and
+    # the final output — unpinned, Catalyst re-derives the k-cosine
+    # assignment (and re-scans the corpus) once per reference (audited:
+    # 8 scans → 1)
     assigned = vecs.select(
         "_id", "_v", (-best["negidx"]).cast("int").alias("cluster")
-    )
+    ).localCheckpoint(eager=True)
 
     cands = candidate_pairs_from_buckets(
         assigned.select(F.col("_id").alias("doc_id"), "cluster"), ["cluster"]
