@@ -931,6 +931,8 @@ def semantic_dedup(
     """
     from .similarity import _dot, _norm
 
+    import math
+
     vecs = df.select(
         F.col(id_col).alias("_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
@@ -941,18 +943,27 @@ def semantic_dedup(
         .collect()
     )  # bounded: n_clusters × dim — driver-held model state
     cents = [list(r["_v"]) for r in cent_rows]
+    # centroid norms are constants: fold them driver-side (plain sum() is
+    # the same 0+x0+x1… left fold both engines run, so the value is
+    # bit-identical to an in-plan sqrt(aggregate)) instead of re-running
+    # a dim-length literal-array fold per row × centroid
+    cnorms = [math.sqrt(sum(x * x for x in c)) for c in cents]
 
-    def _cos_to(c: list[float]) -> Column:
+    # the row norm is shared by all centroid cosines AND both verify join
+    # sides below: one materialized column, not 2+n_clusters folds
+    nvecs = vecs.withColumn("_n", _norm(F.col("_v")))
+
+    def _cos_to(c: list[float], cn: float) -> Column:
         cv = F.array(*[F.lit(float(x)) for x in c])
-        return F.round(
-            _dot(F.col("_v"), cv) / (_norm(F.col("_v")) * _norm(cv)), 6
-        )
+        return F.round(_dot(F.col("_v"), cv) / (F.col("_n") * F.lit(cn)), 6)
 
     best = F.array_max(
         F.array(
             *[
-                F.struct(_cos_to(c).alias("cos"), F.lit(-i).alias("negidx"))
-                for i, c in enumerate(cents)
+                F.struct(
+                    _cos_to(c, cn).alias("cos"), F.lit(-i).alias("negidx")
+                )
+                for i, (c, cn) in enumerate(zip(cents, cnorms))
             ]
         )
     )
@@ -960,15 +971,19 @@ def semantic_dedup(
     # the final output — unpinned, Catalyst re-derives the k-cosine
     # assignment (and re-scans the corpus) once per reference (audited:
     # 8 scans → 1)
-    assigned = vecs.select(
-        "_id", "_v", (-best["negidx"]).cast("int").alias("cluster")
+    assigned = nvecs.select(
+        "_id", "_v", "_n", (-best["negidx"]).cast("int").alias("cluster")
     ).localCheckpoint(eager=True)
 
     cands = candidate_pairs_from_buckets(
         assigned.select(F.col("_id").alias("doc_id"), "cluster"), ["cluster"]
     )
-    va = assigned.select(F.col("_id").alias("id_a"), F.col("_v").alias("v_a"))
-    vb = assigned.select(F.col("_id").alias("id_b"), F.col("_v").alias("v_b"))
+    va = assigned.select(
+        F.col("_id").alias("id_a"), F.col("_v").alias("v_a"), F.col("_n").alias("n_a")
+    )
+    vb = assigned.select(
+        F.col("_id").alias("id_b"), F.col("_v").alias("v_b"), F.col("_n").alias("n_b")
+    )
     dropped = (
         cands.join(va, on="id_a")
         .join(vb, on="id_b")
@@ -976,7 +991,7 @@ def semantic_dedup(
             "_cos",
             F.round(
                 _dot(F.col("v_a"), F.col("v_b"))
-                / (_norm(F.col("v_a")) * _norm(F.col("v_b"))),
+                / (F.col("n_a") * F.col("n_b")),
                 6,
             ),
         )
