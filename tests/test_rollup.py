@@ -1,5 +1,7 @@
 from __future__ import annotations
 
+import pytest
+
 import shutil
 
 from pyspark.sql import functions as F
@@ -8,6 +10,11 @@ from knetminer_etl_spark.streaming import events as EV
 from knetminer_etl_spark.streaming.rollup import read_rollup, start_rollup_stream
 
 SF_DIR = "/root/testdata/sf0.001"
+pytestmark = pytest.mark.skipif(
+    not __import__("os").path.isdir("/root/testdata/sf0.001"),
+    reason="driver-generated parquet fixtures not present (CI)",
+)
+
 
 
 def test_incremental_rollup_matches_batch(spark, tmp_path):
