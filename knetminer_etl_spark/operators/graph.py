@@ -471,3 +471,72 @@ def find_motifs(edges: DataFrame, pattern: str) -> DataFrame:
         bound |= {a, b}
         out = out.drop(f"_s{i}", f"_d{i}")
     return out.select(*sorted(bound))
+
+
+def shortest_paths(
+    edges: DataFrame,
+    sources: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "weight",
+    id_col: str = "id",
+    max_rounds: int = 20,
+) -> DataFrame:
+    """(id, dist): minimum path weight from any source node, by
+    distributed Bellman-Ford relaxation — the weighted generalization of
+    :func:`k_hop_neighbors` (which this matches when every weight is 1).
+
+    Each round relaxes every edge once: ``dist' = min(dist, min over
+    in-edges (dist[src] + w))`` — one join + one min-aggregate per
+    round, converging in at most (longest shortest path in hops) rounds;
+    the loop exits early when a round improves nothing (one bounded
+    count action per round, the same driver-coordination shape as
+    :func:`connected_components`). Negative weights are rejected:
+    monotone distances are what make the early-exit test correct.
+    Frontier state is pinned per round (``dist`` is referenced by the
+    relax join AND the improvement check — unpinned, lineage doubles per
+    round). Unreachable nodes are absent from the output.
+    """
+    e = (
+        edges.select(
+            F.col(src).alias("_s"),
+            F.col(dst).alias("_d"),
+            F.col(weight).cast("double").alias("_w"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    if e.filter(F.col("_w") < 0).limit(1).count() > 0:
+        raise ValueError("shortest_paths requires non-negative weights")
+    dist = (
+        sources.select(F.col(id_col).alias("_id"))
+        .distinct()
+        .withColumn("_dist", F.lit(0.0))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_rounds):
+        relaxed = (
+            e.join(dist, e["_s"] == dist["_id"])
+            .select(F.col("_d").alias("_id"), (F.col("_dist") + F.col("_w")).alias("_dist"))
+            .unionByName(dist)
+            .groupBy("_id")
+            .agg(F.min("_dist").alias("_dist"))
+            .localCheckpoint(eager=True)
+        )
+        improved = (
+            relaxed.join(
+                dist.withColumnRenamed("_dist", "_old"), on="_id", how="left"
+            )
+            .filter(
+                F.col("_old").isNull() | (F.col("_dist") < F.col("_old"))
+            )
+            .limit(1)
+            .count()
+        )
+        dist = relaxed
+        if improved == 0:
+            break
+    # tie-safe 6-dp emission (the q2/ewma divergence class)
+    return dist.select(
+        F.col("_id").alias(id_col),
+        (F.floor(F.col("_dist") * 1e6 + F.lit(0.5)) / 1e6).alias("dist"),
+    )

@@ -388,3 +388,62 @@ ORDER BY c
 
 QUERIES["kg_motif_paths"] = kg_motif_paths
 ORACLES["kg_motif_paths"] = KG_MOTIF_PATHS_SQL
+
+
+def kg_shortest_costs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted single-source shortest paths (distributed Bellman-Ford,
+    operators/graph.shortest_paths) over the customer→order→part DAG:
+    C→O edges cost o_totalprice, O→P edges cost the order's min quantity
+    of that part — min total cost to reach each node from the customer
+    start set. Parts reachable through many orders exercise the min-
+    over-alternative-paths relaxation; the oracle is a recursive-CTE
+    walk (terminates: the graph is a layered DAG) with the identical
+    left-to-right path-sum arithmetic."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    e1 = orders.select(
+        F.concat(F.lit("C:"), F.col("o_custkey").cast("string")).alias("src"),
+        F.concat(F.lit("O:"), F.col("o_orderkey").cast("string")).alias("dst"),
+        F.col("o_totalprice").cast("double").alias("weight"),
+    )
+    e2 = (
+        lineitem.groupBy("l_orderkey", "l_partkey")
+        .agg(F.min("l_quantity").cast("double").alias("weight"))
+        .select(
+            F.concat(F.lit("O:"), F.col("l_orderkey").cast("string")).alias("src"),
+            F.concat(F.lit("P:"), F.col("l_partkey").cast("string")).alias("dst"),
+            "weight",
+        )
+    )
+    start = customer.filter(F.col("c_custkey") < 5).select(
+        F.concat(F.lit("C:"), F.col("c_custkey").cast("string")).alias("id")
+    )
+    return G.shortest_paths(
+        e1.unionByName(e2), start, max_rounds=4
+    ).orderBy("id")
+
+
+KG_SHORTEST_COSTS_SQL = """
+WITH RECURSIVE
+g AS (
+  SELECT 'C:' || o_custkey AS src, 'O:' || o_orderkey AS dst,
+         CAST(o_totalprice AS DOUBLE) AS w
+  FROM orders
+  UNION ALL
+  SELECT 'O:' || l_orderkey, 'P:' || l_partkey,
+         CAST(min(l_quantity) AS DOUBLE)
+  FROM lineitem GROUP BY l_orderkey, l_partkey
+),
+s AS (SELECT 'C:' || c_custkey AS id FROM customer WHERE c_custkey < 5),
+walk(id, d) AS (
+  SELECT id, 0.0::DOUBLE FROM s
+  UNION
+  SELECT e.dst, w.d + e.w FROM walk w JOIN g e ON e.src = w.id
+)
+SELECT id, floor(min(d) * 1000000.0 + 0.5) / 1000000.0 AS dist
+FROM walk GROUP BY id ORDER BY id
+"""
+
+QUERIES["kg_shortest_costs"] = kg_shortest_costs
+ORACLES["kg_shortest_costs"] = KG_SHORTEST_COSTS_SQL

@@ -196,3 +196,58 @@ class TestMotifs:
 
         with _pt.raises(ValueError):
             find_motifs(self._edges(spark), "(x)-[]->(y); (p)-[]->(q)")
+
+
+class TestShortestPaths:
+    def _edges(self, spark, rows):
+        return spark.createDataFrame(rows, "src string, dst string, weight double")
+
+    def _start(self, spark, ids):
+        return spark.createDataFrame([(i,) for i in ids], "id string")
+
+    def test_multi_path_takes_min(self, spark):
+        from knetminer_etl_spark.operators.graph import shortest_paths
+
+        e = self._edges(
+            spark,
+            [("a", "b", 1.0), ("b", "d", 5.0), ("a", "c", 2.0), ("c", "d", 1.0),
+             ("d", "e", 1.0), ("x", "y", 9.0)],
+        )
+        got = {r["id"]: r["dist"] for r in
+               shortest_paths(e, self._start(spark, ["a"])).collect()}
+        assert got == {"a": 0.0, "b": 1.0, "c": 2.0, "d": 3.0, "e": 4.0}
+        # x / y unreachable -> absent
+
+    def test_unit_weights_match_k_hop_levels(self, spark):
+        from knetminer_etl_spark.operators.graph import (
+            k_hop_neighbors,
+            shortest_paths,
+        )
+
+        e = self._edges(
+            spark,
+            [("a", "b", 1.0), ("b", "c", 1.0), ("c", "d", 1.0), ("b", "d", 1.0)],
+        )
+        start = self._start(spark, ["a"])
+        sp = {r["id"]: r["dist"] for r in shortest_paths(e, start).collect()}
+        kh = {r["id"]: r["min_hops"] for r in
+              k_hop_neighbors(e.select("src", "dst"), start, k=3).collect()}
+        assert sp == {k: float(v) for k, v in kh.items()}
+
+    def test_multi_source_and_early_exit(self, spark):
+        from knetminer_etl_spark.operators.graph import shortest_paths
+
+        e = self._edges(spark, [("a", "m", 10.0), ("b", "m", 2.0)])
+        got = {r["id"]: r["dist"] for r in
+               shortest_paths(e, self._start(spark, ["a", "b"]),
+                              max_rounds=50).collect()}
+        assert got["m"] == 2.0  # nearest source wins; loop exits on round 2
+
+    def test_negative_weight_rejected(self, spark):
+        import pytest as _pytest
+
+        from knetminer_etl_spark.operators.graph import shortest_paths
+
+        e = self._edges(spark, [("a", "b", -1.0)])
+        with _pytest.raises(ValueError, match="non-negative"):
+            shortest_paths(e, self._start(spark, ["a"]))
