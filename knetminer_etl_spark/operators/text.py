@@ -593,3 +593,89 @@ def chunk_documents(
             F.concat_ws(" ", "_chunk").alias("chunk_text"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# HTML boilerplate extraction
+# ---------------------------------------------------------------------------
+
+#: (entity, char) in UNESCAPE order — &amp; must go LAST (otherwise
+#: "&amp;lt;" would double-unescape); the escape direction runs reversed.
+_HTML_ENTITIES: tuple[tuple[str, str], ...] = (
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+)
+
+
+def html_escape(col: Column) -> Column:
+    """Escape text for embedding in HTML; & first, then the rest.
+    Only the five characters HTML requires — NOT space→&nbsp;
+    (the unescape side still folds &nbsp; back to a space)."""
+    out = col
+    for ent, ch in (
+        ("&amp;", "&"),
+        ("&lt;", "<"),
+        ("&gt;", ">"),
+        ("&quot;", '"'),
+        ("&#39;", "'"),
+    ):
+        out = F.replace(out, F.lit(ch), F.lit(ent))
+    return out
+
+
+def html_extract(col: Column) -> Column:
+    """Plain text from an HTML document — the C4/RefinedWeb-style
+    boilerplate strip as pure Column regex work (scan-speed, no UDF):
+
+    1. drop ``<script>``/``<style>`` elements and ``<!-- -->`` comments
+       wholesale (content included),
+    2. block-level closing tags become newlines (so paragraph structure
+       survives for the repetition/segment operators downstream),
+    3. every remaining tag is removed,
+    4. the standard entities unescape (``&amp;`` last),
+    5. horizontal whitespace collapses per line; blank runs collapse to
+       one blank line; ends trimmed.
+
+    Every regex stays in the dialect intersection of Java regex and RE2
+    ((?is), non-greedy, character classes — no lookaround, no
+    backreferences) so the DuckDB oracle applies the identical program.
+    """
+    out = F.regexp_replace(col, r"(?is)<script[^>]*>.*?</script>", "")
+    out = F.regexp_replace(out, r"(?is)<style[^>]*>.*?</style>", "")
+    out = F.regexp_replace(out, r"(?s)<!--.*?-->", "")
+    out = F.regexp_replace(
+        out, r"(?i)</(p|div|h[1-6]|li|tr|table|ul|ol|blockquote|br)>", "\n"
+    )
+    out = F.regexp_replace(out, r"(?i)<br[^>]*>", "\n")
+    out = F.regexp_replace(out, r"(?s)<[^>]+>", "")
+    for ent, ch in _HTML_ENTITIES:
+        out = F.replace(out, F.lit(ent), F.lit(ch))
+    out = F.regexp_replace(out, r"[ \t]+", " ")
+    out = F.regexp_replace(out, r" ?\n ?", "\n")
+    out = F.regexp_replace(out, r"\n{2,}", "\n\n")
+    # trim() strips only spaces in both engines; ends must lose newlines too
+    return F.regexp_replace(out, r"^\s+|\s+$", "")
+
+
+def html_extract_sql(expr: str) -> str:
+    """The DuckDB twin of :func:`html_extract` over ``expr``."""
+    out = f"regexp_replace({expr}, '(?is)<script[^>]*>.*?</script>', '', 'g')"
+    out = f"regexp_replace({out}, '(?is)<style[^>]*>.*?</style>', '', 'g')"
+    out = f"regexp_replace({out}, '(?s)<!--.*?-->', '', 'g')"
+    out = (
+        f"regexp_replace({out}, "
+        "'(?i)</(p|div|h[1-6]|li|tr|table|ul|ol|blockquote|br)>', chr(10), 'g')"
+    )
+    out = f"regexp_replace({out}, '(?i)<br[^>]*>', chr(10), 'g')"
+    out = f"regexp_replace({out}, '(?s)<[^>]+>', '', 'g')"
+    for ent, ch in _HTML_ENTITIES:
+        lit = {"<": "'<'", ">": "'>'", '"': "'\"'", "'": "''''", " ": "' '", "&": "'&'"}[ch]
+        out = f"replace({out}, '{ent}', {lit})"
+    out = f"regexp_replace({out}, '[ \\t]+', ' ', 'g')"
+    out = f"regexp_replace({out}, ' ?\\n ?', chr(10), 'g')"
+    out = f"regexp_replace({out}, '\\n{{2,}}', chr(10) || chr(10), 'g')"
+    return f"regexp_replace({out}, '^\\s+|\\s+$', '', 'g')"

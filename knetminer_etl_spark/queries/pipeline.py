@@ -1208,3 +1208,69 @@ ORDER BY a.vec_id
 
 QUERIES.update({"embedding_semantic_dedup": embedding_semantic_dedup})
 ORACLES.update({"embedding_semantic_dedup": EMBEDDING_SEMANTIC_DEDUP_SQL})
+
+
+# ---------------------------------------------------------------------------
+# HTML boilerplate extraction
+# ---------------------------------------------------------------------------
+
+
+def doc_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML boilerplate strip (operators/text.html_extract): each
+    document is deterministically wrapped in a realistic HTML shell
+    (head/style/script with entity traps, headings, comments, footer),
+    entities escaped and newlines rewritten to <br/>, then the extractor
+    recovers the text. Output is the compact audit (sizes + md5 of the
+    cleaned text); the oracle builds the identical shell and runs the
+    identical regex program (dialect-intersection regexes only)."""
+    esc = F.replace(
+        TX.html_escape(F.col("text")), F.lit("\n"), F.lit("<br/>")
+    )
+    html = F.concat(
+        F.lit(
+            '<html><head><title>d</title><style>p {color: red}</style>'
+            '<script>if (1 < 2 && x) { alert("hi"); }</script>'
+            "<!-- generated --></head><body><h1>Doc "
+        ),
+        F.col("doc_id").cast("string"),
+        F.lit("</h1><p>"),
+        esc,
+        F.lit("</p><div>footer&nbsp;&copy;2024</div></body></html>"),
+    )
+    clean = TX.html_extract(html)
+    return (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            F.length(html).cast("int").alias("n_raw"),
+            F.length(clean).cast("int").alias("n_clean"),
+            F.md5(clean).alias("clean_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_HTML_ESC_SQL = (
+    "replace(replace(replace(replace(replace(replace(text,"
+    " '&', '&amp;'), '<', '&lt;'), '>', '&gt;'),"
+    " '\"', '&quot;'), '''', '&#39;'), chr(10), '<br/>')"
+)
+
+_HTML_WRAP_SQL = (
+    "'<html><head><title>d</title><style>p {color: red}</style>"
+    "<script>if (1 < 2 && x) { alert(\"hi\"); }</script>"
+    "<!-- generated --></head><body><h1>Doc ' || CAST(doc_id AS VARCHAR)"
+    " || '</h1><p>' || " + _HTML_ESC_SQL +
+    " || '</p><div>footer&nbsp;&copy;2024</div></body></html>'"
+)
+
+DOC_HTML_EXTRACT_SQL = f"""
+WITH h AS (SELECT doc_id, {_HTML_WRAP_SQL} AS html FROM documents),
+c AS (SELECT doc_id, html, {TX.html_extract_sql('html')} AS clean FROM h)
+SELECT doc_id, CAST(length(html) AS INT) AS n_raw,
+       CAST(length(clean) AS INT) AS n_clean, md5(clean) AS clean_md5
+FROM c ORDER BY doc_id
+"""
+
+QUERIES.update({"doc_html_extract": doc_html_extract})
+ORACLES.update({"doc_html_extract": DOC_HTML_EXTRACT_SQL})

@@ -356,3 +356,46 @@ def test_with_pii_redaction_matches_column_form(spark):
     assert got == want
     assert "<EMAIL>" in got[1][4] and "<URL>" in got[1][4]
     assert "<IP>" in got[2][4] and "<PHONE>" in got[2][4]
+
+
+class TestHtmlExtract:
+    def _run(self, spark, html: str) -> str:
+        from knetminer_etl_spark.operators.text import html_extract
+
+        df = spark.createDataFrame([(html,)], "h string")
+        return df.select(html_extract(F.col("h")).alias("c")).first()["c"]
+
+    def test_strips_script_style_comments_wholesale(self, spark):
+        got = self._run(
+            spark,
+            '<html><head><style>p{a:1}</style><script>if(1<2){x("</p>")}'
+            "</script></head><body><!-- note --><p>Hello world</p></body></html>",
+        )
+        assert got == "Hello world"
+
+    def test_block_tags_become_paragraph_breaks(self, spark):
+        got = self._run(
+            spark, "<div>one</div><p>two</p><h2>three</h2>four<br>five"
+        )
+        assert got == "one\ntwo\nthree\nfour\nfive"
+
+    def test_entities_unescape_amp_last(self, spark):
+        got = self._run(spark, "<p>a &lt;b&gt; &amp;lt; c&nbsp;&amp; d</p>")
+        # &amp;lt; must become the literal "&lt;", not "<"
+        assert got == "a <b> &lt; c & d"
+
+    def test_escape_extract_round_trip(self, spark):
+        from knetminer_etl_spark.operators.text import html_escape
+
+        text = 'x < y && z > "w" or \'q\''
+        df = spark.createDataFrame([(text,)], "t string")
+        esc = df.select(
+            F.concat(F.lit("<p>"), html_escape(F.col("t")), F.lit("</p>")).alias("h")
+        ).first()["h"]
+        assert self._run(spark, esc) == text
+
+    def test_whitespace_collapse_keeps_paragraph_break(self, spark):
+        # horizontal runs collapse; the blank-line run collapses to ONE
+        # blank line (paragraph structure survives for segment dedup)
+        got = self._run(spark, "<p>a   b\t c</p>\n\n\n<p>d</p>")
+        assert got == "a b c\n\nd"
