@@ -1008,3 +1008,105 @@ def semantic_dedup(
             F.coalesce(~F.col("_dropped"), F.lit(True)).alias("keep"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Repeated-span scrub (exact substring dedup, Lee et al. 2022)
+# ---------------------------------------------------------------------------
+
+
+def repeated_span_scrub(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+) -> DataFrame:
+    """Exact substring-level dedup (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): remove every SPAN of
+    ≥ k consecutive tokens that also occurs elsewhere in the corpus,
+    keeping only the globally-first occurrence (ordered by (doc_id,
+    position)). Catches the cross-document boilerplate that whole-doc
+    and fixed-chunk dedup miss — repeated spans at ARBITRARY offsets —
+    via sliding k-token windows (stride 1), the suffix-array result's
+    window-granular equivalent.
+
+    Plan (all linear, three shuffles): per-doc k-gram windows with
+    positions (narrow) → global first-occurrence ranking per window
+    text (shuffle 1, the only content-keyed exchange) → duplicate
+    windows expand to covered token positions per doc (shuffle 2,
+    doc-keyed distinct) → anti-join tokens against covered positions
+    and reassemble (shuffle 3, doc-keyed rebuild). Windows per doc =
+    tokens − k + 1, so shuffle volume is O(corpus tokens × k) window
+    text — at 100 TB, hash the window (xxhash64) instead of shipping
+    its text when oracle parity isn't required.
+
+    Output: ``(doc_id, n_tokens, n_removed, clean_text)`` with
+    clean_text whitespace-normalized (single spaces). Documents shorter
+    than k tokens pass through untouched.
+    """
+    from .text import tokens as _tokens
+
+    toks = df.select(
+        F.col(id_col).alias("_id"), _tokens(F.col(text_col)).alias("_t")
+    )
+    n_win = F.greatest(F.size("_t") - F.lit(k - 1), F.lit(0))
+    wins = F.transform(
+        F.sequence(F.lit(1), n_win),
+        lambda i: F.struct(
+            (i - 1).alias("pos"),
+            F.array_join(F.slice(F.col("_t"), i, k), " ").alias("gram"),
+        ),
+    )
+    exploded = (
+        toks.select("_id", F.explode_outer(F.when(n_win > 0, wins)).alias("_w"))
+        .filter(F.col("_w").isNotNull())
+        .select("_id", F.col("_w.pos").alias("pos"), F.col("_w.gram").alias("gram"))
+    )
+    w = Window.partitionBy("gram").orderBy("_id", "pos")
+    dup_windows = (
+        exploded.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") > 1)
+        .select("_id", "pos")
+    )
+    covered = (
+        dup_windows.select(
+            "_id",
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + F.lit(k - 1))).alias(
+                "tpos"
+            ),
+        )
+        .distinct()
+    )
+    tok_rows = toks.select(
+        "_id", F.size("_t").alias("_n"), F.posexplode_outer("_t").alias("tpos", "tok")
+    ).filter(F.col("tok").isNotNull())
+    kept = tok_rows.join(covered, on=["_id", "tpos"], how="left_anti")
+    rebuilt = kept.groupBy("_id", "_n").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("tpos"), F.col("tok")))
+                ),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count("*").alias("_kept"),
+    )
+    # docs whose every token was covered disappear from `kept` — restore
+    empties = (
+        toks.select("_id", F.size("_t").alias("_n"))
+        .join(rebuilt.select("_id"), on="_id", how="left_anti")
+        .select(
+            "_id", "_n", F.lit("").alias("clean_text"), F.lit(0).alias("_kept")
+        )
+    )
+    return (
+        rebuilt.unionByName(empties)
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("_n").cast("int").alias("n_tokens"),
+            (F.col("_n") - F.col("_kept")).cast("int").alias("n_removed"),
+            "clean_text",
+        )
+    )

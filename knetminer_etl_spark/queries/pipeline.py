@@ -1274,3 +1274,70 @@ FROM c ORDER BY doc_id
 
 QUERIES.update({"doc_html_extract": doc_html_extract})
 ORACLES.update({"doc_html_extract": DOC_HTML_EXTRACT_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Repeated-span scrub (exact substring dedup)
+# ---------------------------------------------------------------------------
+
+
+def doc_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window exact substring dedup (operators/dedup.
+    repeated_span_scrub, Lee et al. 2022): every 10-token span occurring
+    more than once in the corpus is removed except its globally-first
+    occurrence. Output is the compact audit (token counts + md5 of the
+    scrubbed text); the oracle replays the identical window ranking and
+    span coverage in SQL."""
+    out = DD.repeated_span_scrub(_docs(spark, sf_dir), k=10)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "n_removed",
+        F.md5("clean_text").alias("clean_md5"),
+    ).orderBy("doc_id")
+
+
+DOC_SPAN_SCRUB_SQL = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+w1 AS (
+  SELECT doc_id,
+         unnest([{{'pos': i - 1, 'gram': array_to_string(toks[i:i+9], ' ')}}
+                 for i in generate_series(1, greatest(len(toks) - 9, 0))]) AS w
+  FROM t
+),
+wins AS (SELECT doc_id, w.pos AS pos, w.gram AS gram FROM w1),
+ranked AS (
+  SELECT doc_id, pos,
+         row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn
+  FROM wins
+),
+cov AS (
+  SELECT DISTINCT doc_id, unnest(generate_series(pos, pos + 9)) AS tpos
+  FROM ranked WHERE rn > 1
+),
+tok_rows AS (
+  SELECT doc_id,
+         unnest([{{'tpos': i - 1, 'tok': toks[i]}}
+                 for i in generate_series(1, len(toks))]) AS tr
+  FROM t
+),
+kept AS (
+  SELECT r.doc_id, r.tr.tpos AS tpos, r.tr.tok AS tok
+  FROM tok_rows r
+  LEFT JOIN cov ON cov.doc_id = r.doc_id AND cov.tpos = r.tr.tpos
+  WHERE cov.tpos IS NULL
+),
+rebuilt AS (
+  SELECT doc_id, array_to_string(list(tok ORDER BY tpos), ' ') AS clean_text,
+         count(*) AS n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT t.doc_id, CAST(len(t.toks) AS INT) AS n_tokens,
+       CAST(len(t.toks) - coalesce(r.n_kept, 0) AS INT) AS n_removed,
+       md5(coalesce(r.clean_text, '')) AS clean_md5
+FROM t LEFT JOIN rebuilt r ON r.doc_id = t.doc_id
+ORDER BY t.doc_id
+"""
+
+QUERIES.update({"doc_span_scrub": doc_span_scrub})
+ORACLES.update({"doc_span_scrub": DOC_SPAN_SCRUB_SQL})

@@ -372,3 +372,62 @@ class TestSemanticDedup:
             map(tuple, semantic_dedup(df.repartition(7), n_clusters=4, threshold=0.9).collect())
         )
         assert a == b
+
+
+class TestRepeatedSpanScrub:
+    def _scrub(self, spark, rows, k=4):
+        from knetminer_etl_spark.operators.dedup import repeated_span_scrub
+
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        return {
+            r["doc_id"]: r
+            for r in repeated_span_scrub(df, k=k).collect()
+        }
+
+    def test_cross_doc_span_removed_first_occurrence_kept(self, spark):
+        shared = "alpha beta gamma delta"
+        got = self._scrub(
+            spark,
+            [
+                (1, f"one two {shared} three"),
+                (2, f"x y z {shared} w"),
+            ],
+        )
+        assert got[1]["clean_text"] == f"one two {shared} three"  # first kept
+        assert got[2]["clean_text"] == "x y z w"
+        assert got[2]["n_removed"] == 4
+
+    def test_shifted_span_caught_unlike_fixed_chunks(self, spark):
+        """The same 4-token run at DIFFERENT offsets — invisible to
+        fixed-chunk segment dedup, caught by sliding windows."""
+        got = self._scrub(
+            spark,
+            [
+                (1, "p q alpha beta gamma delta"),          # offset 2
+                (2, "r alpha beta gamma delta s t"),        # offset 1
+            ],
+        )
+        assert got[1]["n_removed"] == 0
+        assert got[2]["clean_text"] == "r s t"
+
+    def test_overlapping_dup_windows_merge_to_one_span(self, spark):
+        # 5 shared tokens -> two overlapping dup windows in doc 2; the
+        # covered set is their union, not double-removed
+        shared = "a b c d e"
+        got = self._scrub(spark, [(1, f"{shared} x"), (2, f"y {shared}")])
+        assert got[2]["clean_text"] == "y"
+        assert got[2]["n_removed"] == 5
+
+    def test_intra_doc_repetition_scrubbed(self, spark):
+        got = self._scrub(spark, [(1, "m n o p QQ m n o p")])
+        assert got[1]["clean_text"] == "m n o p QQ"
+        assert got[1]["n_removed"] == 4
+
+    def test_short_docs_untouched_and_fully_covered_doc_empties(self, spark):
+        got = self._scrub(
+            spark,
+            [(1, "tiny doc"), (2, "a b c d"), (3, "a b c d")],
+        )
+        assert got[1]["clean_text"] == "tiny doc" and got[1]["n_removed"] == 0
+        assert got[2]["clean_text"] == "a b c d"
+        assert got[3]["clean_text"] == "" and got[3]["n_removed"] == 4
