@@ -81,16 +81,19 @@ _PRIORITY = [
     # plus incremental graph maintenance (merge == rebuild contract)
     "kg_triples_customer", "kg_edge_triples", "kg_pg_elements",
     "kg_pg_incremental",
-    # graph algorithms over the KG
-    "dedup_components", "kg_degrees", "kg_pagerank", "kg_triangles",
-    # deduplication family
-    "exact_dedup", "ngram_jaccard_pairs", "minhash_lsh_pairs",
+    # graph algorithms over the KG (components, ranks, triangles,
+    # weighted shortest paths)
+    "dedup_components", "kg_shortest_costs", "kg_pagerank", "kg_triangles",
+    # deduplication family (whole-doc, LSH, fingerprint, embedding,
+    # incremental, substring-span, semantic)
+    "exact_dedup", "doc_span_scrub", "minhash_lsh_pairs",
     "simhash_pairs", "embedding_dup_pairs", "doc_incremental_dedup",
-    # similarity search (exact, LSH, IVF, PQ)
-    "embedding_topk", "embedding_lsh_topk", "embedding_ivf_topk",
+    "embedding_semantic_dedup",
+    # similarity search (exact, IVF, PQ)
+    "embedding_topk", "embedding_ivf_topk",
     "embedding_pq_topk",
-    # text analysis
-    "text_stats", "lang_id_counts",
+    # text analysis (stats, language id, boilerplate extraction)
+    "text_stats", "lang_id_counts", "doc_html_extract",
     # corpus / training-data prep (incl. tokenizer-training statistics)
     "doc_split_counts", "doc_quality_filter", "doc_pii_redaction",
     "doc_context_windows", "doc_repetition_stats", "doc_decontamination",
@@ -98,7 +101,7 @@ _PRIORITY = [
     "doc_pipeline_stages",
     # event streams: windows, sessions, as-of, SCD2, gap-fill
     "events_tumbling_5m", "events_sessionize", "events_asof_last_error",
-    "events_scd2", "events_gap_fill", "events_time_weighted_avg",
+    "events_scd2", "events_gap_fill",
     # sketches
     "events_distinct_hll", "doc_heavy_hitters",
     "events_value_hist_quantiles",
