@@ -53,6 +53,11 @@ CHECK_QUERIES = [
     "events_snapshot_diff",
     "orders_bloom_pruned",
     "embedding_pq_topk",
+    # round-4 operators
+    "embedding_semantic_dedup",
+    "doc_span_scrub",
+    "doc_html_extract",
+    "kg_shortest_costs",
 ]
 
 
@@ -112,6 +117,7 @@ def build_dataset(spark, copies: int) -> None:
     for tbl, keys in [
         ("orders", ["o_orderkey", "o_custkey"]),
         ("customer", ["c_custkey"]),
+        ("lineitem", ["l_orderkey"]),  # keeps C→O→P graph consistent
     ]:
         df = spark.read.parquet(f"{SRC}/{tbl}.parquet")
         parts = [
