@@ -56,8 +56,10 @@ HEADLINE = [
     "embedding_pq_topk",
     "doc_lm_scores",
     "orders_bloom_pruned",
-    # round-4 addition: semantic (embedding-cluster) dedup
+    # round-4 additions: semantic (embedding-cluster) dedup and
+    # substring-span scrub
     "embedding_semantic_dedup",
+    "doc_span_scrub",
 ]
 
 
