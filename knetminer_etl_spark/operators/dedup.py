@@ -1105,6 +1105,8 @@ def repeated_span_scrub(
         .filter(F.col("_rn") > 1)
         .select("_id", "pos")
     )
+    # covered token positions per doc, as ONE sorted array (duplicate
+    # windows are few relative to the corpus — this relation is small)
     covered = (
         dup_windows.select(
             "_id",
@@ -1112,38 +1114,28 @@ def repeated_span_scrub(
                 "tpos"
             ),
         )
-        .distinct()
+        .groupBy("_id")
+        .agg(F.array_sort(F.collect_set("tpos")).alias("_cov"))
     )
-    tok_rows = toks.select(
-        "_id", F.size("_t").alias("_n"), F.posexplode_outer("_t").alias("tpos", "tok")
-    ).filter(F.col("tok").isNotNull())
-    kept = tok_rows.join(covered, on=["_id", "tpos"], how="left_anti")
-    rebuilt = kept.groupBy("_id", "_n").agg(
+    # rebuild per doc with higher-order array ops — no token-level
+    # explode, no rebuild shuffle, docs with nothing covered pass
+    # untouched through the left join. array_contains is linear in
+    # |covered|, bounded by doc length (documents are length-capped
+    # upstream by the quality gate; this is per-row work, not shuffle).
+    drop = F.coalesce(F.col("_cov"), F.array().cast("array<integer>"))
+    kept_toks = F.filter(
+        F.zip_with(
+            F.col("_t"),
+            F.sequence(F.lit(0), F.size("_t") - 1),
+            lambda t, i: F.struct(t.alias("tok"), i.alias("i")),
+        ),
+        lambda s: ~F.array_contains(drop, s["i"]),
+    )
+    return toks.join(covered, on="_id", how="left").select(
+        F.col("_id").alias(id_col),
+        F.size("_t").cast("int").alias("n_tokens"),
+        F.size(drop).cast("int").alias("n_removed"),
         F.array_join(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(F.struct(F.col("tpos"), F.col("tok")))
-                ),
-                lambda s: s["tok"],
-            ),
-            " ",
+            F.transform(kept_toks, lambda s: s["tok"]), " "
         ).alias("clean_text"),
-        F.count("*").alias("_kept"),
-    )
-    # docs whose every token was covered disappear from `kept` — restore
-    empties = (
-        toks.select("_id", F.size("_t").alias("_n"))
-        .join(rebuilt.select("_id"), on="_id", how="left_anti")
-        .select(
-            "_id", "_n", F.lit("").alias("clean_text"), F.lit(0).alias("_kept")
-        )
-    )
-    return (
-        rebuilt.unionByName(empties)
-        .select(
-            F.col("_id").alias(id_col),
-            F.col("_n").cast("int").alias("n_tokens"),
-            (F.col("_n") - F.col("_kept")).cast("int").alias("n_removed"),
-            "clean_text",
-        )
     )
