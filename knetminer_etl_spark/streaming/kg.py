@@ -1,0 +1,70 @@
+"""Continuous knowledge-graph maintenance: a streaming source mapped to
+triples and set-merged into a stored property-graph relation, micro-batch
+by micro-batch.
+
+This closes the loop between the product pipeline (tabmap → triples →
+PG, the reference's batch flow) and Structured Streaming: the stored PG
+is always the same relation a full batch rebuild over all data seen so
+far would produce (``merge_pg`` is rebuild-equivalent by construction —
+pg/build.py:324, pinned by the ``kg_pg_incremental`` oracle), so
+downstream consumers (PG-JSONL export, the Neo4j loader) never see a
+partially-aggregated graph.
+
+Exactly-once: the streaming checkpoint records source offsets, and the
+merge is idempotent — re-merging a replayed batch set-unions the same
+labels/properties and ``greatest``-folds the same endpoints into the
+same stored rows.
+
+Scale shape: each batch aggregates ONLY its own triples (delta-sized
+shuffle) and joins the stored PG once. At 100 TB, store the PG bucketed
+by id hash and swap the full-file rewrite for dynamic partition
+overwrite of the delta-touched buckets (the streaming/rollup.py
+pattern) or a lakehouse MERGE — the merge logic is unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..pg.build import merge_pg, triples_to_pg
+
+
+def merge_triples_batch(
+    spark: SparkSession, triples: DataFrame, pg_path: str
+) -> None:
+    """Merge one batch of triples into the PG relation stored at
+    ``pg_path`` (parquet). The merged result is pinned with
+    ``localCheckpoint`` before the overwrite so the write never races
+    the read of the files it replaces."""
+    delta = triples_to_pg(triples)
+    try:
+        existing = spark.read.parquet(pg_path)
+        merged = merge_pg(existing, delta)
+    except Exception:  # first batch: nothing stored yet
+        merged = delta
+    merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(pg_path)
+
+
+def start_kg_stream(
+    stream_df: DataFrame,
+    mapper,
+    pg_path: str,
+    checkpoint_dir: str,
+):
+    """Start the continuous KG build: ``mapper.to_triples`` over each
+    micro-batch, set-merged into ``pg_path``. Returns the
+    StreamingQuery (caller stops it / awaits termination)."""
+
+    def _batch(batch: DataFrame, _epoch: int) -> None:
+        merge_triples_batch(batch.sparkSession, mapper.to_triples(batch), pg_path)
+
+    return (
+        stream_df.writeStream.foreachBatch(_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
+def read_kg(spark: SparkSession, pg_path: str) -> DataFrame:
+    """The current stored PG relation."""
+    return spark.read.parquet(pg_path)
