@@ -988,13 +988,71 @@ def semantic_dedup(
             ]
         )
     )
+    return _semantic_keep(
+        nvecs.select(
+            "_id", "_v", "_n", (-best["negidx"]).cast("int").alias("cluster")
+        ),
+        id_col,
+        threshold,
+        n_planes,
+        n_bands,
+        seed,
+    )
+
+
+def semantic_dedup_kmeans(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 8,
+    iterations: int = 3,
+    threshold: float = 0.95,
+    n_planes: int = 6,
+    n_bands: int = 24,
+    seed: int = 0x5EED,
+) -> DataFrame:
+    """:func:`semantic_dedup` with TRUE k-means clusters — the paper's
+    actual recipe: deterministic Lloyd fit (md5-ordered seeds, fixed
+    rounds, (d2, cid) tie-break — :func:`similarity.kmeans_fit`, the
+    same oracle-reproducible machinery behind IVF), squared-distance
+    assignment, then the identical within-cluster keep rule. Costs
+    ``iterations`` extra jobs for the fit; the md5-draw variant stays
+    the cheap default when any fixed partition of the space works.
+    """
+    from .similarity import _norm, assign_clusters, kmeans_fit
+
+    cents = kmeans_fit(df, n_clusters, iterations, id_col, vec_col)
+    assigned = assign_clusters(df, cents, id_col, vec_col).withColumnRenamed(
+        "cluster_id", "cluster"
+    )
+    vecs = df.select(
+        F.col(id_col).alias("_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
+    ).withColumn("_n", _norm(F.col("_v")))
+    staged = vecs.join(
+        assigned.select(F.col(id_col).alias("_id"), "cluster"), on="_id"
+    ).select("_id", "_v", "_n", F.col("cluster").cast("int").alias("cluster"))
+    return _semantic_keep(staged, id_col, threshold, n_planes, n_bands, seed)
+
+
+def _semantic_keep(
+    staged: DataFrame,
+    id_col: str,
+    threshold: float,
+    n_planes: int,
+    n_bands: int,
+    seed: int,
+) -> DataFrame:
+    """Shared SemDeDup keep rule over a ``(_id, _v, _n, cluster)``
+    relation: x survives iff no y < x in its cluster has cos ≥
+    threshold. Candidates via the size-adaptive direct/LSH-banded
+    blocking; exact-cosine verified."""
+    from .similarity import _dot
+
     # pin: referenced by the pair generator, both verify join sides, and
-    # the final output — unpinned, Catalyst re-derives the k-cosine
-    # assignment (and re-scans the corpus) once per reference (audited:
-    # 8 scans → 1)
-    assigned = nvecs.select(
-        "_id", "_v", "_n", (-best["negidx"]).cast("int").alias("cluster")
-    ).localCheckpoint(eager=True)
+    # the final output — unpinned, Catalyst re-derives the assignment
+    # (and re-scans the corpus) once per reference (audited: 8 scans → 1)
+    assigned = staged.localCheckpoint(eager=True)
 
     # Candidate generation is size-adaptive (both paths produce the
     # identical verified pair set — the switch is a physical-plan choice,

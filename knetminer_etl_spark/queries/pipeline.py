@@ -568,14 +568,19 @@ def _km_d2_sql(vec: str, cent: str) -> str:
     )
 
 
-def kmeans_ctes(nlist: int, iterations: int) -> str:
+def kmeans_ctes(nlist: int, iterations: int, source_sql: str | None = None) -> str:
     """DuckDB twin of operators.similarity.kmeans_fit as a WITH-prefix:
     md5-ordered init + ``iterations`` unrolled Lloyd rounds, ending in
     centroid CTE ``c{iterations}`` over vector CTE ``v``. Shared by the
-    IVF top-k oracle and the k-means profile oracle."""
+    IVF top-k, k-means profile, and k-means SemDeDup oracles;
+    ``source_sql`` overrides the ``v`` body (must yield (vec_id, emb))."""
+    src = source_sql or (
+        "SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb"
+        " FROM embeddings"
+    )
     parts = [
         f"""WITH v AS (
-  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb FROM embeddings
+  {src}
 ),
 c0 AS (
   SELECT cid, emb AS cv FROM (
@@ -1341,3 +1346,72 @@ ORDER BY t.doc_id
 
 QUERIES.update({"doc_span_scrub": doc_span_scrub})
 ORACLES.update({"doc_span_scrub": DOC_SPAN_SCRUB_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup with true k-means clusters
+# ---------------------------------------------------------------------------
+
+
+def embedding_semantic_dedup_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over TRUE k-means clusters (operators/dedup.
+    semantic_dedup_kmeans): deterministic Lloyd fit (2 rounds, the IVF
+    recipe), squared-distance assignment, within-cluster min-id keep
+    rule at cosine ≥ 0.95; same +0.03 near-twin planting. The oracle
+    unrolls the identical Lloyd rounds over the planted corpus
+    (kmeans_ctes source override) and replays assignment + keep rule."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    planted = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"),
+        F.transform(
+            F.col("embedding"), lambda x: x.cast("double") + F.lit(0.03)
+        ).alias("embedding"),
+    )
+    corpus = emb.select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+    ).unionByName(planted)
+    return DD.semantic_dedup_kmeans(
+        corpus, n_clusters=8, iterations=2, threshold=0.95
+    ).orderBy("vec_id")
+
+
+_KM_SD_SOURCE = """SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb
+  FROM embeddings
+  UNION ALL
+  SELECT vec_id + 10000000, list_transform(embedding, x -> x::DOUBLE + 0.03)
+  FROM embeddings WHERE vec_id % 10 = 0"""
+
+
+def _semantic_km_sql(nlist: int = 8, iterations: int = 2) -> str:
+    cf = f"c{iterations}"
+    return (
+        kmeans_ctes(nlist, iterations, source_sql=_KM_SD_SOURCE)
+        + f""",
+af AS (
+  SELECT vec_id, emb, cid FROM (
+    SELECT v.vec_id, v.emb, c.cid,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY {_km_d2_sql('v.emb', 'c.cv')}, c.cid) AS rn
+    FROM v CROSS JOIN {cf} c) WHERE rn = 1
+),
+dropped AS (
+  SELECT DISTINCT b.vec_id
+  FROM af a JOIN af b ON b.cid = a.cid AND a.vec_id < b.vec_id
+  WHERE round({_DOT.format(a='a.emb', b='b.emb')}
+              / (sqrt({_DOT.format(a='a.emb', b='a.emb')})
+                 * sqrt({_DOT.format(a='b.emb', b='b.emb')})), 6) >= 0.95
+)
+SELECT a.vec_id, CAST(a.cid AS INT) AS cluster,
+       (d.vec_id IS NULL) AS keep
+FROM af a LEFT JOIN dropped d ON d.vec_id = a.vec_id
+ORDER BY a.vec_id"""
+    )
+
+
+EMBEDDING_SEMANTIC_DEDUP_KM_SQL = _semantic_km_sql(8, 2)
+
+QUERIES.update({"embedding_semantic_dedup_km": embedding_semantic_dedup_km})
+ORACLES.update({"embedding_semantic_dedup_km": EMBEDDING_SEMANTIC_DEDUP_KM_SQL})

@@ -431,3 +431,52 @@ class TestRepeatedSpanScrub:
         assert got[1]["clean_text"] == "tiny doc" and got[1]["n_removed"] == 0
         assert got[2]["clean_text"] == "a b c d"
         assert got[3]["clean_text"] == "" and got[3]["n_removed"] == 4
+
+
+class TestSemanticDedupKmeans:
+    def test_planted_twin_dropped_and_matches_md5_variant_semantics(self, spark):
+        import numpy as np
+
+        from knetminer_etl_spark.operators.dedup import semantic_dedup_kmeans
+
+        rng = np.random.default_rng(9)
+        rows = []
+        for i in range(30):
+            v = rng.normal(size=8)
+            rows.append((i, [float(x) for x in v / np.linalg.norm(v)]))
+        base = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        twins = base.filter("vec_id < 4").selectExpr(
+            "vec_id + 1000 AS vec_id",
+            "transform(embedding, x -> x + 0.001) AS embedding",
+        )
+        out = semantic_dedup_kmeans(
+            base.unionByName(twins), n_clusters=3, iterations=2, threshold=0.95
+        )
+        got = {r["vec_id"]: r for r in out.collect()}
+        assert len(got) == 34
+        for i in range(4):
+            assert got[i]["cluster"] == got[i + 1000]["cluster"]
+            assert got[i]["keep"] is True and got[i + 1000]["keep"] is False
+
+    def test_clusters_come_from_kmeans_fit(self, spark):
+        """The variant's clusters must equal kmeans_fit + assign_clusters
+        — the oracle-proven Lloyd recipe, not the md5 draw."""
+        import numpy as np
+
+        from knetminer_etl_spark.operators.dedup import semantic_dedup_kmeans
+        from knetminer_etl_spark.operators.similarity import (
+            assign_clusters,
+            kmeans_fit,
+        )
+
+        rng = np.random.default_rng(4)
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in rng.normal(size=6)]) for i in range(40)],
+            "vec_id long, embedding array<double>",
+        )
+        out = {r["vec_id"]: r["cluster"]
+               for r in semantic_dedup_kmeans(df, n_clusters=4, iterations=3).collect()}
+        cents = kmeans_fit(df, 4, 3)
+        expect = {r["vec_id"]: r["cluster_id"]
+                  for r in assign_clusters(df, cents).collect()}
+        assert out == expect
