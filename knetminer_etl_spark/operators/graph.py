@@ -540,3 +540,55 @@ def shortest_paths(
         F.col("_id").alias(id_col),
         (F.floor(F.col("_dist") * 1e6 + F.lit(0.5)) / 1e6).alias("dist"),
     )
+
+
+def transitive_closure(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 10,
+) -> DataFrame:
+    """All (ancestor, descendant) reachability pairs of a DAG — the
+    ontology-hierarchy closure (is-a/part-of roll-up), by iterative
+    path DOUBLING: each round joins the current closure with itself, so
+    path length covered grows 2^round and a depth-d hierarchy closes in
+    ⌈log2 d⌉ rounds — not the d rounds of edge-at-a-time recursion (the
+    recursive-CTE shape the oracle uses).
+
+    Per round: one self-join on the frontier column + distinct (two
+    shuffles), result pinned (referenced by next round's both join
+    sides AND the convergence count). Early exit when a round adds no
+    pairs. Output size is the closure itself — for hierarchy-like DAGs
+    (bounded depth × out-degree) that is O(nodes × depth), the roll-up
+    tables OLAP needs anyway; for dense general DAGs it is quadratic,
+    and THAT, not the computation shape, is the scale bound to check.
+    Self-loops/cycles would never converge and are rejected up front
+    (cheap diagonal check; full cycle detection is the caller's DAG
+    contract).
+    """
+    cl = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    if cl.filter(F.col("a") == F.col("b")).limit(1).count() > 0:
+        raise ValueError("transitive_closure requires a DAG (self-loop found)")
+    n = cl.count()
+    for _ in range(max_rounds):
+        doubled = (
+            cl.alias("l")
+            .join(cl.alias("r"), F.col("l.b") == F.col("r.a"))
+            .select(F.col("l.a").alias("a"), F.col("r.b").alias("b"))
+            .unionByName(cl)
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        m = doubled.count()
+        if doubled.filter(F.col("a") == F.col("b")).limit(1).count() > 0:
+            raise ValueError("cycle detected: closure reached a == b")
+        cl = doubled
+        if m == n:
+            break
+        n = m
+    return cl.select(F.col("a").alias("ancestor"), F.col("b").alias("descendant"))

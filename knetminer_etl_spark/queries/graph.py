@@ -447,3 +447,68 @@ FROM walk GROUP BY id ORDER BY id
 
 QUERIES["kg_shortest_costs"] = kg_shortest_costs
 ORACLES["kg_shortest_costs"] = KG_SHORTEST_COSTS_SQL
+
+
+def kg_closure_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive closure of the region→nation→customer→order hierarchy
+    (operators/graph.transitive_closure, iterative path doubling) —
+    summarized as descendant counts per ancestor LEVEL (full pair dumps
+    are closure-sized; the per-level roll-up is what an ontology
+    browser actually asks). Oracle = recursive-CTE reachability."""
+    region = spark.read.parquet(f"{sf_dir}/region.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    e = (
+        nation.select(
+            F.concat(F.lit("R:"), F.col("n_regionkey").cast("string")).alias("src"),
+            F.concat(F.lit("N:"), F.col("n_nationkey").cast("string")).alias("dst"),
+        )
+        .unionByName(
+            customer.select(
+                F.concat(F.lit("N:"), F.col("c_nationkey").cast("string")).alias("src"),
+                F.concat(F.lit("C:"), F.col("c_custkey").cast("string")).alias("dst"),
+            )
+        )
+        .unionByName(
+            orders.select(
+                F.concat(F.lit("C:"), F.col("o_custkey").cast("string")).alias("src"),
+                F.concat(F.lit("O:"), F.col("o_orderkey").cast("string")).alias("dst"),
+            )
+        )
+    )
+    cl = G.transitive_closure(e)
+    return (
+        cl.groupBy(F.substring("ancestor", 1, 1).alias("ancestor_level"))
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.countDistinct("ancestor").alias("n_ancestors"),
+            F.countDistinct("descendant").alias("n_descendants"),
+        )
+        .orderBy("ancestor_level")
+    )
+
+
+KG_CLOSURE_COUNTS_SQL = """
+WITH RECURSIVE
+e AS (
+  SELECT 'R:' || n_regionkey AS src, 'N:' || n_nationkey AS dst FROM nation
+  UNION ALL
+  SELECT 'N:' || c_nationkey, 'C:' || c_custkey FROM customer
+  UNION ALL
+  SELECT 'C:' || o_custkey, 'O:' || o_orderkey FROM orders
+),
+cl(a, b) AS (
+  SELECT src, dst FROM e
+  UNION
+  SELECT cl.a, e.dst FROM cl JOIN e ON e.src = cl.b
+)
+SELECT substr(a, 1, 1) AS ancestor_level,
+       count(*) AS n_pairs,
+       count(DISTINCT a) AS n_ancestors,
+       count(DISTINCT b) AS n_descendants
+FROM cl GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["kg_closure_counts"] = kg_closure_counts
+ORACLES["kg_closure_counts"] = KG_CLOSURE_COUNTS_SQL

@@ -251,3 +251,40 @@ class TestShortestPaths:
         e = self._edges(spark, [("a", "b", -1.0)])
         with _pytest.raises(ValueError, match="non-negative"):
             shortest_paths(e, self._start(spark, ["a"]))
+
+
+class TestTransitiveClosure:
+    def _e(self, spark, pairs):
+        return spark.createDataFrame(pairs, "src string, dst string")
+
+    def test_chain_closes_in_log_rounds(self, spark):
+        from knetminer_etl_spark.operators.graph import transitive_closure
+
+        chain = [(f"n{i}", f"n{i+1}") for i in range(16)]  # depth 16
+        got = {
+            (r["ancestor"], r["descendant"])
+            for r in transitive_closure(self._e(spark, chain), max_rounds=5).collect()
+        }  # ceil(log2(16)) = 4 doubling rounds suffice
+        expect = {(f"n{i}", f"n{j}") for i in range(17) for j in range(i + 1, 17)}
+        assert got == expect
+
+    def test_dag_diamond_deduplicates_paths(self, spark):
+        from knetminer_etl_spark.operators.graph import transitive_closure
+
+        got = {
+            (r["ancestor"], r["descendant"])
+            for r in transitive_closure(
+                self._e(spark, [("a", "b"), ("a", "c"), ("b", "d"), ("c", "d")])
+            ).collect()
+        }
+        assert got == {("a", "b"), ("a", "c"), ("b", "d"), ("c", "d"), ("a", "d")}
+
+    def test_cycle_rejected(self, spark):
+        import pytest as _pytest
+
+        from knetminer_etl_spark.operators.graph import transitive_closure
+
+        with _pytest.raises(ValueError, match="cycle|DAG"):
+            transitive_closure(self._e(spark, [("a", "b"), ("b", "a")]))
+        with _pytest.raises(ValueError, match="self-loop|DAG"):
+            transitive_closure(self._e(spark, [("a", "a")]))
