@@ -455,7 +455,6 @@ def kg_closure_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     summarized as descendant counts per ancestor LEVEL (full pair dumps
     are closure-sized; the per-level roll-up is what an ontology
     browser actually asks). Oracle = recursive-CTE reachability."""
-    region = spark.read.parquet(f"{sf_dir}/region.parquet")
     nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
     customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")

@@ -55,9 +55,11 @@ CHECK_QUERIES = [
     "embedding_pq_topk",
     # round-4 operators
     "embedding_semantic_dedup",
+    "embedding_semantic_dedup_km",
     "doc_span_scrub",
     "doc_html_extract",
     "kg_shortest_costs",
+    "kg_closure_counts",
 ]
 
 
@@ -113,6 +115,13 @@ def build_dataset(spark, copies: int) -> None:
     for p in parts[1:]:
         out = out.unionByName(p)
     out.write.mode("overwrite").parquet(f"{DST}/events.parquet")
+
+    # dimension tables ride along unshifted (nation keys are shared by
+    # every customer copy — the hierarchy fans out, which is the point)
+    for tbl in ("nation", "region"):
+        spark.read.parquet(f"{SRC}/{tbl}.parquet").write.mode(
+            "overwrite"
+        ).parquet(f"{DST}/{tbl}.parquet")
 
     for tbl, keys in [
         ("orders", ["o_orderkey", "o_custkey"]),
