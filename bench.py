@@ -167,10 +167,14 @@ def main() -> None:
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             warmup_sec += time.perf_counter() - t0
-        # release dropped DataFrames so the ContextCleaner unpersists
-        # accumulated localCheckpoint blocks between measurements; the JVM
-        # System.gc() makes the cleaner's weak references fire NOW rather
-        # than at the next organic collection mid-measurement
+        # release accumulated localCheckpoint pins EXPLICITLY — the
+        # weak-reference ContextCleaner path (gc + System.gc) is too lazy:
+        # pinned blocks from 30+ earlier queries survive into later
+        # measurements and late queries pay early queries' storage
+        # (measured 2.7x on the sweep's last query)
+        from knetminer_etl_spark.runtime.session import release_pinned_rdds
+
+        release_pinned_rdds(spark)
         gc.collect()
         spark._jvm.System.gc()
         best = float("inf")
@@ -178,6 +182,7 @@ def main() -> None:
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
+            release_pinned_rdds(spark)
             gc.collect()
         timings[name] = round(best, 3)
     warmup_sec = round(warmup_sec, 3)

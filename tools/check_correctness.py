@@ -69,6 +69,8 @@ def main() -> int:
     queries = entry.queries()
     oracles = entry.oracle_sql()
     n_pass = n_fail = n_rows_only = 0
+    from knetminer_etl_spark.runtime.session import release_pinned_rdds
+
     for name, fn in sorted(queries.items()):
         if only and name not in only:
             continue
@@ -77,6 +79,9 @@ def main() -> int:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
             srows = [tuple(r) for r in sdf.collect()]
+            # drop localCheckpoint pins between queries: a 100+-query
+            # sweep otherwise accumulates every query's pinned blocks
+            release_pinned_rdds(spark)
         except Exception as e:
             print(f"FAIL  {name}: spark error: {str(e)[:300]}")
             n_fail += 1

@@ -165,12 +165,19 @@ def build_dataset(spark, copies: int) -> None:
 def time_query(fn, spark, sf_dir: str, n_timed: int = 2) -> float:
     import gc
 
+    from knetminer_etl_spark.runtime.session import release_pinned_rdds
+
     fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm
+    release_pinned_rdds(spark)
     best = float("inf")
     for _ in range(n_timed):
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         best = min(best, time.perf_counter() - t0)
+        # localCheckpoint pins accumulate across queries in a long-lived
+        # session; unreleased, LATE queries pay EARLY queries' storage
+        # (measured 2.7x on the sweep's last query)
+        release_pinned_rdds(spark)
         gc.collect()
     return round(best, 3)
 
