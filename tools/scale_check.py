@@ -182,10 +182,7 @@ def time_query(fn, spark, sf_dir: str, n_timed: int = 2) -> float:
     return round(best, 3)
 
 
-def main() -> None:
-    copies = int(sys.argv[1]) if len(sys.argv) > 1 else 10
-
-    import __spark_entry__ as entry
+def _session():
     from knetminer_etl_spark.runtime import get_session
 
     spark = get_session(
@@ -198,20 +195,56 @@ def main() -> None:
         },
     )
     spark.sparkContext.setLogLevel("ERROR")
+    return spark
 
+
+def one(name: str) -> None:
+    """Time ONE query at both scales in this (fresh) JVM and print a
+    JSON line — the subprocess side of per-query isolation."""
+    import __spark_entry__ as entry
+
+    spark = _session()
+    fn = entry.queries()[name]
+    base = time_query(fn, spark, SRC)
+    big = time_query(fn, spark, DST)
+    ratio = round(big / base, 2) if base > 0 else None
+    print(json.dumps({"name": name, "sf0.1_sec": base, "x10_sec": big, "ratio": ratio}))
+
+
+def main() -> None:
+    copies = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+
+    spark = _session()
     print(f"building {copies}x dataset at {DST} ...", file=sys.stderr)
     t0 = time.perf_counter()
     build_dataset(spark, copies)
     print(f"built in {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+    # each query runs in its OWN subprocess/JVM: ~170 back-to-back query
+    # executions in one session accumulate driver heap, codegen-cache,
+    # and block-manager state that made LATE heavy queries measure 3-5x
+    # their fresh-session cost (run-to-run swings of the same magnitude);
+    # isolation trades ~10s of JVM startup per query for reproducibility
+    spark.sparkContext.stop()
 
-    qs = entry.queries()
+    import subprocess
+
     results = {}
     for name in CHECK_QUERIES:
-        base = time_query(qs[name], spark, SRC)
-        big = time_query(qs[name], spark, DST)
-        ratio = round(big / base, 2) if base > 0 else None
-        results[name] = {"sf0.1_sec": base, "x10_sec": big, "ratio": ratio}
-        print(f"{name}: {base}s -> {big}s  ({ratio}x)", file=sys.stderr)
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--one", name],
+            capture_output=True,
+            text=True,
+            timeout=900,
+        )
+        if proc.returncode != 0:
+            print(f"{name}: FAILED\n{proc.stderr[-800:]}", file=sys.stderr)
+            continue
+        rec = json.loads(proc.stdout.strip().splitlines()[-1])
+        results[name] = {k: rec[k] for k in ("sf0.1_sec", "x10_sec", "ratio")}
+        print(
+            f"{name}: {rec['sf0.1_sec']}s -> {rec['x10_sec']}s  ({rec['ratio']}x)",
+            file=sys.stderr,
+        )
 
     out = {"copies": copies, "queries": results}
     path = os.path.join(
@@ -225,4 +258,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 2 and sys.argv[1] == "--one":
+        one(sys.argv[2])
+    else:
+        main()
