@@ -33,7 +33,10 @@ from .util import fan_out
 
 
 def candidate_pairs_from_buckets(
-    bucketed: DataFrame, bucket_cols: list[str], id_col: str = "doc_id"
+    bucketed: DataFrame,
+    bucket_cols: list[str],
+    id_col: str = "doc_id",
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Distinct id-ordered candidate pairs from a blocking relation.
 
@@ -42,13 +45,18 @@ def candidate_pairs_from_buckets(
     classic alternative — a bucket self-equi-join — computes the (often
     expensive) upstream plan twice, once per join side. The grouping
     exchange is sized for group count (collect buffers are per-group
-    objects — see runtime.checkpoint.group_agg_partitions / SCALE.md).
+    objects — see runtime.checkpoint.group_agg_partitions / SCALE.md);
+    callers that KNOW the blocking relation's cardinality should pass
+    ``num_partitions`` — Catalyst's estimate above a join/explode tower
+    can be off by 1000× (measured 75 GB estimated for a 2,200-row
+    relation → a 4,096-task repartition of pure scheduler overhead).
     Output: (id_a, id_b).
     """
     from ..runtime.checkpoint import group_agg_partitions
 
+    nparts = num_partitions or group_agg_partitions(bucketed)
     groups = (
-        bucketed.repartition(group_agg_partitions(bucketed), *bucket_cols)
+        bucketed.repartition(nparts, *bucket_cols)
         .groupBy(*bucket_cols)
         .agg(F.array_sort(F.collect_set(id_col)).alias("_ids"))
     )
@@ -911,11 +919,12 @@ def semantic_dedup(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_clusters: int = 8,
+    n_clusters: int | str = 8,
     threshold: float = 0.95,
     n_planes: int = 10,
     n_bands: int = 32,
     seed: int = 0x5EED,
+    direct_max: int = 5_000,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication over an embedding column
     (Abbas et al. 2023, "SemDeDup: Data-efficient learning at web-scale
@@ -940,19 +949,24 @@ def semantic_dedup(
     map. Candidate pairs are NOT all within-cluster pairs — they come
     from OR-amplified sign-LSH banding (:func:`sign_lsh_band_buckets`,
     the :func:`embedding_dup_pairs` blocking) keyed by ``(cluster,
-    band, bucket)``, then exact-cosine verified, so the quadratic term
-    is Σ|cluster ∩ bucket|², which stays bounded even when a corpus
-    dumps thousands of near-identical vectors into one semantic cluster
-    (measured: all-pairs-in-cluster ran 44× wall for 10× data; the
-    banded path is candidate-linear). Bands are FINER than
-    :func:`embedding_dup_pairs`' (10 planes × 32 bands vs 6 × 24):
-    semantic thresholds are high (0.95+), where p(c) is large enough
-    that 10-plane buckets keep miss probability at (1 − p^10)^32 ≈
-    1.4e-6 per pair at 0.95 (8e-9 at the planted 0.97) while cutting
-    random in-bucket collisions ~16× (2^10 buckets per band) — the
-    6-plane setting measured ~18M random candidate pairs on 22k
-    vectors. Blocking is deterministic, so the exact-pairs oracle still
-    reproduces bit-for-bit. Output: ``(id, cluster, keep)``, one row
+    band, bucket)``, then verified in the two-phase witness scheme of
+    :func:`_semantic_keep` (member-vs-group-min, then survivors-vs-
+    smaller-members): candidate count is Σ|group| + Σ|group|·|group
+    survivors| — linear even when a corpus dumps thousands of
+    near-identical vectors into one bucket (all-pairs-in-bucket
+    measured 20.7× wall at 10× data on such a corpus; the witness
+    scheme restores ~linear scaling — see SCALE.md for the committed
+    numbers). Bands are FINER than :func:`embedding_dup_pairs`' (10
+    planes × 32 bands vs 6 × 24): semantic thresholds are high
+    (0.95+), where p(c) is large enough that 10-plane buckets keep
+    miss probability at (1 − p^10)^32 ≈ 1.4e-6 per pair at 0.95 (8e-9
+    at the planted 0.97) while cutting random in-bucket collisions
+    ~16× (2^10 buckets per band). Blocking is deterministic, so the
+    exact-pairs oracle still reproduces bit-for-bit.
+
+    ``n_clusters="auto"`` scales the cluster count with the corpus
+    (⌈√n⌉, floor 8) — the paper's k grows with N; the int form stays
+    for oracle-pinned runs. Output: ``(id, cluster, keep)``, one row
     per input.
     """
     from .similarity import _dot, _norm
@@ -963,6 +977,8 @@ def semantic_dedup(
         F.col(id_col).alias("_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
     )
+    if n_clusters == "auto":
+        n_clusters = max(8, int(math.isqrt(vecs.count())))
     cent_rows = (
         vecs.orderBy(F.md5(F.col("_id").cast("string")), "_id")
         .limit(n_clusters)
@@ -1002,6 +1018,7 @@ def semantic_dedup(
         n_planes,
         n_bands,
         seed,
+        direct_max,
     )
 
 
@@ -1009,12 +1026,13 @@ def semantic_dedup_kmeans(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_clusters: int = 8,
+    n_clusters: int | str = 8,
     iterations: int = 3,
     threshold: float = 0.95,
     n_planes: int = 10,
     n_bands: int = 32,
     seed: int = 0x5EED,
+    direct_max: int = 5_000,
 ) -> DataFrame:
     """:func:`semantic_dedup` with TRUE k-means clusters — the paper's
     actual recipe: deterministic Lloyd fit (md5-ordered seeds, fixed
@@ -1024,79 +1042,70 @@ def semantic_dedup_kmeans(
     ``iterations`` extra jobs for the fit; the md5-draw variant stays
     the cheap default when any fixed partition of the space works.
     """
-    from .similarity import _norm, assign_clusters, kmeans_fit
+    import math
 
-    cents = kmeans_fit(df, n_clusters, iterations, id_col, vec_col)
-    assigned = assign_clusters(df, cents, id_col, vec_col).withColumnRenamed(
-        "cluster_id", "cluster"
+    from .similarity import (
+        _LITERAL_ASSIGN_MAX,
+        _argmin_struct_sql,
+        _norm,
+        assign_clusters,
+        kmeans_fit,
     )
+
+    if n_clusters == "auto":
+        n_clusters = max(8, int(math.isqrt(df.count())))
+    cents = kmeans_fit(df, n_clusters, iterations, id_col, vec_col)
     vecs = df.select(
         F.col(id_col).alias("_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
     ).withColumn("_n", _norm(F.col("_v")))
-    staged = vecs.join(
-        assigned.select(F.col(id_col).alias("_id"), "cluster"), on="_id"
-    ).select("_id", "_v", "_n", F.col("cluster").cast("int").alias("cluster"))
-    return _semantic_keep(staged, id_col, threshold, n_planes, n_bands, seed)
-
-
-def _semantic_keep(
-    staged: DataFrame,
-    id_col: str,
-    threshold: float,
-    n_planes: int,
-    n_bands: int,
-    seed: int,
-) -> DataFrame:
-    """Shared SemDeDup keep rule over a ``(_id, _v, _n, cluster)``
-    relation: x survives iff no y < x in its cluster has cos ≥
-    threshold. Candidates via the size-adaptive direct/LSH-banded
-    blocking; exact-cosine verified."""
-    from .similarity import _dot
-
-    # pin: referenced by the pair generator, both verify join sides, and
-    # the final output — unpinned, Catalyst re-derives the assignment
-    # (and re-scans the corpus) once per reference (audited: 8 scans → 1)
-    assigned = staged.localCheckpoint(eager=True)
-
-    # Candidate generation is size-adaptive (both paths produce the
-    # identical verified pair set — the switch is a physical-plan choice,
-    # like AQE picking a broadcast join):
-    #  * small corpora: all within-cluster pairs directly — Σ|cluster|²
-    #    is trivial and skips the banding UDF round-trip;
-    #  * large corpora: sign-LSH banding WITHIN clusters, keyed by
-    #    (cluster, band, bucket) — near-twins collide in some band with
-    #    near-certainty at semantic-dup thresholds, while a mega-cluster
-    #    of merely-related vectors is split across buckets instead of
-    #    emitting |cluster|² pairs (measured 44× → 4× wall at 10× data).
-    n_vecs = assigned.count()  # pinned — a local count, not a recompute
-    if n_vecs <= 5_000:
-        cands = candidate_pairs_from_buckets(
-            assigned.select(F.col("_id").alias("doc_id"), "cluster"),
-            ["cluster"],
+    rows = cents.collect()  # nlist × dim — driver-held model state
+    dim = len(rows[0]["centroid"]) if rows else 0
+    if rows and len(rows) * dim <= _LITERAL_ASSIGN_MAX:
+        # literal-centroid argmin as a NARROW MAP on the staged vector
+        # relation — no second corpus scan, no assignment join (the
+        # assign_clusters+join formulation re-scanned and shuffled the
+        # whole corpus just to attach a small int). Identical
+        # assignment: same (d2, cid) struct-min as assign_clusters.
+        best = F.expr(
+            _argmin_struct_sql(
+                "_v", [(r["cluster_id"], list(r["centroid"])) for r in rows]
+            )
+        )
+        staged = vecs.select(
+            "_id", "_v", "_n", best["cid"].cast("int").alias("cluster")
         )
     else:
-        banded = (
+        assigned = assign_clusters(df, cents, id_col, vec_col)
+        staged = vecs.join(
             assigned.select(
-                F.col("_id").alias("doc_id"),
-                "cluster",
-                F.posexplode_outer(
-                    sign_lsh_band_buckets("_v", n_planes, n_bands, seed)
-                ).alias("band", "bucket"),
-            )
-            .filter(F.col("bucket").isNotNull())
-        )
-        cands = candidate_pairs_from_buckets(
-            banded, ["cluster", "band", "bucket"]
-        )
+                F.col(id_col).alias("_id"),
+                F.col("cluster_id").cast("int").alias("cluster"),
+            ),
+            on="_id",
+        ).select("_id", "_v", "_n", "cluster")
+    return _semantic_keep(
+        staged, id_col, threshold, n_planes, n_bands, seed, direct_max
+    )
+
+
+def _verified_drops(
+    assigned: DataFrame, pairs: DataFrame, threshold: float
+) -> DataFrame:
+    """ids (the larger side of each pair) with an exact-cosine-verified
+    smaller twin: join the candidate pairs back to the pinned vector
+    relation on both sides, compute cos to 6 dp, keep id_b where
+    cos ≥ threshold. NOT distinct — callers dedup once at the end."""
+    from .similarity import _dot
+
     va = assigned.select(
         F.col("_id").alias("id_a"), F.col("_v").alias("v_a"), F.col("_n").alias("n_a")
     )
     vb = assigned.select(
         F.col("_id").alias("id_b"), F.col("_v").alias("v_b"), F.col("_n").alias("n_b")
     )
-    dropped = (
-        cands.join(va, on="id_a")
+    return (
+        pairs.join(va, on="id_a")
         .join(vb, on="id_b")
         .withColumn(
             "_cos",
@@ -1108,9 +1117,154 @@ def _semantic_keep(
         )
         .filter(F.col("_cos") >= threshold)
         .select(F.col("id_b").alias("_id"))  # id_a < id_b: b has a smaller twin
-        .distinct()
-        .withColumn("_dropped", F.lit(True))
     )
+
+
+def _semantic_keep(
+    staged: DataFrame,
+    id_col: str,
+    threshold: float,
+    n_planes: int,
+    n_bands: int,
+    seed: int,
+    direct_max: int = 5_000,
+) -> DataFrame:
+    """Shared SemDeDup keep rule over a ``(_id, _v, _n, cluster)``
+    relation: x survives iff no y < x in its cluster has cos ≥
+    threshold. Candidates via size-adaptive direct/LSH-banded blocking;
+    exact-cosine verified.
+
+    The banded path does NOT verify all in-bucket pairs (Σ|group|² —
+    measured 20.7× wall for 10× data on a near-dup-heavy corpus, where
+    every vector has ~20 near-identical variants sharing one bucket).
+    The keep rule only needs an ∃-smaller-witness per member, so
+    verification is two-phase and EXACTLY reproduces the all-pairs
+    drop set:
+
+    * **phase 1** — every member verifies against its group's min id
+      only: Σ|group| pairs, linear. In a duplicate ball (the case that
+      creates mega-groups) the min IS a witness for everyone, so this
+      resolves ~all drops.
+    * **phase 2** — members that survived phase 1 re-verify against
+      every smaller group member except the min (already checked):
+      Σ|group|·|survivors| pairs. Survivors are the distinct contents
+      — few by construction in the heavy-group case.
+
+    Exactness: y is dropped iff some smaller same-group x has
+    cos ≥ t. Phase 1 checks x = min for every y; any y it drops is
+    correct. Any y it misses is a phase-2 subject checked against ALL
+    its remaining smaller group members — including members phase 1
+    dropped, which stay eligible as *witnesses*. Union of both phases
+    therefore equals the full in-bucket pair verification (asserted
+    against the direct path in tests/test_dedup.py).
+
+    Grouping exchanges are sized from the KNOWN cardinality
+    (n_vecs × n_bands rows), not Catalyst plan stats — above this
+    join/explode tower the estimator was off by ~1000× (75 GB for a
+    2,200-row relation), producing 4,096-task shuffles of pure
+    scheduler overhead.
+    """
+    # pin: referenced by the pair generator, both verify join sides, and
+    # the final output — unpinned, Catalyst re-derives the assignment
+    # (and re-scans the corpus) once per reference (audited: 8 scans → 1)
+    assigned = staged.localCheckpoint(eager=True)
+    spark = assigned.sparkSession
+    floor = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+
+    def _parts(rows: int, bytes_per_row: int) -> int:
+        return max(floor, min(4096, rows * bytes_per_row // (200 * 1024)))
+
+    # Candidate generation is size-adaptive (both paths produce the
+    # identical verified drop set — the switch is a physical-plan
+    # choice, like AQE picking a broadcast join):
+    #  * small corpora: all within-cluster pairs directly — Σ|cluster|²
+    #    is trivial and skips the banding round-trip;
+    #  * large corpora: sign-LSH banding WITHIN clusters keyed by
+    #    (cluster, band, bucket) + the two-phase witness verification
+    #    above.
+    n_vecs = assigned.count()  # pinned — a local count, not a recompute
+    if n_vecs <= direct_max:
+        cands = candidate_pairs_from_buckets(
+            assigned.select(F.col("_id").alias("doc_id"), "cluster"),
+            ["cluster"],
+            num_partitions=_parts(n_vecs, 32),
+        )
+        dropped_ids = _verified_drops(assigned, cands, threshold)
+    else:
+        banded = (
+            assigned.select(
+                F.col("_id").alias("doc_id"),
+                "cluster",
+                F.posexplode_outer(
+                    sign_lsh_band_buckets("_v", n_planes, n_bands, seed)
+                ).alias("band", "bucket"),
+            )
+            .filter(F.col("bucket").isNotNull())
+        )
+        groups = (
+            banded.repartition(
+                _parts(n_vecs * n_bands, 48), "cluster", "band", "bucket"
+            )
+            .groupBy("cluster", "band", "bucket")
+            .agg(F.array_sort(F.collect_set("doc_id")).alias("_ids"))
+            .filter(F.size("_ids") >= 2)
+            .select(F.monotonically_increasing_id().alias("_g"), "_ids")
+            .localCheckpoint(eager=True)  # reused by both phases
+        )
+        # phase 1: (group min, member) — Σ|group| candidate pairs
+        p1 = (
+            groups.select(
+                F.col("_ids")[0].alias("id_a"),
+                F.explode(F.slice("_ids", 2, F.size("_ids"))).alias("id_b"),
+            )
+            .dropDuplicates(["id_a", "id_b"])
+        )
+        dropped1 = (
+            _verified_drops(assigned, p1, threshold)
+            .distinct()
+            .localCheckpoint(eager=True)  # joined below AND unioned into output
+        )
+        # phase 2: survivors vs their remaining smaller group members.
+        # Dropped members stay in the arrays — they remain valid
+        # *witnesses*; only the subject side is filtered to survivors.
+        members = groups.filter(F.size("_ids") >= 3).select(
+            "_g", F.explode("_ids").alias("_id")
+        )
+        flagged = (
+            members.join(dropped1.withColumn("_drp", F.lit(True)), on="_id", how="left")
+            .repartition(_parts(n_vecs * n_bands, 24), "_g")
+            .groupBy("_g")
+            .agg(F.array_sort(F.collect_list(F.struct("_id", "_drp"))).alias("_m"))
+        )
+        # for survivor y at 0-based index j ≥ 2: pair with members at
+        # indices 1..j-1 (index 0 = the min, phase-1-checked). slice's
+        # length argument doubles as the subject filter — 0 for dropped
+        # subjects yields a typed empty array with no when/otherwise
+        # type gymnastics.
+        take = lambda y, j: F.when(  # noqa: E731
+            y["_drp"].isNull(), F.greatest(j - 1, F.lit(0))
+        ).otherwise(F.lit(0))
+        combos = F.flatten(
+            F.transform(
+                F.col("_m"),
+                lambda y, j: F.transform(
+                    F.slice(F.col("_m"), 2, take(y, j)),
+                    lambda x: F.struct(
+                        x["_id"].alias("a"), y["_id"].alias("b")
+                    ),
+                ),
+            )
+        )
+        p2 = (
+            flagged.select(F.explode_outer(combos).alias("_p"))
+            .filter(F.col("_p").isNotNull())
+            .select(F.col("_p.a").alias("id_a"), F.col("_p.b").alias("id_b"))
+            .dropDuplicates(["id_a", "id_b"])
+        )
+        dropped_ids = dropped1.unionByName(
+            _verified_drops(assigned, p2, threshold)
+        )
+    dropped = dropped_ids.distinct().withColumn("_dropped", F.lit(True))
     return (
         assigned.join(dropped, on="_id", how="left")
         .select(

@@ -24,25 +24,60 @@ pattern) or a lakehouse MERGE — the merge logic is unchanged.
 
 from __future__ import annotations
 
+import os
+import shutil
+
 from pyspark.sql import DataFrame, SparkSession
 
 from ..pg.build import merge_pg, triples_to_pg
+
+
+def _resolve_store(pg_path: str) -> str | None:
+    """The directory holding the current PG store, or None on the very
+    first batch. Existence is PROBED, never inferred from a read
+    failure — a transient read error (FS hiccup, corrupt footer,
+    permissions) must propagate, not silently reset the accumulated
+    store to the current delta. ``._old`` covers the crash window of
+    :func:`merge_triples_batch`'s swap (new store staged, old renamed
+    away, final rename not yet done)."""
+    if os.path.exists(pg_path):
+        return pg_path
+    old = pg_path.rstrip("/") + "._old"
+    if os.path.exists(old):
+        return old
+    return None
 
 
 def merge_triples_batch(
     spark: SparkSession, triples: DataFrame, pg_path: str
 ) -> None:
     """Merge one batch of triples into the PG relation stored at
-    ``pg_path`` (parquet). The merged result is pinned with
-    ``localCheckpoint`` before the overwrite so the write never races
-    the read of the files it replaces."""
+    ``pg_path`` (parquet).
+
+    The merged result is staged to a sibling ``._tmp`` directory and
+    swapped in with two renames (current → ``._old``, staged → current)
+    so a write that dies mid-batch never leaves a half-written store:
+    every crash point leaves a complete store at ``pg_path`` or at
+    ``._old`` (which :func:`_resolve_store` recovers on the next
+    batch). Local-FS renames; on an object store or HDFS swap this for
+    the FileSystem rename API or a lakehouse MERGE (see module
+    docstring — the merge logic is unchanged)."""
     delta = triples_to_pg(triples)
-    try:
-        existing = spark.read.parquet(pg_path)
-        merged = merge_pg(existing, delta)
-    except Exception:  # first batch: nothing stored yet
+    existing_path = _resolve_store(pg_path)
+    if existing_path is None:  # first batch: nothing stored yet
         merged = delta
-    merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(pg_path)
+    else:
+        existing = spark.read.parquet(existing_path)
+        merged = merge_pg(existing, delta)
+    tmp = pg_path.rstrip("/") + "._tmp"
+    old = pg_path.rstrip("/") + "._old"
+    shutil.rmtree(tmp, ignore_errors=True)
+    merged.write.mode("overwrite").parquet(tmp)  # reads old, writes new dir
+    shutil.rmtree(old, ignore_errors=True)
+    if os.path.exists(pg_path):
+        os.rename(pg_path, old)
+    os.rename(tmp, pg_path)
+    shutil.rmtree(old, ignore_errors=True)
 
 
 def start_kg_stream(

@@ -373,6 +373,71 @@ class TestSemanticDedup:
         )
         assert a == b
 
+    def test_banded_two_phase_matches_direct_path(self, spark):
+        """The LSH-banded two-phase witness verification (phase 1:
+        member vs group min; phase 2: phase-1 survivors vs remaining
+        smaller members) must reproduce the direct all-pairs drop set
+        EXACTLY — including the case phase 1 alone would miss: a
+        subject whose only witness is a non-min member that was itself
+        dropped (witnesses stay eligible after being dropped)."""
+        from knetminer_etl_spark.operators.dedup import (
+            semantic_dedup,
+            semantic_dedup_kmeans,
+        )
+
+        base = self._emb(spark, n=60)
+        # dup balls of 4 per seed vector → multi-member groups where the
+        # min witnesses some members and chained members witness others
+        balls = [
+            base.filter(f"vec_id < 12").selectExpr(
+                f"vec_id + {1000 * (c + 1)} AS vec_id",
+                f"transform(embedding, x -> x + {0.002 * (c + 1)}) AS embedding",
+            )
+            for c in range(3)
+        ]
+        corpus = base
+        for b in balls:
+            corpus = corpus.unionByName(b)
+        direct = sorted(
+            map(tuple, semantic_dedup(corpus, n_clusters=4, threshold=0.95).collect())
+        )
+        banded = sorted(
+            map(
+                tuple,
+                semantic_dedup(
+                    corpus, n_clusters=4, threshold=0.95, direct_max=0
+                ).collect(),
+            )
+        )
+        assert direct == banded
+        assert any(not r[2] for r in direct)  # the balls produced drops
+        km_direct = sorted(
+            map(
+                tuple,
+                semantic_dedup_kmeans(
+                    corpus, n_clusters=4, iterations=2, threshold=0.95
+                ).collect(),
+            )
+        )
+        km_banded = sorted(
+            map(
+                tuple,
+                semantic_dedup_kmeans(
+                    corpus, n_clusters=4, iterations=2, threshold=0.95, direct_max=0
+                ).collect(),
+            )
+        )
+        assert km_direct == km_banded
+
+    def test_auto_n_clusters_scales_with_corpus(self, spark):
+        from knetminer_etl_spark.operators.dedup import semantic_dedup
+
+        out = semantic_dedup(self._emb(spark, n=120), n_clusters="auto", threshold=0.95)
+        # ⌈√120⌉ floored at 8 → clusters drawn from up to 10 centroids
+        n_clusters = out.select("cluster").distinct().count()
+        assert n_clusters > 4  # more than the toy constant would allow
+        assert all(r["keep"] for r in out.collect())
+
 
 class TestRepeatedSpanScrub:
     def _scrub(self, spark, rows, k=4):
