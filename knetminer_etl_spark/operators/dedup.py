@@ -1285,6 +1285,7 @@ def repeated_span_scrub(
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = 10,
+    hash_windows: bool = True,
 ) -> DataFrame:
     """Exact substring-level dedup (Lee et al. 2022, "Deduplicating
     Training Data Makes Language Models Better"): remove every SPAN of
@@ -1297,13 +1298,21 @@ def repeated_span_scrub(
 
     Plan (all linear, three shuffles): per-doc k-gram windows with
     positions (narrow) → global first-occurrence ranking per window
-    text (shuffle 1, the only content-keyed exchange) → duplicate
+    key (shuffle 1, the only content-keyed exchange) → duplicate
     windows expand to covered token positions per doc (shuffle 2,
     doc-keyed distinct) → anti-join tokens against covered positions
-    and reassemble (shuffle 3, doc-keyed rebuild). Windows per doc =
-    tokens − k + 1, so shuffle volume is O(corpus tokens × k) window
-    text — at 100 TB, hash the window (xxhash64) instead of shipping
-    its text when oracle parity isn't required.
+    and reassemble (shuffle 3, doc-keyed rebuild).
+
+    Windows per doc = tokens − k + 1, so with the window TEXT as the
+    shuffle-1 key the exchange carries O(corpus tokens × k) bytes. The
+    default therefore keys shuffle 1 by ``xxhash64(window)`` computed
+    scan-side — constant 8 bytes per window, O(corpus tokens) total
+    (measured at 10× sf0.1: shuffle write 138 MB → 60 MB and warm wall
+    3.0 s → 2.6 s; the gap widens with window k and word length since
+    text bytes scale with both and the hash doesn't). A 64-bit
+    collision merging two distinct grams is ~n²/2⁶⁵ (~3e-8 for a
+    million distinct windows); ``hash_windows=False`` ships the text
+    itself for bit-certain oracle parity.
 
     Output: ``(doc_id, n_tokens, n_removed, clean_text)`` with
     clean_text whitespace-normalized (single spaces). Documents shorter
@@ -1322,10 +1331,13 @@ def repeated_span_scrub(
             F.array_join(F.slice(F.col("_t"), i, k), " ").alias("gram"),
         ),
     )
+    gram_key = (
+        F.xxhash64(F.col("_w.gram")) if hash_windows else F.col("_w.gram")
+    )
     exploded = (
         toks.select("_id", F.explode_outer(F.when(n_win > 0, wins)).alias("_w"))
         .filter(F.col("_w").isNotNull())
-        .select("_id", F.col("_w.pos").alias("pos"), F.col("_w.gram").alias("gram"))
+        .select("_id", F.col("_w.pos").alias("pos"), gram_key.alias("gram"))
     )
     w = Window.partitionBy("gram").orderBy("_id", "pos")
     dup_windows = (

@@ -1292,8 +1292,28 @@ def doc_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     more than once in the corpus is removed except its globally-first
     occurrence. Output is the compact audit (token counts + md5 of the
     scrubbed text); the oracle replays the identical window ranking and
-    span coverage in SQL."""
-    out = DD.repeated_span_scrub(_docs(spark, sf_dir), k=10)
+    span coverage in SQL. ``hash_windows=False`` = oracle-parity mode
+    (text-keyed ranking, bit-certain); the operator's default hashes
+    the window key (8 bytes/window through the shuffle instead of the
+    k-token text — the 100 TB shape), covered by
+    ``doc_span_scrub_hashed`` below against the SAME oracle."""
+    out = DD.repeated_span_scrub(_docs(spark, sf_dir), k=10, hash_windows=False)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "n_removed",
+        F.md5("clean_text").alias("clean_md5"),
+    ).orderBy("doc_id")
+
+
+def doc_span_scrub_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """:func:`doc_span_scrub` in the operator's DEFAULT hashed-window
+    mode: shuffle 1 keyed by ``xxhash64(window)`` (constant 8 bytes per
+    window) instead of the k-token window text. Output is identical to
+    parity mode barring a ~n²/2⁶⁵ hash collision, so it runs against
+    the same text-keyed DuckDB oracle — the hash-match IS the evidence
+    the cheap shuffle key loses nothing."""
+    out = DD.repeated_span_scrub(_docs(spark, sf_dir), k=10, hash_windows=True)
     return out.select(
         "doc_id",
         "n_tokens",
@@ -1344,8 +1364,18 @@ FROM t LEFT JOIN rebuilt r ON r.doc_id = t.doc_id
 ORDER BY t.doc_id
 """
 
-QUERIES.update({"doc_span_scrub": doc_span_scrub})
-ORACLES.update({"doc_span_scrub": DOC_SPAN_SCRUB_SQL})
+QUERIES.update(
+    {
+        "doc_span_scrub": doc_span_scrub,
+        "doc_span_scrub_hashed": doc_span_scrub_hashed,
+    }
+)
+ORACLES.update(
+    {
+        "doc_span_scrub": DOC_SPAN_SCRUB_SQL,
+        "doc_span_scrub_hashed": DOC_SPAN_SCRUB_SQL,
+    }
+)
 
 
 # ---------------------------------------------------------------------------

@@ -57,6 +57,7 @@ CHECK_QUERIES = [
     "embedding_semantic_dedup",
     "embedding_semantic_dedup_km",
     "doc_span_scrub",
+    "doc_span_scrub_hashed",
     "doc_html_extract",
     "kg_shortest_costs",
     "kg_closure_counts",
