@@ -127,6 +127,7 @@ def pq_train(
     iterations: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    train_max: int = 100_000,
 ) -> list[list[tuple[int, list[float]]]]:
     """Product-quantization codebooks: the vector is split into ``m``
     contiguous subspaces and each gets its own ``ksub``-centroid
@@ -143,19 +144,39 @@ def pq_train(
     round's shuffle carries ``m × ksub × (dsub+1)`` combined values per
     partition regardless of corpus size. Codebooks are driver-held
     (``m × ksub × dsub`` doubles — the broadcast-parameter shape).
+
+    The relation pinned across the Lloyd rounds is BOUNDED: above
+    ``train_max`` rows, training runs on the ``train_max`` vectors with
+    the smallest ``(md5(id), id)`` key — a seeded uniform draw any SQL
+    engine replicates exactly (``ORDER BY md5(id), id LIMIT N``), so
+    sampled codebooks stay oracle-reproducible. Caching the whole
+    corpus for a codebook that is k×dim regardless is an
+    executor-memory gamble at 100 TB (an eviction silently recomputes
+    the full upstream); the codebook quality argument is the standard
+    one — k-means parameters converge on a uniform sample. At or below
+    the bound the plan is IDENTICAL to full-corpus training (the probe
+    is an early-exit limit+count, no shuffle).
     """
-    # cache, not eager localCheckpoint: pins the projected corpus across
-    # the Lloyd rounds without paying a separate materialization job up
-    # front (the seeds job below fills the cache) — one fewer
-    # driver-synchronized job in a plan whose cost is job latency
     from .util import fan_out
 
-    v = (
+    v_all = (
         fan_out(corpus)
         .select(F.col(id_col).alias("_id"), _dvec(F.col(vec_col)).alias("_v"))
         .filter(F.col("_v").isNotNull())
-        .cache()
     )
+    # cache, not eager localCheckpoint: pins the (bounded) training
+    # relation across the Lloyd rounds without paying a separate
+    # materialization job up front (the seeds job below fills the
+    # cache) — one fewer driver-synchronized job in a plan whose cost
+    # is job latency
+    if v_all.limit(train_max + 1).count() > train_max:
+        v = (
+            v_all.orderBy(F.md5(F.col("_id").cast("string")), F.col("_id"))
+            .limit(train_max)
+            .cache()
+        )
+    else:
+        v = v_all.cache()
     # dim comes from the seed rows — no separate first() job
     seeds = (
         v.orderBy(F.md5(F.col("_id").cast("string")), F.col("_id"))

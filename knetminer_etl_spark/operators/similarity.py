@@ -287,6 +287,7 @@ def kmeans_fit(
     iterations: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    train_max: int = 100_000,
 ) -> DataFrame:
     """(cluster_id, centroid array<double>): deterministic Lloyd k-means.
 
@@ -298,10 +299,25 @@ def kmeans_fit(
     loses all members keeps its previous centroid. Centroids are small
     (``nlist`` rows) — every round broadcasts them, so the only shuffles
     are the per-round (cluster, dim) mean aggregations.
+
+    The relation pinned across the rounds is BOUNDED: above
+    ``train_max`` rows, the fit runs on the ``train_max`` vectors with
+    the smallest ``(md5(id), id)`` key — the same deterministic draw as
+    the seeds, replicable in SQL (``ORDER BY md5(id), id LIMIT N``), so
+    sampled centroids stay oracle-reproducible. Pinning a 100 TB corpus
+    for an nlist×dim parameter matrix is an executor-memory gamble; a
+    uniform sample is the standard k-means training shape. At or below
+    the bound the plan is IDENTICAL to full-corpus training (the probe
+    is an early-exit limit+count, no shuffle).
     """
-    v = corpus.select(
+    v_all = corpus.select(
         F.col(id_col).alias("_id"), _dvec(F.col(vec_col)).alias("_v")
-    ).localCheckpoint(eager=True)
+    )
+    if v_all.limit(train_max + 1).count() > train_max:
+        v_all = v_all.orderBy(
+            F.md5(F.col("_id").cast("string")), F.col("_id")
+        ).limit(train_max)
+    v = v_all.localCheckpoint(eager=True)
 
     # seed selection via distributed TakeOrdered (orderBy+limit), NOT a
     # global row_number window — a partitionBy-less window single-tasks

@@ -125,6 +125,32 @@ class TestLSH:
         for cid in a:
             assert a[cid] == pytest.approx(b[cid])
 
+    def test_kmeans_bounded_training_sample_is_md5_prefix(self, spark, vectors):
+        """Above train_max the fit runs on the deterministic md5-prefix
+        sample: fitting with train_max=n_sub must equal fitting on the
+        explicitly-drawn n_sub smallest-(md5(id), id) rows — the draw an
+        oracle replicates with ORDER BY md5(id), id LIMIT N."""
+        from pyspark.sql import functions as F
+
+        n_sub = 12
+        sample = (
+            vectors.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+            .limit(n_sub)
+        )
+        bounded = {
+            r["cluster_id"]: r["centroid"]
+            for r in SIM.kmeans_fit(
+                vectors, nlist=4, iterations=2, train_max=n_sub
+            ).collect()
+        }
+        explicit = {
+            r["cluster_id"]: r["centroid"]
+            for r in SIM.kmeans_fit(sample, nlist=4, iterations=2).collect()
+        }
+        assert set(bounded) == set(explicit)
+        for cid in bounded:
+            assert bounded[cid] == pytest.approx(explicit[cid])
+
     def test_md5_bucket_variant_matches_contract(self, spark, vectors):
         got = SIM.lsh_topk(
             vectors,
