@@ -202,20 +202,30 @@ def drop_exact_dups(
     return df.join(keep, on=id_col, how="left_semi")
 
 
-def _default_pairs_fn(df, id_col, text_col, k, threshold):
-    """Size-adaptive candidate generation for the clustering operators —
-    a physical-plan choice (both paths yield the identical verified pair
-    set at these thresholds; proven hash-equal against the exact-pairs
-    oracle at every test scale):
+def _default_pairs_fn(df, id_col, text_col, k, threshold, direct_max=5_000):
+    """Size-adaptive candidate generation for the clustering operators:
 
-    * small corpora → exact shingle-bucket Jaccard with the stop-shingle
-      cap: three plain exchanges, NO eager pin jobs — ~10 fewer Spark
-      jobs than the LSH path, which at toy scale is pure fixed overhead;
-    * large corpora → banded MinHash-LSH with true-Jaccard verify, the
-      candidate-linear path (exact pairs' Σ|bucket|² term measured 11×
-      wall for 10× docs on a template-heavy corpus).
+    * corpora of ≤ ``direct_max`` docs → exact shingle-bucket Jaccard
+      with the stop-shingle cap: three plain exchanges, NO eager pin
+      jobs — ~10 fewer Spark jobs than the LSH path, which at toy
+      scale is pure fixed overhead;
+    * larger corpora → banded MinHash-LSH with true-Jaccard verify,
+      the candidate-linear path (exact pairs' Σ|bucket|² term measured
+      11× wall for 10× docs on a template-heavy corpus).
+
+    The LSH branch is a bounded-miss-probability APPROXIMATION of the
+    exact branch, not a bit-identical one: banding misses a true pair
+    with probability (1 − j^r)^b — ≤ 1e-4 per pair at j ≥ 0.5 with the
+    r=2/b=32 defaults, ≤ 6e-7 at j ≥ 0.6 — so ``near_dup_clusters`` /
+    ``dedup_keep_best`` output CAN change as a corpus crosses
+    ``direct_max`` (it has measured hash-equal at every test scale,
+    which is the expected outcome at these odds, not a guarantee).
+    Pass an explicit ``pairs_fn`` (or a different ``direct_max``) to
+    pin one path. The switch probe is an early-exit limit+count — it
+    does not scan past ``direct_max + 1`` rows, but it IS an extra job
+    on the unpinned input at call time.
     """
-    if df.count() <= 5_000:
+    if df.limit(direct_max + 1).count() <= direct_max:
         return lambda d: ngram_jaccard_pairs(d, id_col, text_col, k, threshold)
     return lambda d: minhash_lsh_pairs(
         d, id_col, text_col, num_perm=64, bands=32, k=k,

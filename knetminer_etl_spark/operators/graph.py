@@ -495,7 +495,11 @@ def shortest_paths(
     monotone distances are what make the early-exit test correct.
     Frontier state is pinned per round (``dist`` is referenced by the
     relax join AND the improvement check — unpinned, lineage doubles per
-    round). Unreachable nodes are absent from the output.
+    round). Unreachable nodes are absent from the output. If
+    ``max_rounds`` is exhausted while relaxations are still improving,
+    the result could be silently too large — that raises instead;
+    rerun with ``max_rounds`` ≥ longest shortest path in hops, plus
+    one verification round to observe the fixpoint.
     """
     e = (
         edges.select(
@@ -535,6 +539,13 @@ def shortest_paths(
         dist = relaxed
         if improved == 0:
             break
+    else:  # loop exhausted without a no-improvement round
+        raise RuntimeError(
+            f"shortest_paths did not converge in max_rounds={max_rounds}: "
+            "distances are still improving, so returned values would be "
+            "over-estimates for some nodes. Rerun with a larger max_rounds "
+            "(needed: the longest shortest path in hops)."
+        )
     # tie-safe 6-dp emission (the q2/ewma divergence class)
     return dist.select(
         F.col("_id").alias(id_col),
@@ -591,4 +602,11 @@ def transitive_closure(
         if m == n:
             break
         n = m
+    else:  # loop exhausted while pairs were still being added
+        raise RuntimeError(
+            f"transitive_closure did not converge in max_rounds={max_rounds}: "
+            "the last doubling still added pairs, so the closure is "
+            "incomplete. Path doubling covers 2^max_rounds-hop paths — "
+            "raise max_rounds (needed: ceil(log2(max depth)))."
+        )
     return cl.select(F.col("a").alias("ancestor"), F.col("b").alias("descendant"))

@@ -870,7 +870,7 @@ def doc_pipeline_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
     composition — stage inputs are the previous stage's survivors, so
     one value-hash covers the whole flow's plumbing (the judge-me-on-
     the-product query). Output: (stage_no, stage, n_docs)."""
-    import tempfile
+    import hashlib
 
     from ..operators import contamination as CT2
     from ..operators import dedup as DD2
@@ -891,7 +891,12 @@ def doc_pipeline_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
     # memory, and an eviction silently recomputes the whole near-dup
     # chain — disk-backed staging (the engine's own checkpoint operator)
     # keeps the plan cut per stage regardless of memory pressure.
-    ck = tempfile.mkdtemp(prefix="doc_pipeline_stages_")
+    # staging_dir gives one stable per-(app, sf_dir) location: repeat
+    # invocations overwrite it (no mkdtemp-per-call leak across bench
+    # warmups/sweeps) and local roots are removed at interpreter exit.
+    ck = CK.staging_dir(
+        spark, "doc_pipeline_stages", hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    )
     exact = DD2.drop_exact_dups(quality)
     CK.save(exact, f"{ck}/exact")
     exact = CK.load(f"{ck}/exact", spark)

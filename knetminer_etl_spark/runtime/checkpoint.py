@@ -37,6 +37,44 @@ def df_path(path: str | Path) -> str:
     return p
 
 
+#: per-process registry of app-scoped staging roots already scheduled
+#: for exit cleanup (one atexit hook per root, not per call)
+_STAGING_CLEANUP: set[str] = set()
+
+
+def staging_dir(spark: SparkSession, *keys: str) -> str:
+    """Deterministic scratch location for engine-INTERNAL disk staging
+    (e.g. the multi-stage corpus pipeline's survivor checkpoints).
+
+    Resolution: ``spark.knetminer.stagingDir`` if configured — on a
+    real cluster point it at shared storage (HDFS/S3), since a
+    driver-local temp path is not readable by executors on other
+    nodes — else the local temp dir. The path is keyed by application
+    id + the caller's ``keys``, so repeated invocations of the same
+    stage in one session OVERWRITE one directory instead of leaking a
+    fresh ``mkdtemp`` per call (bench warmups + repeats + scale sweeps
+    run the same query many times). Local app-scoped roots are removed
+    at interpreter exit; configured shared roots are left alone (their
+    lifecycle belongs to the operator of that storage).
+    """
+    import atexit
+    import shutil
+    import tempfile
+
+    base = spark.conf.get("spark.knetminer.stagingDir", None)
+    local = base is None
+    if local:
+        base = os.path.join(tempfile.gettempdir(), "knetminer-staging")
+    root = os.path.join(base, spark.sparkContext.applicationId)
+    if local and root not in _STAGING_CLEANUP:
+        _STAGING_CLEANUP.add(root)
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+    path = os.path.join(root, *keys)
+    if local:
+        os.makedirs(path, exist_ok=True)
+    return path
+
+
 def df_check_path(path: str | Path) -> str:
     """The ``_SUCCESS`` marker path for a checkpoint dir."""
     return os.path.join(df_path(path), SUCCESS_MARKER)

@@ -252,6 +252,27 @@ class TestShortestPaths:
         with _pytest.raises(ValueError, match="non-negative"):
             shortest_paths(e, self._start(spark, ["a"]))
 
+    def test_exhausted_rounds_raise_instead_of_partial_result(self, spark):
+        """A path longer than max_rounds hops must raise, not silently
+        return over-estimated distances."""
+        import pytest as _pytest
+
+        from knetminer_etl_spark.operators.graph import shortest_paths
+
+        chain = self._edges(
+            spark, [(f"n{i}", f"n{i+1}", 1.0) for i in range(6)]
+        )
+        with _pytest.raises(RuntimeError, match="did not converge"):
+            shortest_paths(chain, self._start(spark, ["n0"]), max_rounds=3)
+        # enough rounds: converges (6 relaxations + 1 no-change round)
+        got = {
+            r["id"]: r["dist"]
+            for r in shortest_paths(
+                chain, self._start(spark, ["n0"]), max_rounds=8
+            ).collect()
+        }
+        assert got["n6"] == 6.0
+
 
 class TestTransitiveClosure:
     def _e(self, spark, pairs):
@@ -267,6 +288,15 @@ class TestTransitiveClosure:
         }  # ceil(log2(16)) = 4 doubling rounds suffice
         expect = {(f"n{i}", f"n{j}") for i in range(17) for j in range(i + 1, 17)}
         assert got == expect
+
+    def test_exhausted_rounds_raise_instead_of_partial_closure(self, spark):
+        import pytest as _pytest
+
+        from knetminer_etl_spark.operators.graph import transitive_closure
+
+        chain = [(f"n{i}", f"n{i+1}") for i in range(16)]  # depth 16
+        with _pytest.raises(RuntimeError, match="did not converge"):
+            transitive_closure(self._e(spark, chain), max_rounds=2)
 
     def test_dag_diamond_deduplicates_paths(self, spark):
         from knetminer_etl_spark.operators.graph import transitive_closure
