@@ -224,7 +224,27 @@ def main() -> None:
         out["baseline_total"] = base.get("total")
         out["vs_baseline_total"] = round(total / base["total"], 3)
 
-    print(json.dumps(out))
+    # full record (incl. per-query baseline ratios) goes to a FILE; the
+    # stdout line stays compact — the driver's capture truncated the r4
+    # line and recorded "parsed": null, losing the per-query times
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    with open(detail_path, "w") as fh:
+        json.dump(out, fh, indent=1)
+        fh.write("\n")
+    compact = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": out["unit"],
+        "queries": {n: round(t, 2) for n, t in timings.items()},
+        "sf": sf_val,
+        "warmup_sec": warmup_sec,
+    }
+    for key in ("vs_baseline_total", "baseline_total", "baseline_engine"):
+        if key in out:
+            compact[key] = out[key]
+    print(json.dumps(compact, separators=(",", ":")))
 
 
 if __name__ == "__main__":

@@ -71,26 +71,35 @@ _ALL_QUERIES = {
 # KG product pipeline, graph algorithms, dedup, similarity search, text
 # analysis, corpus/training prep, event time-series, sketches, OLAP,
 # sampling, validation) rather than 50 variations of one family.
+#
+# The prefix ROTATES each round (within family slots) so no oracle sits
+# unchecked by the driver forever: round 5 rotated q12_late_shipments,
+# q15_top_supplier, kg_triangles, doc_incremental_dedup and events_scd2
+# out (prefix-green in rounds 3-4) for the four queries round 4
+# displaced plus the new doc_span_scrub_hashed. The displaced queries
+# stay immediately after the prefix and the FULL registry sweeps green
+# at all three scale factors (tools/check_correctness.py → SWEEP
+# artifact) so rotation never hides a regression.
 _PRIORITY = [
     # TPC-H-style relational core (agg, top-k join, multi-join, outer,
     # scalar subquery, semi/anti join)
     "q1_pricing_summary", "q3_shipping_priority", "q5_region_volume",
-    "q12_late_shipments", "q13_customer_distribution",
-    "q15_top_supplier", "q21_waiting_suppliers",
+    "q13_customer_distribution", "q21_waiting_suppliers",
     # the product pipeline: tabular → triples → property graph,
     # plus incremental graph maintenance (merge == rebuild contract)
     "kg_triples_customer", "kg_edge_triples", "kg_pg_elements",
     "kg_pg_incremental",
-    # graph algorithms over the KG (components, ranks, triangles,
+    # graph algorithms over the KG (components, degrees, ranks,
     # weighted shortest paths)
-    "dedup_components", "kg_shortest_costs", "kg_pagerank", "kg_triangles",
-    # deduplication family (whole-doc, LSH, fingerprint, embedding,
-    # incremental, substring-span, semantic)
-    "exact_dedup", "doc_span_scrub", "minhash_lsh_pairs",
-    "simhash_pairs", "embedding_dup_pairs", "doc_incremental_dedup",
+    "dedup_components", "kg_shortest_costs", "kg_pagerank", "kg_degrees",
+    # deduplication family (whole-doc, n-gram, LSH, fingerprint,
+    # embedding, substring-span incl. hashed mode, semantic)
+    "exact_dedup", "doc_span_scrub", "doc_span_scrub_hashed",
+    "ngram_jaccard_pairs", "minhash_lsh_pairs",
+    "simhash_pairs", "embedding_dup_pairs",
     "embedding_semantic_dedup",
-    # similarity search (exact, IVF, PQ)
-    "embedding_topk", "embedding_ivf_topk",
+    # similarity search (exact, LSH, IVF, PQ)
+    "embedding_topk", "embedding_lsh_topk", "embedding_ivf_topk",
     "embedding_pq_topk",
     # text analysis (stats, language id, boilerplate extraction)
     "text_stats", "lang_id_counts", "doc_html_extract",
@@ -99,15 +108,18 @@ _PRIORITY = [
     "doc_context_windows", "doc_repetition_stats", "doc_decontamination",
     "doc_tfidf_terms", "doc_lm_scores", "doc_bpe_pairs",
     "doc_pipeline_stages",
-    # event streams: windows, sessions, as-of, SCD2, gap-fill
+    # event streams: windows, sessions, as-of, weighted avg, gap-fill
     "events_tumbling_5m", "events_sessionize", "events_asof_last_error",
-    "events_scd2", "events_gap_fill",
+    "events_time_weighted_avg", "events_gap_fill",
     # sketches
     "events_distinct_hll", "doc_heavy_hitters",
     "events_value_hist_quantiles",
     # OLAP cube / training layout / data contracts
     "segment_year_cube", "doc_shard_manifest", "doc_temperature_mix",
     "orders_validation",
+    # rotated out of the prefix this round (covered by the full sweep)
+    "q12_late_shipments", "q15_top_supplier", "kg_triangles",
+    "doc_incremental_dedup", "events_scd2",
 ]
 assert set(_PRIORITY) <= set(_ALL_QUERIES), sorted(
     set(_PRIORITY) - set(_ALL_QUERIES)

@@ -6,11 +6,17 @@ row count + column names + an order-insensitive value hash
 (columns sorted by name, rows sorted, values stringified).
 
 Usage: python tools/check_correctness.py [sf_dir] [query ...]
+
+Set ``CHECK_JSON=/path/out.json`` to also record per-query verdicts,
+merged under the sf key — the multi-scale sweep artifact
+(``for sf in 0.001 0.01 0.1: CHECK_JSON=SWEEP.json ...``).
 """
 
 from __future__ import annotations
 
 import hashlib
+import json
+import os
 import sys
 import time
 
@@ -69,6 +75,7 @@ def main() -> int:
     queries = entry.queries()
     oracles = entry.oracle_sql()
     n_pass = n_fail = n_rows_only = 0
+    results: dict[str, str] = {}
     from knetminer_etl_spark.runtime.session import release_pinned_rdds
 
     for name, fn in sorted(queries.items()):
@@ -84,10 +91,12 @@ def main() -> int:
             release_pinned_rdds(spark)
         except Exception as e:
             print(f"FAIL  {name}: spark error: {str(e)[:300]}")
+            results[name] = "spark_error"
             n_fail += 1
             continue
         if name not in oracles:
             print(f"ROWS  {name}: {len(srows)} rows (no oracle) [{time.time()-t0:.1f}s]")
+            results[name] = f"rows_only:{len(srows)}"
             n_rows_only += 1
             continue
         try:
@@ -96,11 +105,13 @@ def main() -> int:
             orows = cur.fetchall()
         except Exception as e:
             print(f"FAIL  {name}: duckdb error: {str(e)[:300]}")
+            results[name] = "duckdb_error"
             n_fail += 1
             continue
         sh, sn = frame_hash(scols, srows)
         oh, on = frame_hash(ocols, orows)
         ok = (sorted(scols) == sorted(ocols)) and sh == oh and sn == on
+        results[name] = "pass" if ok else "fail"
         status = "PASS " if ok else "FAIL "
         print(
             f"{status} {name}: spark {sn} rows/{sh} vs oracle {on} rows/{oh} "
@@ -128,6 +139,21 @@ def main() -> int:
         else:
             n_pass += 1
     print(f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only")
+    art = os.environ.get("CHECK_JSON")
+    if art:
+        merged = {}
+        if os.path.exists(art):
+            with open(art) as fh:
+                merged = json.load(fh)
+        sf_key = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+        merged.setdefault(sf_key, {}).update(results)
+        merged[sf_key + "_summary"] = (
+            f"{sum(v == 'pass' for v in merged[sf_key].values())} pass / "
+            f"{len(merged[sf_key])} checked"
+        )
+        with open(art, "w") as fh:
+            json.dump(merged, fh, indent=1)
+            fh.write("\n")
     return 1 if n_fail else 0
 
 
