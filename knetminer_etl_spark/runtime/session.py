@@ -26,18 +26,29 @@ _DEFAULT_CONF = {
 }
 
 
+def _resolve_master(master: str | None) -> str:
+    """Explicit master, else ``$SPARK_MASTER`` (the URL
+    scripts/slurm/spark-cluster-start.sh tracks for a standalone
+    cluster), else ``local[N]`` with N from ``$SPARK_GRAFT_CPUS``."""
+    if master is not None:
+        return master
+    env = os.environ.get("SPARK_MASTER")
+    if env:
+        return env
+    return f"local[{os.environ.get('SPARK_GRAFT_CPUS', '*')}]"
+
+
 def get_session(
     app_name: str = "knetminer-etl-spark",
     master: str | None = None,
     conf: dict[str, Any] | None = None,
 ) -> SparkSession:
-    """Build/get a session. ``master`` defaults to ``local[N]`` with N from
-    ``$SPARK_GRAFT_CPUS`` (fallback: all cores) when no cluster master is
-    configured in the environment."""
+    """Build/get a session. ``master`` falls back to ``$SPARK_MASTER``
+    (the URL scripts/slurm/spark-cluster-start.sh tracks for a
+    standalone cluster), then to ``local[N]`` with N from
+    ``$SPARK_GRAFT_CPUS`` (fallback: all cores)."""
     builder = SparkSession.builder.appName(app_name)
-    if master is None and "SPARK_MASTER" not in os.environ:
-        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
-        master = f"local[{cpus}]"
+    master = _resolve_master(master)
     if master:
         builder = builder.master(master)
     merged = dict(_DEFAULT_CONF)
