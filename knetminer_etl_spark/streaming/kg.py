@@ -73,8 +73,12 @@ def merge_triples_batch(
     old = pg_path.rstrip("/") + "._old"
     shutil.rmtree(tmp, ignore_errors=True)
     merged.write.mode("overwrite").parquet(tmp)  # reads old, writes new dir
-    shutil.rmtree(old, ignore_errors=True)
+    # swap ordering invariant: a COMPLETE durable store exists at every
+    # crash point — ``._old`` is only removed after the new store holds
+    # the canonical path (a crash in between re-merges the replayed
+    # batch idempotently on recovery)
     if os.path.exists(pg_path):
+        shutil.rmtree(old, ignore_errors=True)
         os.rename(pg_path, old)
     os.rename(tmp, pg_path)
     shutil.rmtree(old, ignore_errors=True)

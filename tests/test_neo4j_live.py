@@ -12,6 +12,19 @@ Without either — or without the ``neo4j`` driver — every test here
 SKIPS (never fails): the deterministic loader behavior is covered
 DB-free by test_neo4j_fake_integration.py; this module only proves the
 socket path.
+
+One-shot recipe (any machine with Docker; this build sandbox has the
+docker CLI but no daemon and no ``neo4j`` package, so the suite has
+not executed here — CI runs it via the ``neo4j-live`` service-container
+job in .github/workflows/ci.yml):
+
+    docker run -d --name neo4j-live -p 7687:7687 \
+        -e NEO4J_AUTH=neo4j/testpassword neo4j:5
+    pip install 'neo4j>=5'
+    NEO4J_URI=bolt://localhost:7687 NEO4J_USER=neo4j \
+        NEO4J_PASSWORD=testpassword \
+        python -m pytest tests/test_neo4j_live.py -q -m integration
+    docker rm -f neo4j-live
 """
 
 from __future__ import annotations

@@ -90,3 +90,48 @@ def test_restarted_stream_is_idempotent(spark, tmp_path):
 
     expected = triples_to_pg(_customer_mapper().to_triples(customer))
     assertDataFrameEqual(_canon(read_kg(spark, pg_path)), _canon(expected))
+
+
+def test_merge_crash_window_recovery_and_transient_error_propagation(
+    spark, tmp_path
+):
+    """The staged-swap merge must (a) recover a store stranded at the
+    `._old` crash point (new store staged, old renamed away, final
+    rename never happened), and (b) surface a real read failure instead
+    of silently resetting the accumulated store to the current delta."""
+    import os
+    import shutil
+
+    from knetminer_etl_spark.streaming.kg import merge_triples_batch
+
+    customer = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    mapper = _customer_mapper()
+    pg_path = str(tmp_path / "pg.parquet")
+
+    first = customer.filter("c_custkey % 2 = 0")
+    second = customer.filter("c_custkey % 2 = 1")
+    merge_triples_batch(spark, mapper.to_triples(first), pg_path)
+    n_first = read_kg(spark, pg_path).count()
+
+    # simulate the crash window: current store renamed to ._old, no new
+    # store in place
+    os.rename(pg_path, pg_path + "._old")
+    merge_triples_batch(spark, mapper.to_triples(second), pg_path)
+    merged = read_kg(spark, pg_path)
+    # both batches present: recovery read ._old, then the swap landed
+    assert merged.count() > n_first
+    assert not os.path.exists(pg_path + "._old")
+    assert not os.path.exists(pg_path + "._tmp")
+    expected = triples_to_pg(mapper.to_triples(customer))
+    assertDataFrameEqual(_canon(merged), _canon(expected))
+
+    # a CORRUPT store must raise, not be silently overwritten
+    shutil.rmtree(pg_path)
+    os.makedirs(pg_path)
+    with open(os.path.join(pg_path, "part-00000.parquet"), "w") as fh:
+        fh.write("this is not parquet")
+    before = set(os.listdir(pg_path))
+    with pytest.raises(Exception):
+        merge_triples_batch(spark, mapper.to_triples(second), pg_path)
+        read_kg(spark, pg_path).count()  # force the lazy read if needed
+    assert set(os.listdir(pg_path)) == before  # store untouched
