@@ -54,6 +54,35 @@ def test_unset_master_without_default_raises():
         load_config(os.path.join(SCRIPTS, "cluster-config.yaml"), env={})
 
 
+def test_staging_dir_is_stable_per_app_and_cleaned_at_exit(spark, monkeypatch):
+    """runtime.checkpoint.staging_dir: same (app, keys) → same path
+    (repeat invocations overwrite, no per-call mkdtemp leak); local
+    roots registered for interpreter-exit removal exactly once; a
+    configured shared root is returned verbatim and never registered
+    for local cleanup."""
+    from knetminer_etl_spark.runtime import checkpoint as CK
+
+    a = CK.staging_dir(spark, "stage-x", "k1")
+    b = CK.staging_dir(spark, "stage-x", "k1")
+    assert a == b and os.path.isdir(a)
+    assert spark.sparkContext.applicationId in a
+    root = a[: a.index(spark.sparkContext.applicationId)] + \
+        spark.sparkContext.applicationId
+    assert root in CK._STAGING_CLEANUP
+    n_before = len(CK._STAGING_CLEANUP)
+    CK.staging_dir(spark, "stage-y")
+    assert len(CK._STAGING_CLEANUP) == n_before  # one hook per root
+
+    spark.conf.set("spark.knetminer.stagingDir", "/shared/warehouse/tmp")
+    try:
+        shared = CK.staging_dir(spark, "stage-x", "k1")
+        assert shared.startswith("/shared/warehouse/tmp")
+        assert not any(r.startswith("/shared") for r in CK._STAGING_CLEANUP)
+        assert not os.path.exists(shared)  # remote path: never mkdir'd locally
+    finally:
+        spark.conf.unset("spark.knetminer.stagingDir")
+
+
 def test_spark_master_env_reaches_builder(monkeypatch):
     """Master resolution must pick up $SPARK_MASTER when no explicit
     master is passed — the contract the tracked master-url file relies
