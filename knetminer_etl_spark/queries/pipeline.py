@@ -1215,6 +1215,63 @@ QUERIES.update({"embedding_semantic_dedup": embedding_semantic_dedup})
 ORACLES.update({"embedding_semantic_dedup": EMBEDDING_SEMANTIC_DEDUP_SQL})
 
 
+def embedding_semantic_dedup_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """:func:`embedding_semantic_dedup` with the operator's
+    ``n_clusters="auto"`` mode: k = max(8, ⌊√n⌋) scales the cluster
+    count with the corpus (SemDeDup's k grows with N; 8 is a
+    toy-constant pin for the fixed-k oracle). The oracle computes the
+    identical k from its own COUNT(*) — the draw stays deterministic
+    because centroids are the k smallest (md5(id), id) rows whatever
+    k is."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    planted = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"),
+        F.transform(
+            F.col("embedding"), lambda x: x.cast("double") + F.lit(0.03)
+        ).alias("embedding"),
+    )
+    corpus = emb.select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+    ).unionByName(planted)
+    return DD.semantic_dedup(
+        corpus, n_clusters="auto", threshold=0.95
+    ).orderBy("vec_id")
+
+
+# same program as the pinned-k oracle with the centroid draw bounded by
+# a computed k (floor(sqrt(n)), floored at 8) instead of LIMIT 8 — the
+# +1e-9 nudge guards float-sqrt landing just under an exact square,
+# where Python's integer isqrt would round up
+EMBEDDING_SEMANTIC_DEDUP_AUTO_SQL = EMBEDDING_SEMANTIC_DEDUP_SQL.replace(
+    """cent AS (
+  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
+           AS cidx, v
+  FROM (SELECT * FROM corpus
+        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8)
+),""",
+    """kk AS (
+  SELECT GREATEST(8, CAST(FLOOR(SQRT(COUNT(*) * 1.0) + 1e-9) AS INT)) AS k
+  FROM corpus
+),
+cent AS (
+  SELECT cidx, v FROM (
+    SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+             - 1 AS cidx, v
+    FROM corpus) s
+  WHERE s.cidx < (SELECT k FROM kk)
+),""",
+)
+assert "kk AS" in EMBEDDING_SEMANTIC_DEDUP_AUTO_SQL  # replace() must hit
+
+QUERIES.update({"embedding_semantic_dedup_auto": embedding_semantic_dedup_auto})
+ORACLES.update(
+    {"embedding_semantic_dedup_auto": EMBEDDING_SEMANTIC_DEDUP_AUTO_SQL}
+)
+
+
 # ---------------------------------------------------------------------------
 # HTML boilerplate extraction
 # ---------------------------------------------------------------------------
