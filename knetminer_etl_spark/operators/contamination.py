@@ -111,3 +111,74 @@ def decontaminate(
         F.col("n_hits") > max_hits
     )
     return train.join(flagged.select(id_col), id_col, "left_anti")
+
+
+def semantic_contamination(
+    train_vecs: DataFrame,
+    test_vecs: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Embedding-level contamination report: for every training vector,
+    the maximum cosine to ANY evaluation vector, and a flag at
+    ``threshold``. The semantic complement of
+    :func:`ngram_contamination` — paraphrased or lightly-reworded test
+    items share no 8-gram but sit at cosine ≈ 1 in embedding space,
+    which is how modern pipelines (e.g. the phi / FineWeb decontamination
+    write-ups) catch benchmark leakage the lexical pass misses.
+
+    Spark shape: the evaluation side is tiny (benchmarks are thousands
+    of items; the corpus is billions), so it BROADCASTS — one corpus
+    scan computes every train×test cosine as a nested-loop over the
+    broadcast relation with a map-side ``max`` partial aggregation, no
+    corpus shuffle at all. Per-row cost is |test| dot products — the
+    brute-force-verify shape; block with :func:`dedup.sign_lsh_band_buckets`
+    upstream if the evaluation side ever stops being broadcastable.
+    Output: ``(id, max_test_cos, contaminated)``, one row per training
+    vector (max_test_cos is NULL-free: an empty test set yields no
+    output rows rather than fabricated zeros — callers treat "no test
+    set" upstream).
+    """
+    from .similarity import _dot, _dvec, _norm
+
+    c = train_vecs.select(
+        F.col(id_col).alias("_id"), _dvec(F.col(vec_col)).alias("_v")
+    ).withColumn("_n", _norm(F.col("_v")))
+    t = test_vecs.select(_dvec(F.col(vec_col)).alias("_tv")).withColumn(
+        "_tn", _norm(F.col("_tv"))
+    )
+    return (
+        c.join(F.broadcast(t))
+        .select(
+            "_id",
+            F.round(
+                _dot(F.col("_v"), F.col("_tv"))
+                / (F.col("_n") * F.col("_tn")),
+                6,
+            ).alias("_cos"),
+        )
+        .groupBy("_id")
+        .agg(F.max("_cos").alias("max_test_cos"))
+        .select(
+            F.col("_id").alias(id_col),
+            "max_test_cos",
+            (F.col("max_test_cos") >= F.lit(threshold)).alias("contaminated"),
+        )
+    )
+
+
+def semantic_decontaminate(
+    train_vecs: DataFrame,
+    test_vecs: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Drop training vectors whose nearest evaluation vector is at
+    cosine ≥ ``threshold`` — left-anti join against the flagged id set
+    (small; AQE broadcasts it), mirroring :func:`decontaminate`."""
+    flagged = semantic_contamination(
+        train_vecs, test_vecs, id_col, vec_col, threshold
+    ).filter(F.col("contaminated"))
+    return train_vecs.join(flagged.select(id_col), id_col, "left_anti")

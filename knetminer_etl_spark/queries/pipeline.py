@@ -1273,6 +1273,75 @@ ORACLES.update(
 
 
 # ---------------------------------------------------------------------------
+# Semantic (embedding-level) decontamination
+# ---------------------------------------------------------------------------
+
+
+def embedding_semantic_decontamination(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Embedding-level benchmark-leak report
+    (operators/contamination.semantic_contamination): train = vectors
+    with ``vec_id % 10 != 7``; eval = the %10==7 held-out slice PLUS
+    planted paraphrase leaks — perturbed (+0.02) copies of the %10==3
+    train vectors — so the flag has true positives (the %10==3 rows sit
+    at cos ≈ 0.98 to their planted eval twin) the lexical n-gram pass
+    could never see. The oracle replays the identical split, planting,
+    and max-cosine fold."""
+    from ..operators import contamination as CT
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+    )
+    train = emb.filter(F.col("vec_id") % 10 != 7)
+    leaks = emb.filter(F.col("vec_id") % 10 == 3).select(
+        (F.col("vec_id") + 20_000_000).alias("vec_id"),
+        F.transform(F.col("embedding"), lambda x: x + F.lit(0.02)).alias(
+            "embedding"
+        ),
+    )
+    test = emb.filter(F.col("vec_id") % 10 == 7).unionByName(leaks)
+    return CT.semantic_contamination(
+        train, test, threshold=0.95
+    ).orderBy("vec_id")
+
+
+EMBEDDING_SEMANTIC_DECON_SQL = f"""
+WITH emb AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+),
+train AS (SELECT vec_id, v FROM emb WHERE vec_id % 10 != 7),
+test AS (
+  SELECT v FROM emb WHERE vec_id % 10 = 7
+  UNION ALL
+  SELECT list_transform(v, x -> x + 0.02) FROM emb WHERE vec_id % 10 = 3
+)
+SELECT t.vec_id,
+       max(round({_DOT.format(a='t.v', b='s.v')}
+                 / (sqrt({_DOT.format(a='t.v', b='t.v')})
+                    * sqrt({_DOT.format(a='s.v', b='s.v')})), 6))
+         AS max_test_cos,
+       max(round({_DOT.format(a='t.v', b='s.v')}
+                 / (sqrt({_DOT.format(a='t.v', b='t.v')})
+                    * sqrt({_DOT.format(a='s.v', b='s.v')})), 6)) >= 0.95
+         AS contaminated
+FROM train t CROSS JOIN test s
+GROUP BY t.vec_id
+ORDER BY t.vec_id
+"""
+
+QUERIES.update(
+    {"embedding_semantic_decontamination": embedding_semantic_decontamination}
+)
+ORACLES.update(
+    {"embedding_semantic_decontamination": EMBEDDING_SEMANTIC_DECON_SQL}
+)
+
+
+# ---------------------------------------------------------------------------
 # HTML boilerplate extraction
 # ---------------------------------------------------------------------------
 

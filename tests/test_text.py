@@ -263,6 +263,47 @@ class TestContamination:
         out = CT.ngram_contamination(train, test, n=8).collect()
         assert len(out) == 1 and out[0]["n_hits"] == 1
 
+    def test_semantic_contamination_catches_paraphrase_leak(self, spark):
+        """An eval item that shares NO n-gram with a train item but sits
+        at cosine ≈ 1 must be flagged by the semantic pass and missed by
+        the lexical one — the reason both exist."""
+        import numpy as np
+
+        from knetminer_etl_spark.operators import contamination as CT
+
+        rng = np.random.default_rng(11)
+        vecs = rng.normal(size=(4, 8))
+        vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+        train = spark.createDataFrame(
+            [(i, [float(x) for x in vecs[i]]) for i in range(4)],
+            "vec_id long, embedding array<double>",
+        )
+        # eval = a lightly-perturbed copy of train vector 2 + an
+        # unrelated vector
+        leak = vecs[2] + 0.01 * rng.normal(size=8)
+        other = rng.normal(size=8)
+        test = spark.createDataFrame(
+            [
+                (100, [float(x) for x in leak / np.linalg.norm(leak)]),
+                (101, [float(x) for x in other / np.linalg.norm(other)]),
+            ],
+            "vec_id long, embedding array<double>",
+        )
+        out = {
+            r["vec_id"]: r
+            for r in CT.semantic_contamination(
+                train, test, threshold=0.95
+            ).collect()
+        }
+        assert len(out) == 4  # one row per train vector
+        assert out[2]["contaminated"] is True
+        assert out[2]["max_test_cos"] >= 0.99
+        for i in (0, 1, 3):
+            assert out[i]["contaminated"] is False
+        kept = CT.semantic_decontaminate(train, test, threshold=0.95)
+        assert sorted(r["vec_id"] for r in kept.collect()) == [0, 1, 3]
+        assert kept.columns == ["vec_id", "embedding"]
+
 
 class TestChunkDocuments:
     def _df(self, spark, text):
