@@ -58,6 +58,9 @@ CHECK_QUERIES = [
     "embedding_semantic_dedup_km",
     "doc_span_scrub",
     "doc_span_scrub_hashed",
+    # round-5 operators
+    "embedding_semantic_dedup_auto",
+    "embedding_semantic_decontamination",
     "doc_html_extract",
     "kg_shortest_costs",
     "kg_closure_counts",
