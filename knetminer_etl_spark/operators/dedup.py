@@ -935,6 +935,7 @@ def semantic_dedup(
     n_bands: int = 32,
     seed: int = 0x5EED,
     direct_max: int = 5_000,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication over an embedding column
     (Abbas et al. 2023, "SemDeDup: Data-efficient learning at web-scale
@@ -976,25 +977,53 @@ def semantic_dedup(
 
     ``n_clusters="auto"`` scales the cluster count with the corpus
     (⌈√n⌉, floor 8) — the paper's k grows with N; the int form stays
-    for oracle-pinned runs. Output: ``(id, cluster, keep)``, one row
-    per input.
+    for oracle-pinned runs. Pass ``centroids`` (driver-held list) to
+    skip the draw entirely — the frozen-model-state form the
+    incremental index (:func:`semantic_band_rows` /
+    :func:`incremental_semantic_pairs`) shares so batch and streaming
+    agree. Output: ``(id, cluster, keep)``, one row per input.
     """
-    from .similarity import _dot, _norm
-
     import math
 
     vecs = df.select(
         F.col(id_col).alias("_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
     )
-    if n_clusters == "auto":
-        n_clusters = max(8, int(math.isqrt(vecs.count())))
-    cent_rows = (
-        vecs.orderBy(F.md5(F.col("_id").cast("string")), "_id")
-        .limit(n_clusters)
-        .collect()
-    )  # bounded: n_clusters × dim — driver-held model state
-    cents = [list(r["_v"]) for r in cent_rows]
+    if centroids is None:
+        if n_clusters == "auto":
+            n_clusters = max(8, int(math.isqrt(vecs.count())))
+        cent_rows = (
+            vecs.orderBy(F.md5(F.col("_id").cast("string")), "_id")
+            .limit(n_clusters)
+            .collect()
+        )  # bounded: n_clusters × dim — driver-held model state
+        centroids = [list(r["_v"]) for r in cent_rows]
+    return _semantic_keep(
+        _cosine_assign_staged(df, id_col, vec_col, centroids),
+        id_col,
+        threshold,
+        n_planes,
+        n_bands,
+        seed,
+        direct_max,
+    )
+
+
+def _cosine_assign_staged(
+    df: DataFrame, id_col: str, vec_col: str, cents: list[list[float]]
+) -> DataFrame:
+    """``(_id, _v, _n, cluster)``: argmax-cosine assignment to a
+    driver-held centroid list (6-dp rounding; ties → lowest index) as a
+    narrow map with literal centroids — the md5-variant assignment rule
+    shared by batch :func:`semantic_dedup` and the incremental index."""
+    import math
+
+    from .similarity import _dot, _norm
+
+    vecs = df.select(
+        F.col(id_col).alias("_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
+    )
     # centroid norms are constants: fold them driver-side (plain sum() is
     # the same 0+x0+x1… left fold both engines run, so the value is
     # bit-identical to an in-plan sqrt(aggregate)) instead of re-running
@@ -1002,7 +1031,7 @@ def semantic_dedup(
     cnorms = [math.sqrt(sum(x * x for x in c)) for c in cents]
 
     # the row norm is shared by all centroid cosines AND both verify join
-    # sides below: one materialized column, not 2+n_clusters folds
+    # sides downstream: one materialized column, not 2+n_clusters folds
     nvecs = vecs.withColumn("_n", _norm(F.col("_v")))
 
     def _cos_to(c: list[float], cn: float) -> Column:
@@ -1019,16 +1048,112 @@ def semantic_dedup(
             ]
         )
     )
-    return _semantic_keep(
-        nvecs.select(
-            "_id", "_v", "_n", (-best["negidx"]).cast("int").alias("cluster")
-        ),
-        id_col,
-        threshold,
-        n_planes,
-        n_bands,
-        seed,
-        direct_max,
+    return nvecs.select(
+        "_id", "_v", "_n", (-best["negidx"]).cast("int").alias("cluster")
+    )
+
+
+def semantic_band_rows(
+    df: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 10,
+    n_bands: int = 32,
+    seed: int = 0x5EED,
+) -> DataFrame:
+    """``(id, cluster, band, bucket)``: the persistable semantic-dedup
+    blocking index of a batch under FIXED driver-held centroids — the
+    embedding analogue of :func:`minhash_band_rows`. Frozen model state
+    (centroids fit once, offline or on the first batch) is what makes
+    the index stable across a stream: every batch assigns and bands
+    identically, so bucket collisions mean the same thing forever."""
+    staged = _cosine_assign_staged(df, id_col, vec_col, centroids)
+    return (
+        staged.select(
+            F.col("_id").alias(id_col),
+            "cluster",
+            F.posexplode_outer(
+                sign_lsh_band_buckets("_v", n_planes, n_bands, seed)
+            ).alias("band", "bucket"),
+        )
+        .filter(F.col("bucket").isNotNull())
+    )
+
+
+def incremental_semantic_pairs(
+    new_vecs: DataFrame,
+    old_index: DataFrame,
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_planes: int = 10,
+    n_bands: int = 32,
+    seed: int = 0x5EED,
+) -> DataFrame:
+    """Verified semantic near-dup pairs INVOLVING a new batch, against a
+    previously saved :func:`semantic_band_rows` index — the embedding
+    analogue of :func:`incremental_minhash_pairs`: each batch assigns
+    and bands only itself, joins the bounded index relation, and never
+    re-pairs old-vs-old. ``prior pairs ∪ incremental pairs`` equals the
+    banded full-corpus pair set exactly (pinned in tests/test_dedup.py
+    against :func:`semantic_dedup` with the same frozen centroids),
+    because assignment and banding are deterministic under frozen model
+    state and candidates split cleanly into new-new (in-batch bucket
+    combinations) + new-old (an equi-join on (cluster, band, bucket)).
+
+    ``corpus`` supplies vectors for exact-cosine verification (new +
+    any old vector that became a candidate). ``old_index`` rows for ids
+    also present in ``new_vecs`` are ignored (re-ingestion safe). At
+    100 TB the per-refresh cost is O(batch + matched buckets), not
+    O(corpus). Output: ``(id_a, id_b, cosine)`` with id_a < id_b.
+    """
+    from .similarity import _dot, _dvec, _norm
+
+    new_bands = semantic_band_rows(
+        new_vecs, centroids, id_col, vec_col, n_planes, n_bands, seed
+    ).localCheckpoint(eager=True)  # reused by both candidate branches
+    new_new = candidate_pairs_from_buckets(
+        new_bands, ["cluster", "band", "bucket"], id_col=id_col
+    )
+    new_ids = new_bands.select(id_col).distinct()
+    old = (
+        old_index.join(new_ids, on=id_col, how="left_anti")
+        .select(F.col(id_col).alias("_old_id"), "cluster", "band", "bucket")
+    )
+    new_old = (
+        new_bands.join(old, on=["cluster", "band", "bucket"])
+        .select(
+            F.least(F.col(id_col), F.col("_old_id")).alias("id_a"),
+            F.greatest(F.col(id_col), F.col("_old_id")).alias("id_b"),
+        )
+        .distinct()
+    )
+    cands = new_new.unionByName(new_old).distinct()
+    vv = corpus.select(
+        F.col(id_col).alias("_vid"), _dvec(F.col(vec_col)).alias("_v")
+    ).withColumn("_n", _norm(F.col("_v")))
+    va = vv.select(
+        F.col("_vid").alias("id_a"), F.col("_v").alias("v_a"), F.col("_n").alias("n_a")
+    )
+    vb = vv.select(
+        F.col("_vid").alias("id_b"), F.col("_v").alias("v_b"), F.col("_n").alias("n_b")
+    )
+    return (
+        cands.join(va, on="id_a")
+        .join(vb, on="id_b")
+        .withColumn(
+            "cosine",
+            F.round(
+                _dot(F.col("v_a"), F.col("v_b"))
+                / (F.col("n_a") * F.col("n_b")),
+                6,
+            ),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
     )
 
 

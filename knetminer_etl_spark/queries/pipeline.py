@@ -1341,6 +1341,92 @@ ORACLES.update(
 )
 
 
+def embedding_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic near-dup pairs INVOLVING the latest ingest batch (the
+    planted +0.03 twins, ids ≥ 10M), found incrementally: the batch
+    assigns/bands only itself under FROZEN centroids and joins the
+    prior corpus's saved semantic band index — old-vs-old is never
+    re-paired (operators/dedup.incremental_semantic_pairs; union
+    equality with the full banded run pinned in tests). Oracle = exact
+    same-cluster cosine ≥ 0.95 restricted to pairs touching the batch
+    (id_b ≥ 10M suffices: planted ids are the max), exact up to the
+    1.4e-6 per-pair LSH miss probability at this threshold."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    old = emb.select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+    )
+    new = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"),
+        F.transform(
+            F.col("embedding"), lambda x: x.cast("double") + F.lit(0.03)
+        ).alias("embedding"),
+    )
+    corpus = old.unionByName(new)
+    # frozen model state: the full-corpus md5 draw (what a first
+    # offline fit would have pinned); the oracle replays the same draw
+    cents = [
+        list(r["embedding"])
+        for r in corpus.orderBy(
+            F.md5(F.col("vec_id").cast("string")), "vec_id"
+        ).limit(8).collect()
+    ]
+    index = DD.semantic_band_rows(old, cents)
+    return DD.incremental_semantic_pairs(
+        new, index, corpus, cents, threshold=0.95
+    ).orderBy("id_a", "id_b")
+
+
+EMBEDDING_INCREMENTAL_DEDUP_SQL = f"""
+WITH corpus AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+  FROM embeddings
+  UNION ALL
+  SELECT vec_id + 10000000,
+         list_transform(embedding, x -> x::DOUBLE + 0.03)
+  FROM embeddings WHERE vec_id % 10 = 0
+),
+cent AS (
+  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
+           AS cidx, v
+  FROM (SELECT * FROM corpus
+        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8)
+),
+scored AS (
+  SELECT c.vec_id, cent.cidx,
+         round({_DOT.format(a='c.v', b='cent.v')}
+               / (sqrt({_DOT.format(a='c.v', b='c.v')})
+                  * sqrt({_DOT.format(a='cent.v', b='cent.v')})), 6) AS cos
+  FROM corpus c CROSS JOIN cent
+),
+assigned AS (
+  SELECT vec_id, cidx AS cluster FROM (
+    SELECT vec_id, cidx,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY cos DESC, cidx) AS rn
+    FROM scored) WHERE rn = 1
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round({_DOT.format(a='av.v', b='bv.v')}
+             / (sqrt({_DOT.format(a='av.v', b='av.v')})
+                * sqrt({_DOT.format(a='bv.v', b='bv.v')})), 6) AS cosine
+FROM assigned a
+JOIN assigned b ON b.cluster = a.cluster AND b.vec_id > a.vec_id
+JOIN corpus av ON av.vec_id = a.vec_id
+JOIN corpus bv ON bv.vec_id = b.vec_id
+WHERE b.vec_id >= 10000000
+  AND round({_DOT.format(a='av.v', b='bv.v')}
+            / (sqrt({_DOT.format(a='av.v', b='av.v')})
+               * sqrt({_DOT.format(a='bv.v', b='bv.v')})), 6) >= 0.95
+ORDER BY id_a, id_b
+"""
+
+QUERIES.update({"embedding_incremental_dedup": embedding_incremental_dedup})
+ORACLES.update({"embedding_incremental_dedup": EMBEDDING_INCREMENTAL_DEDUP_SQL})
+
+
 # ---------------------------------------------------------------------------
 # HTML boilerplate extraction
 # ---------------------------------------------------------------------------

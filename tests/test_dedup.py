@@ -429,6 +429,74 @@ class TestSemanticDedup:
         )
         assert km_direct == km_banded
 
+    def test_incremental_pairs_union_equals_full_banded_run(self, spark):
+        """Ingesting the corpus in three batches against a persisted
+        semantic_band_rows index must yield, in union, exactly the drop
+        set of the full-corpus banded run under the same frozen
+        centroids — the prior ∪ incremental == full contract of the
+        MinHash incremental path, for embeddings."""
+        from pyspark.sql import functions as F
+
+        from knetminer_etl_spark.operators.dedup import (
+            incremental_semantic_pairs,
+            semantic_band_rows,
+            semantic_dedup,
+        )
+
+        base = self._emb(spark, n=30)
+        twins = base.filter("vec_id < 8").selectExpr(
+            "vec_id + 1000 AS vec_id",
+            "transform(embedding, x -> x + 0.002) AS embedding",
+        )
+        corpus = base.unionByName(twins)
+        # frozen model state: any fixed centroid list works — use the
+        # same md5 draw the batch operator would make
+        cents = [
+            list(r["embedding"])
+            for r in corpus.orderBy(
+                F.md5(F.col("vec_id").cast("string")), "vec_id"
+            ).limit(4).collect()
+        ]
+        full = semantic_dedup(
+            corpus, threshold=0.95, centroids=cents, direct_max=0
+        )
+        full_dropped = {r["vec_id"] for r in full.collect() if not r["keep"]}
+
+        batches = [
+            corpus.filter("vec_id % 3 = 0"),
+            corpus.filter("vec_id % 3 = 1"),
+            corpus.filter("vec_id % 3 = 2"),
+        ]
+        index = None
+        pairs = []
+        for b in batches:
+            old = (
+                index
+                if index is not None
+                else spark.createDataFrame(
+                    [], "vec_id long, cluster int, band int, bucket long"
+                )
+            )
+            pairs.extend(
+                incremental_semantic_pairs(
+                    b, old, corpus, cents, threshold=0.95
+                ).collect()
+            )
+            bands = semantic_band_rows(b, cents)
+            index = bands if index is None else index.unionByName(bands)
+            index = index.localCheckpoint(eager=True)
+        inc_dropped = {r["id_b"] for r in pairs}
+        assert inc_dropped == full_dropped
+        assert full_dropped  # the planted twins produced drops
+
+        # re-ingestion safety: replaying batch 0 against the full index
+        # adds no new pairs beyond what its first arrival produced
+        replay = incremental_semantic_pairs(
+            batches[0], index, corpus, cents, threshold=0.95
+        ).collect()
+        seen = {(r["id_a"], r["id_b"]) for r in pairs}
+        assert {(r["id_a"], r["id_b"]) for r in replay} <= seen
+
     def test_auto_n_clusters_scales_with_corpus(self, spark):
         from knetminer_etl_spark.operators.dedup import semantic_dedup
 
