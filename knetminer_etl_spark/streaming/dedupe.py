@@ -56,11 +56,26 @@ def read_document_stream(
     )
 
 
+def _state_exists(spark: SparkSession, path: str) -> bool:
+    """PROBED existence of a state dir — never inferred from a read
+    failure, which would silently treat a transient FS error as 'first
+    batch' and emit an epoch's pairs without the prior index (the
+    streaming/kg.py lesson). Local paths check the filesystem directly;
+    scheme'd paths (hdfs://, s3a://) go through the Hadoop FileSystem."""
+    import os
+
+    if "://" not in path:
+        return os.path.exists(path)
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs.exists(hpath)
+
+
 def _read_or_none(spark: SparkSession, path: str) -> DataFrame | None:
-    try:
-        return spark.read.parquet(path)
-    except Exception:  # first batch: state not created yet
-        return None
+    if not _state_exists(spark, path):
+        return None  # first batch: state not created yet
+    return spark.read.parquet(path)
 
 
 def _write_batch_partition(df: DataFrame, epoch_id: int, path: str) -> None:
@@ -165,3 +180,136 @@ def start_dedup_stream(
 def read_pairs(spark: SparkSession, pairs_path: str) -> DataFrame:
     """All pairs emitted so far (union of batch partitions)."""
     return spark.read.parquet(pairs_path).select("id_a", "id_b", "jaccard")
+
+
+# ---------------------------------------------------------------------------
+# Continuous SEMANTIC (embedding) dedup — the same three-table recipe
+# under frozen centroids (operators/dedup.semantic_band_rows /
+# incremental_semantic_pairs)
+# ---------------------------------------------------------------------------
+
+VECS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def read_vector_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """File-source embedding stream (dir or glob of vectors parquet)."""
+    return (
+        spark.readStream.schema(VECS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def process_semantic_batch(
+    spark: SparkSession,
+    batch: DataFrame,
+    epoch_id: int,
+    index_path: str,
+    vecs_path: str,
+    pairs_path: str,
+    centroids: list[list[float]],
+    threshold: float = 0.95,
+    n_planes: int = 10,
+    n_bands: int = 32,
+    seed: int = 0x5EED,
+) -> None:
+    """One epoch of continuous semantic dedup: emit the verified pairs
+    this batch's arrival created, then extend the band index and vector
+    store (one partition per epoch — idempotent replay). Centroids are
+    FROZEN model state shared by every epoch (fit offline or on the
+    first batch): that is what keeps the persisted index meaningful —
+    every batch assigns and bands identically, so a bucket collision
+    means the same thing at epoch 1 and epoch 10⁶."""
+    from ..operators.dedup import (
+        incremental_semantic_pairs,
+        semantic_band_rows,
+    )
+
+    batch = batch.select("vec_id", "embedding").localCheckpoint(eager=True)
+    batch_ids = batch.select("vec_id")
+    index = _read_or_none(spark, index_path)
+    store = _read_or_none(spark, vecs_path)
+    # corpus for verification: this batch + prior vectors (batch wins on
+    # re-ingestion/replay so duplicate ids can't inflate pair rows)
+    corpus = batch
+    if store is not None:
+        corpus = batch.unionByName(
+            store.select("vec_id", "embedding").join(
+                batch_ids, on="vec_id", how="left_anti"
+            )
+        )
+    if index is None:
+        index = semantic_band_rows(
+            batch.limit(0), centroids, n_planes=n_planes,
+            n_bands=n_bands, seed=seed,
+        )
+    pairs = incremental_semantic_pairs(
+        batch,
+        index.select("vec_id", "cluster", "band", "bucket"),
+        corpus,
+        centroids,
+        threshold=threshold,
+        n_planes=n_planes,
+        n_bands=n_bands,
+        seed=seed,
+    )
+    _write_batch_partition(pairs, epoch_id, pairs_path)
+    _write_batch_partition(
+        semantic_band_rows(
+            batch, centroids, n_planes=n_planes, n_bands=n_bands, seed=seed
+        ),
+        epoch_id,
+        index_path,
+    )
+    _write_batch_partition(batch, epoch_id, vecs_path)
+
+
+def start_semantic_dedup_stream(
+    vec_stream: DataFrame,
+    index_path: str,
+    vecs_path: str,
+    pairs_path: str,
+    checkpoint_path: str,
+    centroids: list[list[float]],
+    threshold: float = 0.95,
+    n_planes: int = 10,
+    n_bands: int = 32,
+    seed: int = 0x5EED,
+    query_name: str = "continuous_semantic_dedup",
+):
+    """Start continuous semantic dedup; returns the StreamingQuery."""
+    spark = vec_stream.sparkSession
+
+    def on_batch(batch: DataFrame, epoch_id: int) -> None:
+        process_semantic_batch(
+            spark,
+            batch,
+            epoch_id,
+            index_path,
+            vecs_path,
+            pairs_path,
+            centroids,
+            threshold,
+            n_planes,
+            n_bands,
+            seed,
+        )
+
+    return (
+        vec_stream.writeStream.foreachBatch(on_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .queryName(query_name)
+        .start()
+    )
+
+
+def read_semantic_pairs(spark: SparkSession, pairs_path: str) -> DataFrame:
+    """All semantic pairs emitted so far (union of batch partitions)."""
+    return spark.read.parquet(pairs_path).select("id_a", "id_b", "cosine")
