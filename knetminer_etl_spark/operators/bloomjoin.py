@@ -97,8 +97,12 @@ def might_contain(
     """Membership test as a pure Column expression over the literal word
     table — evaluates at scan speed, pushes below any downstream
     shuffle. Never false on a key that was inserted."""
-    lut = F.array(*[F.lit(int(w)) for w in words])
-    masks = F.array(*[F.lit(m) for m in _BIT_MASKS])
+    # single array LITERALS (not a 1024-child CreateArray): one foldable
+    # expression node, so codegen stays small and element_at reads a
+    # constant — a CreateArray with n_bits/64 children bloats the
+    # generated method past JIT-friendly size
+    lut = F.lit([int(w) for w in words])
+    masks = F.lit(list(_BIT_MASKS))
     cond: Column | None = None
     for p in _positions(key, n_bits, k, seed):
         word = F.element_at(lut, F.shiftright(p, 6).cast("int") + 1)

@@ -5,6 +5,39 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
+def presentation_sort(df: DataFrame, *cols) -> DataFrame:
+    """Deterministic global order for a BOUNDED result set without the
+    range-sampling double evaluation.
+
+    ``orderBy`` plans a range exchange whose ``RangePartitioner`` first
+    runs a full sampling pass over the child — a heavy narrow chain
+    (regex scrubbing, higher-order array functions) directly under the
+    sort is therefore computed TWICE. For presentation sorts of bounded
+    outputs (per-doc audit rows, top-k tables — anything a user would
+    actually ORDER BY for display) a single-partition sort computes the
+    chain once: one round-robin exchange of the *result* rows, then an
+    in-partition sort. Use only where the result is known-bounded; a
+    genuinely large output should keep ``orderBy`` so the sort itself
+    distributes.
+    """
+    return df.repartition(1).sortWithinPartitions(*cols)
+
+
+def pinned_sort(df: DataFrame, *cols) -> DataFrame:
+    """Global ``orderBy`` over a heavy chain without evaluating it twice.
+
+    A range exchange's ``RangePartitioner`` runs a full sampling pass
+    over its child before the sort pass — a heavy narrow chain (regex
+    scrubbing, higher-order array functions) directly under an
+    ``orderBy`` is computed twice. Pinning the computed result first
+    (``localCheckpoint``) makes the sampling pass read materialized
+    blocks instead, while the sort itself stays distributed — unlike a
+    single-partition presentation sort, this keeps working when the
+    output is corpus-sized (per-document audit rows at 100 TB).
+    """
+    return df.localCheckpoint(eager=True).orderBy(*cols)
+
+
 def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """Repartition up to cluster parallelism when the input arrived
     under-split (e.g. one small parquet file → one partition).

@@ -17,6 +17,7 @@ from ..operators import contamination as CT
 from ..operators import sampling as SP
 from ..operators import packing as PK
 from ..operators import text as TX
+from ..operators import util as UT
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -122,7 +123,7 @@ def doc_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         F.array_join("fail_reasons", "|").alias("fail_reasons"),
         "passes",
-    ).orderBy("doc_id")
+    ).transform(lambda d: UT.pinned_sort(d, "doc_id"))
 
 
 _TOKS = "list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')"
@@ -211,7 +212,10 @@ def doc_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5(TX.redact_pii(F.col("aug"))).alias("redacted_md5"),
         )
         .filter("n_urls + n_emails + n_ips + n_phones > 0")
-        .orderBy("doc_id")
+        # presentation_sort, not orderBy: the 8-pass regex chain sits
+        # directly under the sort, and a range exchange's sampling pass
+        # would run it twice (measured ~2x on this query)
+        .transform(lambda d: UT.pinned_sort(d, "doc_id"))
     )
 
 
@@ -275,7 +279,7 @@ def doc_context_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = PK.with_pack_windows(docs, "doc_id", "n_tokens", _PACK_W)
     return out.select(
         "doc_id", "n_tokens", "start_offset", "first_window", "last_window", "n_windows"
-    ).orderBy("doc_id")
+    ).transform(lambda d: UT.pinned_sort(d, "doc_id"))
 
 
 DOC_CONTEXT_WINDOWS_SQL = f"""
@@ -319,7 +323,7 @@ def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dup_5gram_char_frac",
         F.array_join("fail_reasons", "|").alias("fail_reasons"),
         "passes",
-    ).orderBy("doc_id")
+    ).transform(lambda d: UT.pinned_sort(d, "doc_id"))
 
 
 _NORM_SQL = (
@@ -433,7 +437,7 @@ def doc_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     test = docs.filter(F.col("split") == "test")
     return CT.ngram_contamination(
         train, test, "doc_id", "text", n=_DECON_N
-    ).orderBy("doc_id")
+    ).transform(lambda d: UT.pinned_sort(d, "doc_id"))
 
 
 DOC_DECONTAMINATION_SQL = f"""
@@ -607,7 +611,7 @@ def doc_rag_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         "chunk_idx",
         "n_tokens",
         F.md5("chunk_text").alias("chunk_md5"),
-    ).orderBy("doc_id", "chunk_idx")
+    ).transform(lambda d: UT.pinned_sort(d, "doc_id", "chunk_idx"))
 
 
 DOC_RAG_CHUNKS_SQL = f"""
@@ -723,7 +727,7 @@ def doc_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _docs(spark, sf_dir)
     vocab = LM.unigram_train(docs, vocab_size=_LM_VOCAB)
-    return LM.lm_score(docs, vocab).orderBy("doc_id")
+    return UT.pinned_sort(LM.lm_score(docs, vocab), "doc_id")
 
 
 def _lm_sql() -> str:
@@ -1033,7 +1037,7 @@ def doc_bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     uni = LM.unigram_train(docs, vocab_size=_LM_VOCAB)
     bi = LM.bigram_train(docs, table_size=2000)
-    return LM.bigram_score(docs, uni, bi).orderBy("doc_id")
+    return UT.pinned_sort(LM.bigram_score(docs, uni, bi), "doc_id")
 
 
 def _bigram_lm_sql() -> str:

@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from ..operators import dedup as DD
 from ..operators import similarity as SIM
 from ..operators import text as TX
+from ..operators import util as UT
 from ..streaming import events as EV
 
 # ---------------------------------------------------------------------------
@@ -1463,7 +1464,7 @@ def doc_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.length(clean).cast("int").alias("n_clean"),
             F.md5(clean).alias("clean_md5"),
         )
-        .orderBy("doc_id")
+        .transform(lambda d: UT.pinned_sort(d, "doc_id"))
     )
 
 
@@ -1515,7 +1516,7 @@ def doc_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         "n_removed",
         F.md5("clean_text").alias("clean_md5"),
-    ).orderBy("doc_id")
+    ).transform(lambda d: UT.pinned_sort(d, "doc_id"))
 
 
 def doc_span_scrub_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1531,7 +1532,7 @@ def doc_span_scrub_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         "n_removed",
         F.md5("clean_text").alias("clean_md5"),
-    ).orderBy("doc_id")
+    ).transform(lambda d: UT.pinned_sort(d, "doc_id"))
 
 
 DOC_SPAN_SCRUB_SQL = f"""

@@ -137,9 +137,24 @@ def doc_token_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     undercounts, so ``cms_est >= n_exact`` always — pinned in pytest,
     while the oracle pins the exact counter values.
     """
-    toks = _doc_tokens(spark, sf_dir)
-    top = SK.heavy_hitters(toks, "token", k=10).withColumnRenamed("n", "n_exact")
-    sketch = SK.cms_table(toks, "token", depth=_CMS_D, width=_CMS_W)
+    # tokenize + count ONCE, pin, and derive BOTH the exact top-10 and
+    # the sketch from the (token, n) table: a CMS counter is the sum of
+    # the counts of the tokens hashing into it, so sketching weighted
+    # distinct tokens yields bit-identical counters to sketching every
+    # occurrence — while hashing |vocab| rows instead of |corpus tokens|
+    # and scanning the corpus once instead of twice
+    counts = (
+        _doc_tokens(spark, sf_dir)
+        .groupBy(F.col("token").cast("string").alias("token"))
+        .agg(F.count("*").cast("long").alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    top = (
+        counts.orderBy(F.desc("n"), F.asc("token"))
+        .limit(10)
+        .withColumnRenamed("n", "n_exact")
+    )
+    sketch = SK.cms_table(counts, "token", depth=_CMS_D, width=_CMS_W, weight_col="n")
     est = SK.cms_lookup(sketch, top.select("token"), "token", _CMS_D, _CMS_W)
     return (
         top.join(est, "token")
