@@ -225,7 +225,15 @@ def tfidf_top_terms(
         F.col(id_col),
         F.explode_outer(tokens(normalize_text(F.col(text_col)))).alias("term"),
     ).filter(F.col("term").isNotNull())
-    tf = terms.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    # pin: tf feeds BOTH the df aggregate and the score join — unpinned,
+    # the tokenize + (doc, term) shuffle runs twice (audited: 3 corpus
+    # scans → 1). MEMORY_AND_DISK blocks, so the pin holds at corpus
+    # scale without the executor-memory gamble of .cache().
+    tf = (
+        terms.groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=True)
+    )
     docfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     n_docs = df.select(F.count("*").alias("__n"))
     scored = (

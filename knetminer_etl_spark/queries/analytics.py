@@ -15,9 +15,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..runtime import catalog as CAT
+
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return CAT.read_parquet(spark, f"{sf_dir}/{name}.parquet")
 
 
 # -- Q1-style pricing summary ------------------------------------------------

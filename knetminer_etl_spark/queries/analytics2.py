@@ -486,13 +486,24 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ld = l.join(o, l["l_orderkey"] == o["o_orderkey"]).select(
         "l_orderkey", "l_suppkey", late.alias("late")
     )
-    supp_if = lambda cond: F.when(cond, F.col("l_suppkey"))  # noqa: E731
-    per_order = ld.groupBy("l_orderkey").agg(
-        F.countDistinct(supp_if(F.col("late"))).alias("n_late_supp"),
-        F.max(supp_if(F.col("late"))).alias("late_supp"),
-        F.sum(F.when(F.col("late"), 1).otherwise(0)).alias("late_lines"),
-        F.countDistinct(supp_if(~F.col("late"))).alias("n_ontime_supp"),
-        F.max(supp_if(~F.col("late"))).alias("some_ontime_supp"),
+    # two-level aggregate instead of two conditional countDistincts: a
+    # multi-distinct agg plans an Expand that triples every row through
+    # the shuffle; per-(order, supplier) partials then a plain per-order
+    # roll-up carry each pair once and produce identical values
+    # (the exists/not-exists oracle pins the equivalence)
+    per_os = ld.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max(F.col("late").cast("int")).alias("has_late"),
+        F.max((~F.col("late")).cast("int")).alias("has_ontime"),
+        F.sum(F.when(F.col("late"), 1).otherwise(0)).alias("n_late_lines"),
+    )
+    per_order = per_os.groupBy("l_orderkey").agg(
+        F.sum("has_late").alias("n_late_supp"),
+        F.max(F.when(F.col("has_late") == 1, F.col("l_suppkey"))).alias("late_supp"),
+        F.sum("n_late_lines").alias("late_lines"),
+        F.sum("has_ontime").alias("n_ontime_supp"),
+        F.max(F.when(F.col("has_ontime") == 1, F.col("l_suppkey"))).alias(
+            "some_ontime_supp"
+        ),
     )
     waiting = per_order.filter(
         (F.col("n_late_supp") == 1)

@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..runtime import catalog as CAT
+
 from ..operators import contamination as CT
 from ..operators import sampling as SP
 from ..operators import packing as PK
@@ -21,7 +23,7 @@ from ..operators import util as UT
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return CAT.read_parquet(spark, f"{sf_dir}/documents.parquet")
 
 
 # ---------------------------------------------------------------------------

@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..runtime import catalog as CAT
+
 from ..operators import dedup as DD
 from ..operators import graph as G
 from .pipeline import _SHINGLES_CTE
@@ -26,7 +28,7 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-pairs Jaccard, which the LSH pair set reproduces bit-for-bit at
     every test scale (deterministic xxhash64 seeds; P(miss | j=0.5)
     ≤ 1e-4 per pair, and the planted dups sit well above threshold)."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = CAT.read_parquet(spark, f"{sf_dir}/documents.parquet")
     pairs = DD.minhash_lsh_pairs(
         docs, num_perm=64, bands=32, k=3, threshold=0.5, verify=True
     )
@@ -70,7 +72,7 @@ def dedup_corpus_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full corpus-dedup composition: near-dup pairs → components →
     one canonical keeper per cluster with its cluster size — what an LLM
     training-data pipeline actually runs to drop near-duplicates."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = CAT.read_parquet(spark, f"{sf_dir}/documents.parquet")
     return DD.near_dup_clusters(docs, k=3, threshold=0.5)
 
 
@@ -85,7 +87,7 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     3-shingle Jaccard ≥ 0.5), keep the member with the most tokens
     (ties → min doc_id) — the keep-the-better-document dedup policy
     (operators/dedup.dedup_keep_best)."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = CAT.read_parquet(spark, f"{sf_dir}/documents.parquet")
     return DD.dedup_keep_best(docs, k=3, threshold=0.5).orderBy("doc_id")
 
 
@@ -105,7 +107,7 @@ FROM sized WHERE rn = 1 ORDER BY doc_id
 
 def kg_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Degree relation of the customer-placed-order graph (prefixed ids)."""
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    orders = CAT.read_parquet(spark, f"{sf_dir}/orders.parquet")
     edges = orders.select(
         F.concat(F.lit("C:"), F.col("o_custkey").cast("string")).alias("src"),
         F.concat(F.lit("O:"), F.col("o_orderkey").cast("string")).alias("dst"),
@@ -131,9 +133,9 @@ def kg_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Directed 2-hop BFS over the customer→order→part graph from a small
     customer start set; (id, min_hops). Oracle = recursive-CTE BFS with
     min discovery level."""
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = CAT.read_parquet(spark, f"{sf_dir}/orders.parquet")
+    lineitem = CAT.read_parquet(spark, f"{sf_dir}/lineitem.parquet")
+    customer = CAT.read_parquet(spark, f"{sf_dir}/customer.parquet")
     e1 = orders.select(
         F.concat(F.lit("C:"), F.col("o_custkey").cast("string")).alias("src"),
         F.concat(F.lit("O:"), F.col("o_orderkey").cast("string")).alias("dst"),
@@ -173,7 +175,7 @@ def kg_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     clustering-coefficient / community-density primitive; the operator
     uses degree-ordered orientation so hub parts don't explode the wedge
     join. Oracle = brute-force 3-way self-join on the u<v edge list."""
-    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    lineitem = CAT.read_parquet(spark, f"{sf_dir}/lineitem.parquet")
     op = lineitem.select(
         F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
     ).distinct()
@@ -210,7 +212,7 @@ def kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     iteration is deterministic for a fixed iteration count, and at
     round-8 precision the shuffle-order float-summation jitter (~1e-13)
     is far below the rounding granularity."""
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    orders = CAT.read_parquet(spark, f"{sf_dir}/orders.parquet")
     edges = orders.select(
         F.concat(F.lit("C:"), F.col("o_custkey").cast("string")).alias("src"),
         F.concat(F.lit("O:"), F.col("o_orderkey").cast("string")).alias("dst"),
@@ -271,7 +273,7 @@ def kg_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph — 3 fixed synchronous rounds, ties to the smallest label
     (operators/graph.label_propagation). Deterministic, so the oracle
     unrolls the identical rounds."""
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    orders = CAT.read_parquet(spark, f"{sf_dir}/orders.parquet")
     edges = orders.select(
         F.concat(F.lit("C:"), F.col("o_custkey").cast("string")).alias("src"),
         F.concat(F.lit("O:"), F.col("o_orderkey").cast("string")).alias("dst"),
@@ -347,8 +349,8 @@ def kg_motif_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``(c)-[]->(o); (o)-[]->(p)`` (operators/graph.find_motifs) — the
     motif compiles to the same chained equi-joins the oracle writes by
     hand."""
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = CAT.read_parquet(spark, f"{sf_dir}/orders.parquet")
+    lineitem = CAT.read_parquet(spark, f"{sf_dir}/lineitem.parquet")
     e1 = orders.select(
         F.concat(F.lit("C:"), F.col("o_custkey").cast("string")).alias("src"),
         F.concat(F.lit("O:"), F.col("o_orderkey").cast("string")).alias("dst"),
@@ -399,9 +401,9 @@ def kg_shortest_costs(spark: SparkSession, sf_dir: str) -> DataFrame:
     over-alternative-paths relaxation; the oracle is a recursive-CTE
     walk (terminates: the graph is a layered DAG) with the identical
     left-to-right path-sum arithmetic."""
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = CAT.read_parquet(spark, f"{sf_dir}/orders.parquet")
+    lineitem = CAT.read_parquet(spark, f"{sf_dir}/lineitem.parquet")
+    customer = CAT.read_parquet(spark, f"{sf_dir}/customer.parquet")
     e1 = orders.select(
         F.concat(F.lit("C:"), F.col("o_custkey").cast("string")).alias("src"),
         F.concat(F.lit("O:"), F.col("o_orderkey").cast("string")).alias("dst"),
@@ -455,9 +457,9 @@ def kg_closure_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     summarized as descendant counts per ancestor LEVEL (full pair dumps
     are closure-sized; the per-level roll-up is what an ontology
     browser actually asks). Oracle = recursive-CTE reachability."""
-    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
-    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    nation = CAT.read_parquet(spark, f"{sf_dir}/nation.parquet")
+    customer = CAT.read_parquet(spark, f"{sf_dir}/customer.parquet")
+    orders = CAT.read_parquet(spark, f"{sf_dir}/orders.parquet")
     e = (
         nation.select(
             F.concat(F.lit("R:"), F.col("n_regionkey").cast("string")).alias("src"),

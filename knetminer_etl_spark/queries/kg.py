@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..runtime import catalog as CAT
+
 from ..pg.build import triples_to_pg_flat
 from ..tabmap.compiler import AUTO_EDGE_ID, DataFrameMapper, chain_mappers
 from ..tabmap.mappers import (
@@ -77,15 +79,15 @@ def kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     2x end-to-end at sf0.1); the PG build's own id-repartition already
     distributes the heavy aggregation, and at real scale the scan
     arrives well-split from the file source."""
-    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    customer = CAT.read_parquet(spark, f"{sf_dir}/customer.parquet")
+    orders = CAT.read_parquet(spark, f"{sf_dir}/orders.parquet")
     return chain_mappers(customer, _customer_mapper()).unionByName(
         chain_mappers(orders, _order_mapper(), _placed_mapper())
     )
 
 
 def kg_triples_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
-    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    customer = CAT.read_parquet(spark, f"{sf_dir}/customer.parquet")
     return _customer_mapper().to_triples(customer)
 
 
@@ -104,7 +106,7 @@ SELECT 'C:' || c_custkey, '@type', 'Customer' FROM customer
 
 
 def kg_edge_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    orders = CAT.read_parquet(spark, f"{sf_dir}/orders.parquet")
     return _placed_mapper().to_triples(orders)
 
 
@@ -211,8 +213,8 @@ def kg_pg_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..pg.build import flatten_pg, merge_pg, triples_to_pg
     from ..tabmap.compiler import chain_mappers
 
-    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    customer = CAT.read_parquet(spark, f"{sf_dir}/customer.parquet")
+    orders = CAT.read_parquet(spark, f"{sf_dir}/orders.parquet")
 
     old_orders = DataFrameMapper(
         ExprValueMapper(F.concat(F.lit("O:"), F.col("o_orderkey").cast("string"))),

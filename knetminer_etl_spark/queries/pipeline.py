@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..runtime import catalog as CAT
+
 from ..operators import dedup as DD
 from ..operators import similarity as SIM
 from ..operators import text as TX
@@ -30,7 +32,7 @@ from ..streaming import events as EV
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return CAT.read_parquet(spark, f"{sf_dir}/documents.parquet")
 
 
 def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -279,7 +281,7 @@ WHERE bit_count(xor(a.fp, b.fp)) <= 3
 
 
 def embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = CAT.read_parquet(spark, f"{sf_dir}/embeddings.parquet")
     return SIM.cosine_topk(emb, emb.filter("vec_id < 20"), k=5)
 
 
@@ -326,7 +328,7 @@ def embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold but away from both 1.0 and the 0.9 boundary. Every planted
     pair must come back through blocking + verification for the hash to
     match (miss probability at 0.97 ≈ 1e-10)."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = CAT.read_parquet(spark, f"{sf_dir}/embeddings.parquet")
     planted = emb.filter(F.col("vec_id") % 10 == 0).select(
         (F.col("vec_id") + 10_000_000).alias("vec_id"),
         F.transform(
@@ -371,7 +373,7 @@ def embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/quantize.py)."""
     from ..operators import quantize as SQ
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = CAT.read_parquet(spark, f"{sf_dir}/embeddings.parquet")
     return SQ.pq_topk(
         emb, emb.filter("vec_id < 20"), k=5, m=4, ksub=8, iterations=2
     )
@@ -473,7 +475,7 @@ def embedding_sq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/quantize.py)."""
     from ..operators import quantize as SQ
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = CAT.read_parquet(spark, f"{sf_dir}/embeddings.parquet")
     return SQ.sq_topk(emb, emb.filter("vec_id < 20"), k=5, bits=8)
 
 
@@ -528,7 +530,7 @@ def embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle replicates the *same* probe set and in-bucket exact scoring —
     the approximation is identical on both sides, making even an
     approximate operator hash-comparable."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = CAT.read_parquet(spark, f"{sf_dir}/embeddings.parquet")
     return SIM.lsh_topk(
         emb, emb.filter("vec_id < 20"), k=5, bucket_fn=SIM.sign_bucket_md5
     )
@@ -555,7 +557,7 @@ def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic (md5-ordered init, fixed Lloyd iterations, tie-broken
     assignment), so DuckDB replicates the identical cells, probe set and
     in-cell exact scoring via unrolled CTEs."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = CAT.read_parquet(spark, f"{sf_dir}/embeddings.parquet")
     return SIM.ivf_topk(
         emb, emb.filter("vec_id < 20"), k=5, nlist=8, nprobe=2, iterations=3
     )
@@ -1100,7 +1102,7 @@ def customer_link_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ≤ 1 at this length). operators/linkage.py."""
     from ..operators import linkage as L
 
-    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    cust = CAT.read_parquet(spark, f"{sf_dir}/customer.parquet")
     return L.link_records(
         cust,
         "c_custkey",
@@ -1149,7 +1151,7 @@ def embedding_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     drop rule has real work to do (planted twins sit at cosine ≈ 0.97 >
     0.95); the oracle unrolls the identical centroid draw, assignment,
     and keep rule in SQL."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = CAT.read_parquet(spark, f"{sf_dir}/embeddings.parquet")
     planted = emb.filter(F.col("vec_id") % 10 == 0).select(
         (F.col("vec_id") + 10_000_000).alias("vec_id"),
         F.transform(
@@ -1224,7 +1226,7 @@ def embedding_semantic_dedup_auto(spark: SparkSession, sf_dir: str) -> DataFrame
     identical k from its own COUNT(*) — the draw stays deterministic
     because centroids are the k smallest (md5(id), id) rows whatever
     k is."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = CAT.read_parquet(spark, f"{sf_dir}/embeddings.parquet")
     planted = emb.filter(F.col("vec_id") % 10 == 0).select(
         (F.col("vec_id") + 10_000_000).alias("vec_id"),
         F.transform(
@@ -1291,7 +1293,7 @@ def embedding_semantic_decontamination(
     and max-cosine fold."""
     from ..operators import contamination as CT
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+    emb = CAT.read_parquet(spark, f"{sf_dir}/embeddings.parquet").select(
         "vec_id",
         F.transform(F.col("embedding"), lambda x: x.cast("double")).alias(
             "embedding"
@@ -1352,7 +1354,7 @@ def embedding_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     same-cluster cosine ≥ 0.95 restricted to pairs touching the batch
     (id_b ≥ 10M suffices: planted ids are the max), exact up to the
     1.4e-6 per-pair LSH miss probability at this threshold."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = CAT.read_parquet(spark, f"{sf_dir}/embeddings.parquet")
     old = emb.select(
         "vec_id",
         F.transform(F.col("embedding"), lambda x: x.cast("double")).alias(
@@ -1603,7 +1605,7 @@ def embedding_semantic_dedup_km(spark: SparkSession, sf_dir: str) -> DataFrame:
     rule at cosine ≥ 0.95; same +0.03 near-twin planting. The oracle
     unrolls the identical Lloyd rounds over the planted corpus
     (kmeans_ctes source override) and replays assignment + keep rule."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = CAT.read_parquet(spark, f"{sf_dir}/embeddings.parquet")
     planted = emb.filter(F.col("vec_id") % 10 == 0).select(
         (F.col("vec_id") + 10_000_000).alias("vec_id"),
         F.transform(

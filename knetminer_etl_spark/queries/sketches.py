@@ -14,6 +14,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..runtime import catalog as CAT
+
 from ..operators import sketch as SK
 from ..operators.text import tokens
 
@@ -24,13 +26,13 @@ _HH_K = 20
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/events.parquet")
+    return CAT.read_parquet(spark, f"{sf_dir}/events.parquet")
 
 
 def _doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, token): lowercased whitespace tokens — narrow explode."""
     return (
-        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        CAT.read_parquet(spark, f"{sf_dir}/documents.parquet")
         .select(
             "doc_id",
             F.explode(tokens(F.lower(F.col("text")))).alias("token"),

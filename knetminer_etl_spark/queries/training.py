@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..runtime import catalog as CAT
+
 from ..operators import sampling as SP
 
 _N_SHARDS = 16
@@ -22,7 +24,7 @@ _MIX_SEED = "mix42"
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return CAT.read_parquet(spark, f"{sf_dir}/documents.parquet")
 
 
 # ---------------------------------------------------------------------------
