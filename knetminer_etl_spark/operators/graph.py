@@ -23,8 +23,23 @@ oracle-reproducible (DuckDB recursive CTE).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame, Observation
 from pyspark.sql import functions as F
+
+
+def _pin_observe(df: DataFrame, *metrics: Column) -> tuple[DataFrame, dict]:
+    """``localCheckpoint(eager=True)`` with aggregate metrics computed
+    INSIDE the materialization job (``observe``), instead of a second
+    driver-synchronized action over the pinned blocks.
+
+    Iterative loops pay one pin + one convergence action per round;
+    driver gaps between those jobs dominate local wall time (SCALE.md:
+    2.6 s of dedup_components' 5.0 s) and are one extra scheduling
+    barrier per round on a cluster. This halves the per-round actions.
+    """
+    obs = Observation()
+    pinned = df.observe(obs, *metrics).localCheckpoint(eager=True)
+    return pinned, obs.get
 
 
 def _sym_edges(edges: DataFrame, src: str, dst: str) -> DataFrame:
@@ -120,14 +135,17 @@ def connected_components(
     prev_fp = None
     rounds = 0
     for _ in range(-(-max_iterations // rounds_per_check)):
-        for _i in range(rounds_per_check):
+        for _i in range(rounds_per_check - 1):
             e = _small_star(_large_star(e)).localCheckpoint(eager=True)
-        rounds += rounds_per_check
-        fp = e.agg(
-            F.count("*").alias("n"),
+        # the check round's fingerprint rides inside the pin job
+        # (observe) — no separate convergence action
+        e, fp = _pin_observe(
+            _small_star(_large_star(e)),
+            F.count(F.lit(1)).alias("n"),
             # bit_xor: order-independent, overflow-free edge-set digest
             F.coalesce(F.bit_xor(F.xxhash64("u", "v")), F.lit(0)).alias("h"),
-        ).first()
+        )
+        rounds += rounds_per_check
         if (fp["n"], fp["h"]) == prev_fp:
             break
         prev_fp = (fp["n"], fp["h"])
@@ -494,51 +512,56 @@ def shortest_paths(
     :func:`connected_components`). Negative weights are rejected:
     monotone distances are what make the early-exit test correct.
     Frontier state is pinned per round (``dist`` is referenced by the
-    relax join AND the improvement check — unpinned, lineage doubles per
-    round). Unreachable nodes are absent from the output. If
+    relax join AND the frontier union — unpinned, lineage doubles per
+    round); the convergence fingerprint rides inside each pin job via
+    ``observe``, so a round is ONE driver-synchronized action. Unreachable nodes are absent from the output. If
     ``max_rounds`` is exhausted while relaxations are still improving,
     the result could be silently too large — that raises instead;
     rerun with ``max_rounds`` ≥ longest shortest path in hops, plus
     one verification round to observe the fixpoint.
     """
-    e = (
+    # weight-sign probe rides the pin job (observe) — no separate scan
+    e, em = _pin_observe(
         edges.select(
             F.col(src).alias("_s"),
             F.col(dst).alias("_d"),
             F.col(weight).cast("double").alias("_w"),
-        )
-        .localCheckpoint(eager=True)
+        ),
+        F.min("_w").alias("w_min"),
     )
-    if e.filter(F.col("_w") < 0).limit(1).count() > 0:
+    if em["w_min"] is not None and em["w_min"] < 0:
         raise ValueError("shortest_paths requires non-negative weights")
-    dist = (
+    _fp = lambda: [  # noqa: E731 — order-independent (id, dist) digest
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.bit_xor(F.xxhash64("_id", "_dist")), F.lit(0)).alias("h"),
+    ]
+    dist, dm = _pin_observe(
         sources.select(F.col(id_col).alias("_id"))
         .distinct()
-        .withColumn("_dist", F.lit(0.0))
-        .localCheckpoint(eager=True)
+        .withColumn("_dist", F.lit(0.0)),
+        *_fp(),
     )
+    prev_fp = (dm["n"], dm["h"])
     for _ in range(max_rounds):
-        relaxed = (
+        # convergence via the round's (id, dist) fingerprint computed
+        # inside the pin job — distances are monotone non-increasing and
+        # the id set monotone non-decreasing, so the set is unchanged iff
+        # no relaxation improved anything (same count + hash discipline
+        # as connected_components; a 64-bit digest collision on a CHANGED
+        # set is the ~2^-64 residual risk, traded for one fewer join +
+        # action per round)
+        relaxed, rm = _pin_observe(
             e.join(dist, e["_s"] == dist["_id"])
             .select(F.col("_d").alias("_id"), (F.col("_dist") + F.col("_w")).alias("_dist"))
             .unionByName(dist)
             .groupBy("_id")
-            .agg(F.min("_dist").alias("_dist"))
-            .localCheckpoint(eager=True)
-        )
-        improved = (
-            relaxed.join(
-                dist.withColumnRenamed("_dist", "_old"), on="_id", how="left"
-            )
-            .filter(
-                F.col("_old").isNull() | (F.col("_dist") < F.col("_old"))
-            )
-            .limit(1)
-            .count()
+            .agg(F.min("_dist").alias("_dist")),
+            *_fp(),
         )
         dist = relaxed
-        if improved == 0:
+        if (rm["n"], rm["h"]) == prev_fp:
             break
+        prev_fp = (rm["n"], rm["h"])
     else:  # loop exhausted without a no-improvement round
         raise RuntimeError(
             f"shortest_paths did not converge in max_rounds={max_rounds}: "
@@ -577,28 +600,35 @@ def transitive_closure(
     (cheap diagonal check; full cycle detection is the caller's DAG
     contract).
     """
-    cl = (
+    # pair count + self-loop count ride each pin job (observe): one
+    # driver-synchronized action per round instead of three (pin,
+    # convergence count, cycle probe) — both metrics are EXACT aggregates
+    _m = lambda: [  # noqa: E731
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("a") == F.col("b")).cast("int")).alias("loops"),
+    ]
+    cl, cm = _pin_observe(
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
-        .distinct()
-        .localCheckpoint(eager=True)
+        .distinct(),
+        *_m(),
     )
-    if cl.filter(F.col("a") == F.col("b")).limit(1).count() > 0:
+    if (cm["loops"] or 0) > 0:
         raise ValueError("transitive_closure requires a DAG (self-loop found)")
-    n = cl.count()
+    n = cm["n"]
     for _ in range(max_rounds):
-        doubled = (
+        doubled, dm = _pin_observe(
             cl.alias("l")
             .join(cl.alias("r"), F.col("l.b") == F.col("r.a"))
             .select(F.col("l.a").alias("a"), F.col("r.b").alias("b"))
             .unionByName(cl)
-            .distinct()
-            .localCheckpoint(eager=True)
+            .distinct(),
+            *_m(),
         )
-        m = doubled.count()
-        if doubled.filter(F.col("a") == F.col("b")).limit(1).count() > 0:
+        if (dm["loops"] or 0) > 0:
             raise ValueError("cycle detected: closure reached a == b")
         cl = doubled
+        m = dm["n"]
         if m == n:
             break
         n = m
