@@ -1301,8 +1301,11 @@ def _semantic_keep(
     """
     # pin: referenced by the pair generator, both verify join sides, and
     # the final output — unpinned, Catalyst re-derives the assignment
-    # (and re-scans the corpus) once per reference (audited: 8 scans → 1)
-    assigned = staged.localCheckpoint(eager=True)
+    # (and re-scans the corpus) once per reference (audited: 8 scans → 1);
+    # the size probe for the direct/banded switch rides the pin job
+    from .util import pin_observe
+
+    assigned, _am = pin_observe(staged, F.count(F.lit(1)).alias("n"))
     spark = assigned.sparkSession
     floor = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
 
@@ -1317,7 +1320,7 @@ def _semantic_keep(
     #  * large corpora: sign-LSH banding WITHIN clusters keyed by
     #    (cluster, band, bucket) + the two-phase witness verification
     #    above.
-    n_vecs = assigned.count()  # pinned — a local count, not a recompute
+    n_vecs = int(_am["n"])  # observed during the pin job — no extra action
     if n_vecs <= direct_max:
         cands = candidate_pairs_from_buckets(
             assigned.select(F.col("_id").alias("doc_id"), "cluster"),

@@ -23,23 +23,10 @@ oracle-reproducible (DuckDB recursive CTE).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Observation
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-
-def _pin_observe(df: DataFrame, *metrics: Column) -> tuple[DataFrame, dict]:
-    """``localCheckpoint(eager=True)`` with aggregate metrics computed
-    INSIDE the materialization job (``observe``), instead of a second
-    driver-synchronized action over the pinned blocks.
-
-    Iterative loops pay one pin + one convergence action per round;
-    driver gaps between those jobs dominate local wall time (SCALE.md:
-    2.6 s of dedup_components' 5.0 s) and are one extra scheduling
-    barrier per round on a cluster. This halves the per-round actions.
-    """
-    obs = Observation()
-    pinned = df.observe(obs, *metrics).localCheckpoint(eager=True)
-    return pinned, obs.get
+from .util import pin_observe as _pin_observe
 
 
 def _sym_edges(edges: DataFrame, src: str, dst: str) -> DataFrame:

@@ -2,7 +2,22 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame, Observation
+
+
+def pin_observe(df: DataFrame, *metrics: Column) -> tuple[DataFrame, dict]:
+    """``localCheckpoint(eager=True)`` with aggregate metrics computed
+    INSIDE the materialization job (``observe``), instead of a second
+    driver-synchronized action over the pinned blocks.
+
+    Iterative loops and size-adaptive operators pay one pin plus one
+    probe action per step; driver gaps between those jobs dominate local
+    wall time (SCALE.md) and each is a scheduling barrier on a cluster.
+    This halves the per-step actions.
+    """
+    obs = Observation()
+    pinned = df.observe(obs, *metrics).localCheckpoint(eager=True)
+    return pinned, obs.get
 
 
 def presentation_sort(df: DataFrame, *cols) -> DataFrame:
