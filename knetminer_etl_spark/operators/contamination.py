@@ -182,3 +182,83 @@ def semantic_decontaminate(
         train_vecs, test_vecs, id_col, vec_col, threshold
     ).filter(F.col("contaminated"))
     return train_vecs.join(flagged.select(id_col), id_col, "left_anti")
+
+
+def semantic_decontaminate_banded(
+    train_vecs: DataFrame,
+    test_vecs: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_planes: int = 12,
+    n_bands: int = 48,
+    seed: int = 0x5EED,
+) -> DataFrame:
+    """:func:`semantic_decontaminate` with sign-LSH candidate blocking —
+    the shape :func:`semantic_contamination`'s docstring prescribes for
+    when per-row |test| dot products stop being affordable.
+
+    Both sides get OR-amplified band buckets
+    (:func:`..dedup.sign_lsh_band_buckets`); only train vectors sharing
+    a (band, bucket) with some evaluation vector pay an exact-cosine
+    verification, and any verified hit flags the vector. The banded
+    test relation stays broadcast, so the corpus still never shuffles —
+    per-row cost drops from |test| dot products to the bucket-matched
+    candidates only, which is what survives when the evaluation suite
+    grows from thousands to millions of items.
+
+    Flags are a bounded-miss approximation of the brute-force rule: a
+    pair at cosine c collides in no band with (1 − p(c)^n_planes)^n_bands,
+    p(c) = 1 − acos(c)/π — at the defaults and c ≥ 0.95 that is ≤ 2e-7,
+    so the survivor set is expected hash-equal to brute force (the
+    registry runs this variant against the SAME brute-force oracle, the
+    doc_span_scrub_hashed evidence pattern). False positives cannot
+    happen: every candidate is verified with the exact cosine.
+
+    The default band shape is AND-heavy (12 planes per band) on purpose:
+    decontamination only cares about the far tail (cos ≥ threshold), so
+    unlike near-dup clustering there is no recall budget to spend on
+    mid-similarity pairs — random-pair collisions fall ~2^planes while
+    48 bands keep tail recall. Measured on the synthetic 10× sweep:
+    ratio 10.44 (brute force) → 8.5 (6×24 bands) → 1.59 (this 12×48
+    default), i.e. candidate-linear once random collisions stop
+    dominating."""
+    from .dedup import sign_lsh_band_buckets
+    from .similarity import _dot, _dvec, _norm
+
+    c = train_vecs.select(
+        F.col(id_col).alias("_id"), _dvec(F.col(vec_col)).alias("_v")
+    ).withColumn("_n", _norm(F.col("_v")))
+    cb = c.select(
+        "_id",
+        "_v",
+        "_n",
+        F.posexplode(
+            sign_lsh_band_buckets("_v", n_planes, n_bands, seed)
+        ).alias("_band", "_bucket"),
+    )
+    t = test_vecs.select(_dvec(F.col(vec_col)).alias("_tv")).withColumn(
+        "_tn", _norm(F.col("_tv"))
+    )
+    tb = t.select(
+        "_tv",
+        "_tn",
+        F.posexplode(
+            sign_lsh_band_buckets("_tv", n_planes, n_bands, seed)
+        ).alias("_band", "_bucket"),
+    )
+    flagged = (
+        cb.join(F.broadcast(tb), ["_band", "_bucket"])
+        .filter(
+            F.round(
+                _dot(F.col("_v"), F.col("_tv")) / (F.col("_n") * F.col("_tn")),
+                6,
+            )
+            >= F.lit(threshold)
+        )
+        .select("_id")
+        .distinct()
+    )
+    return train_vecs.join(
+        flagged.withColumnRenamed("_id", id_col), id_col, "left_anti"
+    )

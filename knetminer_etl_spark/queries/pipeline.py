@@ -1336,11 +1336,74 @@ GROUP BY t.vec_id
 ORDER BY t.vec_id
 """
 
+def embedding_semantic_decontamination_banded(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """:func:`embedding_semantic_decontamination`'s survivor set via the
+    sign-LSH candidate-blocked operator
+    (operators/contamination.semantic_decontaminate_banded) — the scale
+    path for when the evaluation suite outgrows per-row brute force.
+    Runs against the BRUTE-FORCE oracle (the doc_span_scrub_hashed
+    evidence pattern): the hash-match is the proof the blocking lost no
+    flag (per-pair miss ≤ 2e-8 at cos ≥ 0.95 with 6 planes × 24 bands;
+    false flags impossible — candidates verify with the exact cosine)."""
+    from ..operators import contamination as CT
+
+    emb = CAT.read_parquet(spark, f"{sf_dir}/embeddings.parquet").select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+    )
+    train = emb.filter(F.col("vec_id") % 10 != 7)
+    leaks = emb.filter(F.col("vec_id") % 10 == 3).select(
+        (F.col("vec_id") + 20_000_000).alias("vec_id"),
+        F.transform(F.col("embedding"), lambda x: x + F.lit(0.02)).alias(
+            "embedding"
+        ),
+    )
+    test = emb.filter(F.col("vec_id") % 10 == 7).unionByName(leaks)
+    out = CT.semantic_decontaminate_banded(train, test, threshold=0.95)
+    return out.select("vec_id").orderBy("vec_id")
+
+
+EMBEDDING_SEMANTIC_DECON_BANDED_SQL = f"""
+WITH emb AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+),
+train AS (SELECT vec_id, v FROM emb WHERE vec_id % 10 != 7),
+test AS (
+  SELECT v FROM emb WHERE vec_id % 10 = 7
+  UNION ALL
+  SELECT list_transform(v, x -> x + 0.02) FROM emb WHERE vec_id % 10 = 3
+)
+SELECT t.vec_id
+FROM train t
+WHERE NOT EXISTS (
+  SELECT 1 FROM test s
+  WHERE round({_DOT.format(a='t.v', b='s.v')}
+              / (sqrt({_DOT.format(a='t.v', b='t.v')})
+                 * sqrt({_DOT.format(a='s.v', b='s.v')})), 6) >= 0.95
+)
+ORDER BY vec_id
+"""
+
+
 QUERIES.update(
-    {"embedding_semantic_decontamination": embedding_semantic_decontamination}
+    {
+        "embedding_semantic_decontamination": embedding_semantic_decontamination,
+        "embedding_semantic_decontamination_banded": (
+            embedding_semantic_decontamination_banded
+        ),
+    }
 )
 ORACLES.update(
-    {"embedding_semantic_decontamination": EMBEDDING_SEMANTIC_DECON_SQL}
+    {
+        "embedding_semantic_decontamination": EMBEDDING_SEMANTIC_DECON_SQL,
+        "embedding_semantic_decontamination_banded": (
+            EMBEDDING_SEMANTIC_DECON_BANDED_SQL
+        ),
+    }
 )
 
 

@@ -304,6 +304,44 @@ class TestContamination:
         assert sorted(r["vec_id"] for r in kept.collect()) == [0, 1, 3]
         assert kept.columns == ["vec_id", "embedding"]
 
+    def test_banded_decontaminate_equals_brute_force(self, spark):
+        """The sign-LSH candidate-blocked survivor set must equal brute
+        force on a corpus with planted leaks of varying tightness (the
+        per-pair band-miss probability at cos >= 0.95 is ~2e-8 — a
+        mismatch here means a real defect, not bad luck)."""
+        import numpy as np
+
+        from knetminer_etl_spark.operators import contamination as CT
+
+        rng = np.random.default_rng(23)
+        base = rng.normal(size=(30, 16))
+        base /= np.linalg.norm(base, axis=1, keepdims=True)
+        train = spark.createDataFrame(
+            [(i, [float(x) for x in base[i]]) for i in range(30)],
+            "vec_id long, embedding array<double>",
+        )
+        test_rows = []
+        for j, (src, eps) in enumerate([(3, 0.01), (7, 0.05), (11, 0.3)]):
+            v = base[src] + eps * rng.normal(size=16)
+            v /= np.linalg.norm(v)
+            test_rows.append((100 + j, [float(x) for x in v]))
+        test_rows.append((200, [float(x) for x in rng.normal(size=16)]))
+        test = spark.createDataFrame(
+            test_rows, "vec_id long, embedding array<double>"
+        )
+        brute = sorted(
+            r["vec_id"]
+            for r in CT.semantic_decontaminate(train, test, threshold=0.95).collect()
+        )
+        banded = sorted(
+            r["vec_id"]
+            for r in CT.semantic_decontaminate_banded(
+                train, test, threshold=0.95
+            ).collect()
+        )
+        assert banded == brute
+        assert len(brute) < 30  # at least one tight leak was dropped
+
 
 class TestChunkDocuments:
     def _df(self, spark, text):

@@ -61,6 +61,7 @@ CHECK_QUERIES = [
     # round-5 operators
     "embedding_semantic_dedup_auto",
     "embedding_semantic_decontamination",
+    "embedding_semantic_decontamination_banded",
     "doc_html_extract",
     "kg_shortest_costs",
     "kg_closure_counts",
