@@ -313,3 +313,87 @@ def start_semantic_dedup_stream(
 def read_semantic_pairs(spark: SparkSession, pairs_path: str) -> DataFrame:
     """All semantic pairs emitted so far (union of batch partitions)."""
     return spark.read.parquet(pairs_path).select("id_a", "id_b", "cosine")
+
+
+# ---------------------------------------------------------------------------
+# Continuous semantic decontamination (ingest-time benchmark filtering)
+# ---------------------------------------------------------------------------
+
+
+def process_decon_batch(
+    batch: DataFrame,
+    epoch_id: int,
+    test_vecs: DataFrame,
+    clean_path: str,
+    threshold: float = 0.95,
+    n_planes: int = 12,
+    n_bands: int = 48,
+    seed: int = 0x5EED,
+) -> None:
+    """One epoch: keep only the batch vectors whose banded-verified max
+    cosine to the FIXED evaluation set stays below ``threshold``
+    (operators/contamination.semantic_decontaminate_banded) and write
+    them as this epoch's partition. Stateless across epochs — the eval
+    set is loop-invariant — so idempotent partition overwrite alone
+    gives exactly-once; a replayed epoch rewrites identical content."""
+    from ..operators.contamination import semantic_decontaminate_banded
+
+    batch = batch.select("vec_id", "embedding").localCheckpoint(eager=True)
+    kept = semantic_decontaminate_banded(
+        batch,
+        test_vecs,
+        threshold=threshold,
+        n_planes=n_planes,
+        n_bands=n_bands,
+        seed=seed,
+    )
+    _write_batch_partition(kept, epoch_id, clean_path)
+
+
+def start_semantic_decon_stream(
+    vec_stream: DataFrame,
+    test_vecs: DataFrame,
+    clean_path: str,
+    checkpoint_path: str,
+    threshold: float = 0.95,
+    n_planes: int = 12,
+    n_bands: int = 48,
+    seed: int = 0x5EED,
+    query_name: str = "continuous_semantic_decon",
+):
+    """Continuous ingest-time decontamination: every arriving micro-batch
+    of embeddings is filtered against the evaluation set BEFORE it lands
+    in the training store — the streaming face of
+    ``semantic_decontaminate_banded`` (benchmark leaks never enter the
+    corpus, instead of being scrubbed after the fact). The eval relation
+    is pinned once per stream; each epoch broadcasts its banded form.
+    Returns the StreamingQuery."""
+    test_pinned = test_vecs.select("vec_id", "embedding").localCheckpoint(
+        eager=True
+    )
+
+    def on_batch(batch: DataFrame, epoch_id: int) -> None:
+        process_decon_batch(
+            batch,
+            epoch_id,
+            test_pinned,
+            clean_path,
+            threshold,
+            n_planes,
+            n_bands,
+            seed,
+        )
+
+    return (
+        vec_stream.writeStream.foreachBatch(on_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .queryName(query_name)
+        .start()
+    )
+
+
+def read_clean_vectors(spark: SparkSession, clean_path: str) -> DataFrame:
+    """All decontaminated vectors ingested so far (union of batch
+    partitions); equals batch-mode ``semantic_decontaminate_banded``
+    over the same corpus (pinned in tests/test_streaming_semantic.py)."""
+    return spark.read.parquet(clean_path).select("vec_id", "embedding")

@@ -113,3 +113,87 @@ def test_replaying_an_epoch_is_idempotent(spark, paths):
         map(tuple, SD.read_semantic_pairs(spark, paths["pairs"]).collect())
     )
     assert before == after
+
+
+# ---------------------------------------------------------------------------
+# Continuous semantic decontamination (ingest-time benchmark filtering)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def decon_paths(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("semdecon")
+    rng = np.random.default_rng(31)
+    base = rng.normal(size=(20, 8))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    rows = [(i, [float(x) for x in base[i]]) for i in range(20)]
+    # eval set: tight paraphrase leaks of train 2 (batch 1) and 15
+    # (batch 2) plus an unrelated item
+    test_rows = []
+    for j, src in enumerate((2, 15)):
+        v = base[src] + 0.002 * rng.normal(size=8)
+        v /= np.linalg.norm(v)
+        test_rows.append((900 + j, [float(x) for x in v]))
+    other = rng.normal(size=8)
+    test_rows.append((950, [float(x) for x in other / np.linalg.norm(other)]))
+    schema = "vec_id long, embedding array<double>"
+    src_dir = d / "vecs"
+    spark.createDataFrame(
+        [r for r in rows if r[0] < 10], schema
+    ).coalesce(1).write.mode("append").parquet(str(src_dir))
+    spark.createDataFrame(
+        [r for r in rows if r[0] >= 10], schema
+    ).coalesce(1).write.mode("append").parquet(str(src_dir))
+    return {
+        "src": str(src_dir),
+        "clean": str(d / "clean"),
+        "ckpt": str(d / "deconckpt"),
+        "full": spark.createDataFrame(rows, schema),
+        "test": spark.createDataFrame(test_rows, schema),
+    }
+
+
+def test_decon_stream_equals_batch_mode(spark, decon_paths):
+    from knetminer_etl_spark.operators.contamination import (
+        semantic_decontaminate_banded,
+    )
+
+    stream = SD.read_vector_stream(spark, decon_paths["src"])
+    q = SD.start_semantic_decon_stream(
+        stream,
+        decon_paths["test"],
+        decon_paths["clean"],
+        decon_paths["ckpt"],
+        threshold=0.95,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    streamed = sorted(
+        r["vec_id"]
+        for r in SD.read_clean_vectors(spark, decon_paths["clean"]).collect()
+    )
+    batch_mode = sorted(
+        r["vec_id"]
+        for r in semantic_decontaminate_banded(
+            decon_paths["full"], decon_paths["test"], threshold=0.95
+        ).collect()
+    )
+    assert streamed == batch_mode
+    assert 2 not in streamed and 15 not in streamed  # leaks filtered
+    assert len(streamed) == 18  # everything else survived
+
+
+def test_decon_epoch_replay_is_idempotent(spark, decon_paths):
+    before = sorted(
+        map(tuple, SD.read_clean_vectors(spark, decon_paths["clean"]).collect())
+    )
+    batch2 = spark.read.parquet(decon_paths["src"]).filter(F.col("vec_id") >= 10)
+    SD.process_decon_batch(
+        batch2, 1, decon_paths["test"], decon_paths["clean"], threshold=0.95
+    )
+    after = sorted(
+        map(tuple, SD.read_clean_vectors(spark, decon_paths["clean"]).collect())
+    )
+    assert before == after
