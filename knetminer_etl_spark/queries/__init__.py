@@ -76,10 +76,13 @@ _ALL_QUERIES = {
 # unchecked by the driver forever: round 5 rotated q12_late_shipments,
 # q15_top_supplier, kg_triangles, doc_incremental_dedup and events_scd2
 # out (prefix-green in rounds 3-4) for the four queries round 4
-# displaced plus the new doc_span_scrub_hashed. The displaced queries
-# stay immediately after the prefix and the FULL registry sweeps green
-# at all three scale factors (tools/check_correctness.py → SWEEP
-# artifact) so rotation never hides a regression.
+# displaced plus the new doc_span_scrub_hashed; the round-5b refresh
+# additionally swapped prefix-green doc_bpe_pairs for the new
+# embedding_semantic_decontamination_banded (the LSH-blocked decon
+# scale path). The displaced queries stay immediately after the prefix
+# and the FULL registry sweeps green at all three scale factors
+# (tools/check_correctness.py → SWEEP artifact) so rotation never
+# hides a regression.
 _PRIORITY = [
     # TPC-H-style relational core (agg, top-k join, multi-join, outer,
     # scalar subquery, semi/anti join)
@@ -106,7 +109,8 @@ _PRIORITY = [
     # corpus / training-data prep (incl. tokenizer-training statistics)
     "doc_split_counts", "doc_quality_filter", "doc_pii_redaction",
     "doc_context_windows", "doc_repetition_stats", "doc_decontamination",
-    "doc_tfidf_terms", "doc_lm_scores", "doc_bpe_pairs",
+    "embedding_semantic_decontamination_banded",
+    "doc_tfidf_terms", "doc_lm_scores",
     "doc_pipeline_stages",
     # event streams: windows, sessions, as-of, weighted avg, gap-fill
     "events_tumbling_5m", "events_sessionize", "events_asof_last_error",
@@ -118,6 +122,7 @@ _PRIORITY = [
     "segment_year_cube", "doc_shard_manifest", "doc_temperature_mix",
     "orders_validation",
     # rotated out of the prefix this round (covered by the full sweep)
+    "doc_bpe_pairs",
     "q12_late_shipments", "q15_top_supplier", "kg_triangles",
     "doc_incremental_dedup", "events_scd2",
 ]
