@@ -60,22 +60,38 @@ def _state_exists(spark: SparkSession, path: str) -> bool:
     """PROBED existence of a state dir — never inferred from a read
     failure, which would silently treat a transient FS error as 'first
     batch' and emit an epoch's pairs without the prior index (the
-    streaming/kg.py lesson). Local paths check the filesystem directly;
-    scheme'd paths (hdfs://, s3a://) go through the Hadoop FileSystem."""
-    import os
+    streaming/kg.py lesson). ALL paths go through the Hadoop
+    FileSystem: Spark resolves scheme-less paths against
+    ``fs.defaultFS``, so a driver-local ``os.path`` probe would answer
+    "missing" for HDFS/S3-resident state on a real cluster — the exact
+    silent first-batch failure this helper exists to prevent."""
+    from ..runtime.fs import fs_exists
 
-    if "://" not in path:
-        return os.path.exists(path)
-    jvm = spark._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    return fs.exists(hpath)
+    return fs_exists(spark, path)
 
 
-def _read_or_none(spark: SparkSession, path: str) -> DataFrame | None:
+def _latest_rows(df: DataFrame, key: str) -> DataFrame:
+    """Cross-epoch re-ingestion guard: a key re-ingested in a LATER
+    epoch leaves rows in several ``batch_id`` partitions (each epoch
+    overwrites only its own partition), and the earlier epoch's
+    text/embedding may differ — so only the latest epoch's rows per key
+    are current state. Left-semi against the per-key max ``batch_id``
+    keeps exactly the latest epoch's row group per key; with no
+    re-ingestion every row survives, and the semi join's build side is
+    one bounded row per key."""
+    latest = df.groupBy(key).agg(F.max("batch_id").alias("batch_id"))
+    return df.join(latest, on=[key, "batch_id"], how="left_semi")
+
+
+def _read_or_none(
+    spark: SparkSession, path: str, latest_key: str | None = None
+) -> DataFrame | None:
     if not _state_exists(spark, path):
         return None  # first batch: state not created yet
-    return spark.read.parquet(path)
+    df = spark.read.parquet(path)
+    if latest_key is not None:
+        df = _latest_rows(df, latest_key)
+    return df
 
 
 def _write_batch_partition(df: DataFrame, epoch_id: int, path: str) -> None:
@@ -107,8 +123,8 @@ def process_dedup_batch(
     replay epochs deterministically (rollup's `_merge_batch` pattern)."""
     batch = batch.select("doc_id", "text").localCheckpoint(eager=True)
     batch_ids = batch.select("doc_id")
-    index = _read_or_none(spark, index_path)
-    store = _read_or_none(spark, docs_path)
+    index = _read_or_none(spark, index_path, latest_key="doc_id")
+    store = _read_or_none(spark, docs_path, latest_key="doc_id")
     # corpus for verification: this batch + prior docs (batch wins on
     # re-ingestion/replay so duplicate ids can't inflate pair rows)
     corpus = batch
@@ -234,8 +250,8 @@ def process_semantic_batch(
 
     batch = batch.select("vec_id", "embedding").localCheckpoint(eager=True)
     batch_ids = batch.select("vec_id")
-    index = _read_or_none(spark, index_path)
-    store = _read_or_none(spark, vecs_path)
+    index = _read_or_none(spark, index_path, latest_key="vec_id")
+    store = _read_or_none(spark, vecs_path, latest_key="vec_id")
     # corpus for verification: this batch + prior vectors (batch wins on
     # re-ingestion/replay so duplicate ids can't inflate pair rows)
     corpus = batch

@@ -104,3 +104,44 @@ def test_replaying_the_last_epoch_is_idempotent(spark, paths):
     assert after_pairs == before_pairs
     idx = spark.read.parquet(paths["index"])
     assert idx.select("batch_id").distinct().count() == 2  # no new partitions
+
+
+def test_cross_epoch_reingestion_latest_wins(spark, tmp_path):
+    """A doc_id re-ingested in a LATER epoch must supersede its earlier
+    store/index rows: subsequent epochs verify against the LATEST text
+    only (no stale-version pairs) and an identical late re-ingest
+    cannot duplicate pair rows."""
+    text_a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    text_b = "one two three four five six seven eight nine ten eleven"
+    text_c = "red orange yellow green blue indigo violet pink brown black"
+    schema = "doc_id long, text string"
+    args = dict(
+        index_path=str(tmp_path / "idx"),
+        docs_path=str(tmp_path / "store"),
+        pairs_path=str(tmp_path / "pairs"),
+        threshold=0.5,
+    )
+
+    def run(epoch, rows):
+        SD.process_dedup_batch(
+            spark, spark.createDataFrame(rows, schema), epoch, **args
+        )
+
+    run(0, [(1, text_a), (2, text_c)])
+    # epoch 1: doc 1 re-ingested with DIFFERENT text (now text_b);
+    # doc 2 re-ingested byte-identical (late duplicate delivery)
+    run(1, [(1, text_b), (2, text_c)])
+    # epoch 2: doc 9 equals doc 1's OLD text — stale index/store rows
+    # would pair them; the current text shares nothing
+    run(2, [(9, text_a)])
+    # epoch 3: doc 10 equals doc 1's NEW text and doc 11 equals doc 2 —
+    # each must pair exactly once
+    run(3, [(10, text_b), (11, text_c)])
+
+    pairs = [
+        (r["id_a"], r["id_b"])
+        for r in SD.read_pairs(spark, args["pairs_path"]).collect()
+    ]
+    assert (1, 9) not in pairs  # stale-version pair suppressed
+    assert pairs.count((1, 10)) == 1  # latest-version pair found once
+    assert pairs.count((2, 11)) == 1  # identical re-ingest: no dup rows

@@ -92,15 +92,61 @@ def test_restarted_stream_is_idempotent(spark, tmp_path):
     assertDataFrameEqual(_canon(read_kg(spark, pg_path)), _canon(expected))
 
 
-def test_merge_crash_window_recovery_and_transient_error_propagation(
-    spark, tmp_path
-):
-    """The staged-swap merge must (a) recover a store stranded at the
-    `._old` crash point (new store staged, old renamed away, final
-    rename never happened), and (b) surface a real read failure instead
-    of silently resetting the accumulated store to the current delta."""
+def _bucket_files(pg_path):
+    """{bucket_dir: {filename: size}} — the store's per-bucket layout."""
     import os
-    import shutil
+
+    out = {}
+    for name in os.listdir(pg_path):
+        full = os.path.join(pg_path, name)
+        if name.startswith("bucket=") and os.path.isdir(full):
+            out[name] = {
+                f: os.path.getsize(os.path.join(full, f))
+                for f in os.listdir(full)
+                if not f.startswith(".")
+            }
+    return out
+
+
+def test_delta_merge_rewrites_only_touched_buckets(spark, tmp_path):
+    """The scale contract of the bucketed store: merging a tiny delta
+    must rewrite only the bucket partitions the delta's ids hash into —
+    per-batch write bytes track the DELTA, not the accumulated store —
+    while the merged content still equals a full batch rebuild."""
+    from knetminer_etl_spark.streaming.kg import merge_triples_batch
+
+    customer = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    mapper = _customer_mapper()
+    pg_path = str(tmp_path / "pg.parquet")
+
+    first = customer.filter("c_custkey != 1")
+    delta = customer.filter("c_custkey = 1")  # a handful of element ids
+    merge_triples_batch(spark, mapper.to_triples(first), pg_path, n_buckets=16)
+    before = _bucket_files(pg_path)
+    assert len(before) > 8  # the big batch populated most buckets
+
+    merge_triples_batch(spark, mapper.to_triples(delta), pg_path, n_buckets=16)
+    after = _bucket_files(pg_path)
+    changed = [b for b in before if after.get(b) != before[b]]
+    # one customer row maps to a handful of ids → a handful of buckets;
+    # everything else must be byte-identical (same files, same sizes)
+    assert 0 < len(changed) <= 6
+    assert len(changed) < len(before) // 2
+
+    expected = triples_to_pg(mapper.to_triples(customer))
+    assertDataFrameEqual(_canon(read_kg(spark, pg_path)), _canon(expected))
+
+    # replayed delta (crash-recovery / duplicate delivery at the merge
+    # level): idempotent — rewrites its buckets with identical content
+    merge_triples_batch(spark, mapper.to_triples(delta), pg_path, n_buckets=16)
+    assertDataFrameEqual(_canon(read_kg(spark, pg_path)), _canon(expected))
+
+
+def test_corrupt_store_raises_instead_of_resetting(spark, tmp_path):
+    """A real read failure must surface, not be silently treated as
+    'first batch' (which would reset the accumulated store to the
+    current delta); the failed merge leaves the store untouched."""
+    import os
 
     from knetminer_etl_spark.streaming.kg import merge_triples_batch
 
@@ -108,30 +154,26 @@ def test_merge_crash_window_recovery_and_transient_error_propagation(
     mapper = _customer_mapper()
     pg_path = str(tmp_path / "pg.parquet")
 
-    first = customer.filter("c_custkey % 2 = 0")
-    second = customer.filter("c_custkey % 2 = 1")
-    merge_triples_batch(spark, mapper.to_triples(first), pg_path)
-    n_first = read_kg(spark, pg_path).count()
-
-    # simulate the crash window: current store renamed to ._old, no new
-    # store in place
-    os.rename(pg_path, pg_path + "._old")
-    merge_triples_batch(spark, mapper.to_triples(second), pg_path)
-    merged = read_kg(spark, pg_path)
-    # both batches present: recovery read ._old, then the swap landed
-    assert merged.count() > n_first
-    assert not os.path.exists(pg_path + "._old")
-    assert not os.path.exists(pg_path + "._tmp")
-    expected = triples_to_pg(mapper.to_triples(customer))
-    assertDataFrameEqual(_canon(merged), _canon(expected))
-
-    # a CORRUPT store must raise, not be silently overwritten
-    shutil.rmtree(pg_path)
-    os.makedirs(pg_path)
-    with open(os.path.join(pg_path, "part-00000.parquet"), "w") as fh:
-        fh.write("this is not parquet")
-    before = set(os.listdir(pg_path))
+    merge_triples_batch(
+        spark,
+        mapper.to_triples(customer.filter("c_custkey % 2 = 0")),
+        pg_path,
+        n_buckets=4,
+    )
+    # corrupt every bucket partition so whichever buckets the next
+    # delta touches, its store read hits the corruption
+    for bucket, files in _bucket_files(pg_path).items():
+        for f in files:
+            with open(os.path.join(pg_path, bucket, f), "w") as fh:
+                fh.write("this is not parquet")
+    before = _bucket_files(pg_path)
     with pytest.raises(Exception):
-        merge_triples_batch(spark, mapper.to_triples(second), pg_path)
-        read_kg(spark, pg_path).count()  # force the lazy read if needed
-    assert set(os.listdir(pg_path)) == before  # store untouched
+        merge_triples_batch(
+            spark,
+            mapper.to_triples(customer.filter("c_custkey % 2 = 1")),
+            pg_path,
+            n_buckets=4,
+        )
+    # merge materializes (localCheckpoint) before writing, so the
+    # failure happened before any partition was replaced
+    assert _bucket_files(pg_path) == before

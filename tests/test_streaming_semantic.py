@@ -115,6 +115,57 @@ def test_replaying_an_epoch_is_idempotent(spark, paths):
     assert before == after
 
 
+def test_cross_epoch_reingestion_latest_wins(spark, tmp_path):
+    """A vec_id re-ingested in a LATER epoch must supersede its earlier
+    rows in the store and band index: subsequent epochs verify against
+    the LATEST embedding only (no stale-version pairs) and an identical
+    late re-ingest cannot duplicate pair rows."""
+
+    def _unit(i, eps=0.0):
+        v = np.zeros(8)
+        v[i] = 1.0
+        if eps:
+            v[(i + 1) % 8] = eps
+            v /= np.linalg.norm(v)
+        return [float(x) for x in v]
+
+    schema = "vec_id long, embedding array<double>"
+    cents = [_unit(0), _unit(4)]
+    args = dict(
+        index_path=str(tmp_path / "idx"),
+        vecs_path=str(tmp_path / "store"),
+        pairs_path=str(tmp_path / "pairs"),
+        centroids=cents,
+        threshold=0.95,
+    )
+
+    def run(epoch, rows):
+        SD.process_semantic_batch(
+            spark, spark.createDataFrame(rows, schema), epoch, **args
+        )
+
+    run(0, [(1, _unit(1)), (2, _unit(2)), (3, _unit(3))])
+    # epoch 1: vec 3 re-ingested with a CHANGED embedding (now ≈ e4);
+    # vec 2 re-ingested byte-identical (late duplicate delivery)
+    run(1, [(3, _unit(4, 0.01)), (2, _unit(2))])
+    # epoch 2: vec 9 ≈ vec 3's OLD direction — stale index/store rows
+    # would pair it with vec 3 at cos ≈ 1; the latest embedding is
+    # orthogonal, so no pair may be emitted
+    run(2, [(9, _unit(3, 0.01))])
+    # epoch 3: vec 10 ≈ vec 3's NEW direction and vec 11 ≈ vec 2 —
+    # each must pair exactly once (duplicate store rows would emit
+    # (2, 11) twice)
+    run(3, [(10, _unit(4, 0.02)), (11, _unit(2, 0.01))])
+
+    pairs = [
+        (r["id_a"], r["id_b"])
+        for r in SD.read_semantic_pairs(spark, args["pairs_path"]).collect()
+    ]
+    assert (3, 9) not in pairs  # stale-version pair suppressed
+    assert pairs.count((3, 10)) == 1  # latest-version pair found once
+    assert pairs.count((2, 11)) == 1  # identical re-ingest: no dup rows
+
+
 # ---------------------------------------------------------------------------
 # Continuous semantic decontamination (ingest-time benchmark filtering)
 # ---------------------------------------------------------------------------
