@@ -139,6 +139,14 @@ def semantic_contamination(
     vector (max_test_cos is NULL-free: an empty test set yields no
     output rows rather than fabricated zeros — callers treat "no test
     set" upstream).
+
+    Debug / oracle-parity role: the full per-row ``max_test_cos`` report
+    is inherently |train|×|test| work (the max over NON-candidates is
+    unknowable to any blocking scheme), so this is the bit-certain
+    reference the banded filter is verified against — when you only
+    need the decontaminated corpus, go through
+    :func:`semantic_decontaminate` (mode="auto"), which switches to the
+    candidate-blocked plan as the evaluation suite grows.
     """
     from .similarity import _dot, _dvec, _norm
 
@@ -174,10 +182,50 @@ def semantic_decontaminate(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
+    mode: str = "auto",
+    n_planes: int = 12,
+    n_bands: int = 48,
+    seed: int = 0x5EED,
 ) -> DataFrame:
     """Drop training vectors whose nearest evaluation vector is at
-    cosine ≥ ``threshold`` — left-anti join against the flagged id set
-    (small; AQE broadcasts it), mirroring :func:`decontaminate`."""
+    cosine ≥ ``threshold`` — the default entry point; both physical
+    paths provably emit the same survivor set (the banded registry
+    entry hash-matches the brute-force oracle at every scale factor).
+
+    ``mode``:
+
+    * ``"auto"`` (default) — size-probe the evaluation side (one count
+      of the SMALL relation, the ``n_clusters="auto"`` probe pattern)
+      and delegate: per-corpus-row brute cost is |test| dot products
+      while the banded path pays a flat ``n_planes × n_bands`` BLAS
+      projection plus only bucket-matched verifications, so brute is
+      the cheaper plan only while |test| stays under about one band
+      matrix's worth of work. Crossover pinned at
+      ``|test| ≤ n_planes * n_bands`` (576 at the defaults; measured at
+      10× data: brute 8.64×, banded 1.71× — SCALE.md).
+    * ``"banded"`` — force :func:`semantic_decontaminate_banded` (the
+      100 TB shape: the corpus never shuffles, the eval side stays
+      broadcast however large the corpus grows).
+    * ``"brute"`` — force the exact nested-loop filter over
+      :func:`semantic_contamination`. Debug / oracle-parity only: it is
+      the bit-certain reference the banded path is verified against,
+      and the right plan ONLY for small fixed suites.
+    """
+    if mode == "auto":
+        # bounded probe: the eval relation is the broadcast side by
+        # contract (benchmarks, not corpora) — counting it is cheap
+        mode = (
+            "brute"
+            if test_vecs.count() <= n_planes * n_bands
+            else "banded"
+        )
+    if mode == "banded":
+        return semantic_decontaminate_banded(
+            train_vecs, test_vecs, id_col, vec_col, threshold,
+            n_planes, n_bands, seed,
+        )
+    if mode != "brute":
+        raise ValueError(f"unknown decontamination mode: {mode!r}")
     flagged = semantic_contamination(
         train_vecs, test_vecs, id_col, vec_col, threshold
     ).filter(F.col("contaminated"))

@@ -1010,16 +1010,34 @@ def semantic_dedup(
 
 
 def _cosine_assign_staged(
-    df: DataFrame, id_col: str, vec_col: str, cents: list[list[float]]
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    cents: list[list[float]],
+    literal_max: int | None = None,
 ) -> DataFrame:
     """``(_id, _v, _n, cluster)``: argmax-cosine assignment to a
-    driver-held centroid list (6-dp rounding; ties → lowest index) as a
-    narrow map with literal centroids — the md5-variant assignment rule
-    shared by batch :func:`semantic_dedup` and the incremental index."""
+    driver-held centroid list (6-dp rounding; ties → lowest index) —
+    the md5-variant assignment rule shared by batch
+    :func:`semantic_dedup` and the incremental index.
+
+    Physical plan is size-guarded like :func:`semantic_dedup_kmeans`'s:
+    while ``k × dim`` stays under ``_LITERAL_ASSIGN_MAX`` the centroids
+    are baked into ONE literal argmax expression (a narrow map — no
+    join, no second scan); above it (``n_clusters="auto"`` on a large
+    corpus puts k at ⌈√n⌉) a literal expression would collect an
+    unbounded matrix to the driver and produce an unplannable plan, so
+    assignment switches to a broadcast join against a centroid relation
+    with the identical scoring expression — same driver-folded centroid
+    norms, same 6-dp rounding, same (cos, −idx) struct-max tie-break,
+    so the assignment VALUES are bit-identical either way (pinned in
+    tests/test_dedup.py)."""
     import math
 
-    from .similarity import _dot, _norm
+    from .similarity import _LITERAL_ASSIGN_MAX, _dot, _norm
 
+    if literal_max is None:
+        literal_max = _LITERAL_ASSIGN_MAX
     vecs = df.select(
         F.col(id_col).alias("_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
@@ -1033,6 +1051,39 @@ def _cosine_assign_staged(
     # the row norm is shared by all centroid cosines AND both verify join
     # sides downstream: one materialized column, not 2+n_clusters folds
     nvecs = vecs.withColumn("_n", _norm(F.col("_v")))
+
+    dim = len(cents[0]) if cents else 0
+    if len(cents) * dim > literal_max:
+        # broadcast-join assignment: centroids as a (cidx, cvec, cnorm)
+        # relation — executor-side model state, driver holds only the
+        # list it was handed. Costs one extra scan of the staged vecs
+        # (score + join-back), the semantic_dedup_kmeans fallback shape.
+        cdf = df.sparkSession.createDataFrame(
+            [
+                (i, [float(x) for x in c], float(cn))
+                for i, (c, cn) in enumerate(zip(cents, cnorms))
+            ],
+            "cidx int, cvec array<double>, cnorm double",
+        )
+        scored = nvecs.join(F.broadcast(cdf)).select(
+            "_id",
+            F.struct(
+                F.round(
+                    _dot(F.col("_v"), F.col("cvec"))
+                    / (F.col("_n") * F.col("cnorm")),
+                    6,
+                ).alias("cos"),
+                (-F.col("cidx")).alias("negidx"),
+            ).alias("_s"),
+        )
+        best = (
+            scored.groupBy("_id")
+            .agg(F.max("_s").alias("_b"))
+            .select(
+                "_id", (-F.col("_b.negidx")).cast("int").alias("cluster")
+            )
+        )
+        return nvecs.join(best, on="_id").select("_id", "_v", "_n", "cluster")
 
     def _cos_to(c: list[float], cn: float) -> Column:
         cv = F.array(*[F.lit(float(x)) for x in c])

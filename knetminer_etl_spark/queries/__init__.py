@@ -73,32 +73,35 @@ _ALL_QUERIES = {
 # sampling, validation) rather than 50 variations of one family.
 #
 # The prefix ROTATES each round (within family slots) so no oracle sits
-# unchecked by the driver forever: round 5 rotated q12_late_shipments,
-# q15_top_supplier, kg_triangles, doc_incremental_dedup and events_scd2
-# out (prefix-green in rounds 3-4) for the four queries round 4
-# displaced plus the new doc_span_scrub_hashed; the round-5b refresh
-# additionally swapped prefix-green doc_bpe_pairs for the new
-# embedding_semantic_decontamination_banded (the LSH-blocked decon
-# scale path). The displaced queries stay immediately after the prefix
-# and the FULL registry sweeps green at all three scale factors
-# (tools/check_correctness.py → SWEEP artifact) so rotation never
-# hides a regression.
+# unchecked by the driver forever. Round 6 rotated the round-5 displaced
+# set back in — q12_late_shipments, q15_top_supplier, kg_triangles,
+# doc_incremental_dedup, events_scd2, doc_bpe_pairs — displacing six
+# prefix-green peers within the same family slots (q1_pricing_summary,
+# q13_customer_distribution, kg_pagerank, minhash_lsh_pairs,
+# events_tumbling_5m, doc_split_counts), and swapped the decon slot from
+# the explicit banded entry to the new auto dispatcher
+# (embedding_semantic_decontamination_auto, which size-probes its way to
+# the same banded plan here). The displaced queries stay immediately
+# after the prefix and the FULL registry sweeps green at all three scale
+# factors (tools/check_correctness.py → SWEEP artifact) so rotation
+# never hides a regression.
 _PRIORITY = [
     # TPC-H-style relational core (agg, top-k join, multi-join, outer,
     # scalar subquery, semi/anti join)
-    "q1_pricing_summary", "q3_shipping_priority", "q5_region_volume",
-    "q13_customer_distribution", "q21_waiting_suppliers",
+    "q3_shipping_priority", "q5_region_volume", "q12_late_shipments",
+    "q15_top_supplier", "q21_waiting_suppliers",
     # the product pipeline: tabular → triples → property graph,
     # plus incremental graph maintenance (merge == rebuild contract)
     "kg_triples_customer", "kg_edge_triples", "kg_pg_elements",
     "kg_pg_incremental",
-    # graph algorithms over the KG (components, degrees, ranks,
+    # graph algorithms over the KG (components, degrees, triangles,
     # weighted shortest paths)
-    "dedup_components", "kg_shortest_costs", "kg_pagerank", "kg_degrees",
+    "dedup_components", "kg_shortest_costs", "kg_triangles", "kg_degrees",
     # deduplication family (whole-doc, n-gram, LSH, fingerprint,
-    # embedding, substring-span incl. hashed mode, semantic)
+    # embedding, substring-span incl. hashed mode, semantic,
+    # incremental)
     "exact_dedup", "doc_span_scrub", "doc_span_scrub_hashed",
-    "ngram_jaccard_pairs", "minhash_lsh_pairs",
+    "ngram_jaccard_pairs", "doc_incremental_dedup",
     "simhash_pairs", "embedding_dup_pairs",
     "embedding_semantic_dedup",
     # similarity search (exact, LSH, IVF, PQ)
@@ -107,13 +110,13 @@ _PRIORITY = [
     # text analysis (stats, language id, boilerplate extraction)
     "text_stats", "lang_id_counts", "doc_html_extract",
     # corpus / training-data prep (incl. tokenizer-training statistics)
-    "doc_split_counts", "doc_quality_filter", "doc_pii_redaction",
+    "doc_bpe_pairs", "doc_quality_filter", "doc_pii_redaction",
     "doc_context_windows", "doc_repetition_stats", "doc_decontamination",
-    "embedding_semantic_decontamination_banded",
+    "embedding_semantic_decontamination_auto",
     "doc_tfidf_terms", "doc_lm_scores",
     "doc_pipeline_stages",
-    # event streams: windows, sessions, as-of, weighted avg, gap-fill
-    "events_tumbling_5m", "events_sessionize", "events_asof_last_error",
+    # event streams: windows, sessions, as-of, SCD2, gap-fill
+    "events_scd2", "events_sessionize", "events_asof_last_error",
     "events_time_weighted_avg", "events_gap_fill",
     # sketches
     "events_distinct_hll", "doc_heavy_hitters",
@@ -122,9 +125,9 @@ _PRIORITY = [
     "segment_year_cube", "doc_shard_manifest", "doc_temperature_mix",
     "orders_validation",
     # rotated out of the prefix this round (covered by the full sweep)
-    "doc_bpe_pairs",
-    "q12_late_shipments", "q15_top_supplier", "kg_triangles",
-    "doc_incremental_dedup", "events_scd2",
+    "q1_pricing_summary", "q13_customer_distribution", "kg_pagerank",
+    "minhash_lsh_pairs", "events_tumbling_5m", "doc_split_counts",
+    "embedding_semantic_decontamination_banded",
 ]
 assert set(_PRIORITY) <= set(_ALL_QUERIES), sorted(
     set(_PRIORITY) - set(_ALL_QUERIES)

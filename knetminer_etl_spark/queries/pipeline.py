@@ -1389,11 +1389,47 @@ ORDER BY vec_id
 """
 
 
+def embedding_semantic_decontamination_auto(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The DEFAULT decontamination entry point
+    (operators/contamination.semantic_decontaminate, mode="auto"): a
+    size probe of the evaluation side picks brute force only while the
+    suite is small (|test| ≤ n_planes·n_bands), else the sign-LSH
+    banded plan — the ``n_clusters="auto"`` treatment applied to
+    decontamination, so nothing upstream has to know when the eval
+    suite outgrows per-row brute force. Both paths provably emit the
+    same survivor set, so one brute-force oracle covers whichever the
+    probe picks at each scale factor (the sweep crosses the switch
+    point: tiny suites go brute, the sf0.01+ suites go banded)."""
+    from ..operators import contamination as CT
+
+    emb = CAT.read_parquet(spark, f"{sf_dir}/embeddings.parquet").select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+    )
+    train = emb.filter(F.col("vec_id") % 10 != 7)
+    leaks = emb.filter(F.col("vec_id") % 10 == 3).select(
+        (F.col("vec_id") + 20_000_000).alias("vec_id"),
+        F.transform(F.col("embedding"), lambda x: x + F.lit(0.02)).alias(
+            "embedding"
+        ),
+    )
+    test = emb.filter(F.col("vec_id") % 10 == 7).unionByName(leaks)
+    out = CT.semantic_decontaminate(train, test, threshold=0.95, mode="auto")
+    return out.select("vec_id").orderBy("vec_id")
+
+
 QUERIES.update(
     {
         "embedding_semantic_decontamination": embedding_semantic_decontamination,
         "embedding_semantic_decontamination_banded": (
             embedding_semantic_decontamination_banded
+        ),
+        "embedding_semantic_decontamination_auto": (
+            embedding_semantic_decontamination_auto
         ),
     }
 )
@@ -1401,6 +1437,10 @@ ORACLES.update(
     {
         "embedding_semantic_decontamination": EMBEDDING_SEMANTIC_DECON_SQL,
         "embedding_semantic_decontamination_banded": (
+            EMBEDDING_SEMANTIC_DECON_BANDED_SQL
+        ),
+        # same survivor set whichever physical path the probe picks
+        "embedding_semantic_decontamination_auto": (
             EMBEDDING_SEMANTIC_DECON_BANDED_SQL
         ),
     }

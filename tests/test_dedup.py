@@ -429,6 +429,35 @@ class TestSemanticDedup:
         )
         assert km_direct == km_banded
 
+    def test_join_assignment_matches_literal_expression(self, spark):
+        """Above _LITERAL_ASSIGN_MAX the assignment switches from one
+        literal argmax expression to a broadcast join against a centroid
+        relation (the n_clusters="auto" guard — k=⌈√n⌉ on a large corpus
+        must not collect an unbounded literal matrix to the driver).
+        Both plans must produce bit-identical assignments: same
+        driver-folded norms, 6-dp rounding, and (cos, −idx) tie-break."""
+        from knetminer_etl_spark.operators.dedup import _cosine_assign_staged
+
+        df = self._emb(spark, n=50)
+        cents = [
+            list(r["embedding"])
+            for r in df.orderBy("vec_id").limit(6).collect()
+        ]
+        lit = sorted(
+            (r["_id"], r["cluster"])
+            for r in _cosine_assign_staged(
+                df, "vec_id", "embedding", cents, literal_max=10**9
+            ).collect()
+        )
+        joined = sorted(
+            (r["_id"], r["cluster"])
+            for r in _cosine_assign_staged(
+                df, "vec_id", "embedding", cents, literal_max=0
+            ).collect()
+        )
+        assert lit == joined
+        assert len({c for _, c in lit}) > 1  # assignments are non-trivial
+
     def test_incremental_pairs_union_equals_full_banded_run(self, spark):
         """Ingesting the corpus in three batches against a persisted
         semantic_band_rows index must yield, in union, exactly the drop

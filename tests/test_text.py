@@ -331,7 +331,9 @@ class TestContamination:
         )
         brute = sorted(
             r["vec_id"]
-            for r in CT.semantic_decontaminate(train, test, threshold=0.95).collect()
+            for r in CT.semantic_decontaminate(
+                train, test, threshold=0.95, mode="brute"
+            ).collect()
         )
         banded = sorted(
             r["vec_id"]
@@ -341,6 +343,31 @@ class TestContamination:
         )
         assert banded == brute
         assert len(brute) < 30  # at least one tight leak was dropped
+
+        # the auto probe: |test|=4 > 1·1 forces the banded delegate when
+        # the band shape is shrunk to one plane/band, and stays brute at
+        # the defaults (4 ≤ 12·48) — both must emit the same survivors
+        auto_banded = sorted(
+            r["vec_id"]
+            for r in CT.semantic_decontaminate(
+                train, test, threshold=0.95, mode="auto",
+                n_planes=1, n_bands=1,
+            ).collect()
+        )
+        auto_brute = sorted(
+            r["vec_id"]
+            for r in CT.semantic_decontaminate(
+                train, test, threshold=0.95, mode="auto"
+            ).collect()
+        )
+        assert auto_brute == brute
+        # one band of one plane has real miss probability at mid-tight
+        # leaks, so only subset containment is guaranteed there
+        assert set(brute) <= set(auto_banded)
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            CT.semantic_decontaminate(train, test, mode="bogus")
 
 
 class TestChunkDocuments:
