@@ -1009,35 +1009,75 @@ def semantic_dedup(
     )
 
 
+# k × dim bound under which the argmax-cosine assignment stays one
+# literal JVM expression. Higher-order-function folds are interpreted
+# (no codegen), so per-row cost is ~k·dim interpreted ops — fine for a
+# handful of centroids, but n_clusters="auto" (k=⌈√n⌉) crosses into
+# n·√n·dim territory where the Arrow path is ~20× cheaper (measured:
+# the 10× semantic-dedup-auto sweep entry dropped 3.4× → ~2× wall).
+_LITERAL_DOTS_MAX = 2_048
+
+
+def _centroid_dots(vec_col: str, cents: list[list[float]]) -> Column:
+    """``array<double>[k]`` of raw dot products row·centroidⱼ, computed
+    in one Arrow batch per task with a SEQUENTIAL left fold over the
+    dimensions — ``((0 + x₀c₀) + x₁c₁) + …`` elementwise over the
+    (batch × k) accumulator — so every value is bit-identical to the
+    in-plan ``aggregate``/``zip_with`` fold and to DuckDB's
+    ``list_reduce`` (a BLAS matmul would pairwise-sum and drift in the
+    last ulp, flipping 6-dp round ties against the oracle). Same flop
+    count as a matmul, vectorized per dimension."""
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.asarray(cents, dtype=np.float64)  # (k, dim) closure matrix
+
+    @pandas_udf("array<double>")
+    def _dots(vs: pd.Series) -> pd.Series:
+        X = np.stack(vs.to_numpy())  # (batch, dim) — fixed-dim column
+        acc = np.zeros((X.shape[0], C.shape[0]))
+        for d in range(X.shape[1]):
+            acc += X[:, d, None] * C[None, :, d]
+        return pd.Series(list(acc))
+
+    return _dots(F.col(vec_col))
+
+
 def _cosine_assign_staged(
     df: DataFrame,
     id_col: str,
     vec_col: str,
     cents: list[list[float]],
     literal_max: int | None = None,
+    dots_max: int | None = None,
 ) -> DataFrame:
     """``(_id, _v, _n, cluster)``: argmax-cosine assignment to a
     driver-held centroid list (6-dp rounding; ties → lowest index) —
     the md5-variant assignment rule shared by batch
     :func:`semantic_dedup` and the incremental index.
 
-    Physical plan is size-guarded like :func:`semantic_dedup_kmeans`'s:
-    while ``k × dim`` stays under ``_LITERAL_ASSIGN_MAX`` the centroids
-    are baked into ONE literal argmax expression (a narrow map — no
-    join, no second scan); above it (``n_clusters="auto"`` on a large
-    corpus puts k at ⌈√n⌉) a literal expression would collect an
-    unbounded matrix to the driver and produce an unplannable plan, so
-    assignment switches to a broadcast join against a centroid relation
-    with the identical scoring expression — same driver-folded centroid
-    norms, same 6-dp rounding, same (cos, −idx) struct-max tie-break,
-    so the assignment VALUES are bit-identical either way (pinned in
-    tests/test_dedup.py)."""
+    Three size-guarded physical plans, all emitting bit-identical
+    assignments (same driver-folded centroid norms, same 6-dp rounding,
+    same (cos, −idx) struct-max tie-break — pinned in
+    tests/test_dedup.py):
+
+    * ``k·dim ≤ _LITERAL_DOTS_MAX`` — ONE literal argmax expression
+      (narrow map, zero Arrow overhead; right for a handful of
+      centroids);
+    * ``k·dim ≤ _LITERAL_ASSIGN_MAX`` — :func:`_centroid_dots` Arrow
+      batch for the k dot products (the ``n_clusters="auto"`` regime:
+      interpreted HOF folds were the super-linear wall term), then
+      JVM-side divide/round/argmax over the returned array;
+    * beyond — broadcast join against a centroid relation (an
+      unbounded-k literal matrix would swamp the driver and the
+      planner)."""
     import math
 
     from .similarity import _LITERAL_ASSIGN_MAX, _dot, _norm
 
     if literal_max is None:
         literal_max = _LITERAL_ASSIGN_MAX
+    if dots_max is None:
+        dots_max = _LITERAL_DOTS_MAX
     vecs = df.select(
         F.col(id_col).alias("_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
@@ -1084,6 +1124,32 @@ def _cosine_assign_staged(
             )
         )
         return nvecs.join(best, on="_id").select("_id", "_v", "_n", "cluster")
+
+    if len(cents) * dim > dots_max:
+        # Arrow-batch dot products + JVM-side divide/round/argmax: the
+        # rounding and tie-break expressions stay identical to the
+        # literal path; only the fold moves into numpy (same sequential
+        # element order — see _centroid_dots)
+        cn_arr = F.lit([float(cn) for cn in cnorms])
+        best = F.array_max(
+            F.transform(
+                _centroid_dots("_v", cents),
+                lambda d, i: F.struct(
+                    F.round(
+                        d
+                        / (
+                            F.col("_n")
+                            * F.element_at(cn_arr, i + F.lit(1))
+                        ),
+                        6,
+                    ).alias("cos"),
+                    (-i).alias("negidx"),
+                ),
+            )
+        )
+        return nvecs.select(
+            "_id", "_v", "_n", (-best["negidx"]).cast("int").alias("cluster")
+        )
 
     def _cos_to(c: list[float], cn: float) -> Column:
         cv = F.array(*[F.lit(float(x)) for x in c])
@@ -1361,7 +1427,13 @@ def _semantic_keep(
     floor = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
 
     def _parts(rows: int, bytes_per_row: int) -> int:
-        return max(floor, min(4096, rows * bytes_per_row // (200 * 1024)))
+        # ~2 MB of band rows per task ≈ 40k in-flight collect_set groups
+        # worst case — inside the tens-of-thousands-of-groups sweet spot
+        # (object-bound aggregation, triples_to_pg_flat's analysis) while
+        # keeping tasks coarse enough that scheduler overhead doesn't
+        # dominate these sub-100-byte rows (200 KB/task measured 1.5×
+        # slower wall at 10× data: 165 near-empty tasks per exchange)
+        return max(floor, min(4096, rows * bytes_per_row // (2048 * 1024)))
 
     # Candidate generation is size-adaptive (both paths produce the
     # identical verified drop set — the switch is a physical-plan

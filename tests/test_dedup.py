@@ -455,7 +455,15 @@ class TestSemanticDedup:
                 df, "vec_id", "embedding", cents, literal_max=0
             ).collect()
         )
+        arrow = sorted(
+            (r["_id"], r["cluster"])
+            for r in _cosine_assign_staged(
+                df, "vec_id", "embedding", cents,
+                literal_max=10**9, dots_max=0,
+            ).collect()
+        )
         assert lit == joined
+        assert lit == arrow  # sequential-fold numpy dots == JVM fold
         assert len({c for _, c in lit}) > 1  # assignments are non-trivial
 
     def test_incremental_pairs_union_equals_full_banded_run(self, spark):
