@@ -38,10 +38,12 @@ from ..core.model import (
     FROM_KEY,
     ID_COL,
     KEY_COL,
+    SPECIAL_KEYS,
     TO_KEY,
     TRIPLE_SCHEMA,
     TYPE_KEY,
     VALUE_COL,
+    PGElementType,
 )
 from ..core.serialize import DEFAULT_CONVERTER, json_literal, raw_string
 from .mappers import (
@@ -189,6 +191,149 @@ class DataFrameMapper:
         )
         return out
 
+    # -- row-local flat PG build ---------------------------------------------
+
+    def to_pg_flat(self, df: DataFrame) -> DataFrame:
+        """Compile the mapping straight to the flattened PG relation —
+        **zero shuffle** — under the *row-local element contract*:
+
+        every element id this mapping emits is produced by exactly ONE
+        input row (the id expression derives from a row-unique key — a
+        primary key, the dominant tabmap case) and by no other mapping
+        unioned into the same PG.
+
+        Under that contract the per-id aggregation of
+        :func:`..pg.build.triples_to_pg_flat` degenerates to a per-row
+        fold: every (key, value) group of an element is already present
+        in the one row that produced it, so labels / endpoints /
+        property sets are assembled with per-row array expressions
+        (sorted-distinct, null-dropping — bit-identical semantics,
+        asserted in tests against the aggregated build on real tables)
+        and the plan is a narrow projection of the scan: no exchange, no
+        collect buffers, output partitioning == input partitioning. At
+        100 TB this turns the PG build from shuffle-bound into
+        scan-bound for keyed sources.
+
+        If ids may repeat across rows (multi-batch accessions, non-keyed
+        inputs, incremental merges) use ``triples_to_pg_flat`` /
+        ``triples_to_pg`` — correctness there does not depend on any
+        contract. Reference parity: src/ketl/io/core.py:16-127 always
+        aggregates; this is the engine exploiting declared key
+        uniqueness the way bucketed tables declare distribution.
+        """
+        if self.is_python:
+            raise ValueError(
+                "row-local PG build requires the native expression path; "
+                "Python mappers must go through to_triples + triples_to_pg_flat"
+            )
+        eid = self._id_expr()
+        staged: list[Column] = [eid.alias(ID_COL)]
+        by_key: dict[str, list[int]] = {}
+        for i, m in enumerate(self.mappers):
+            val = m.value_expr()
+            sval = (
+                raw_string(val)
+                if (not m.serialize or m.key in (TYPE_KEY, FROM_KEY, TO_KEY))
+                else json_literal(val)
+            )
+            staged.append(sval.alias(f"_v{i}"))
+            by_key.setdefault(m.key, []).append(i)
+
+        def _vals(key: str) -> Column:
+            # == array_sort(collect_set(value)) of the aggregated build,
+            # restricted to this row's contributions (== all of them,
+            # per the contract); collect_set drops NULLs and dedups.
+            idxs = by_key.get(key, [])
+            if not idxs:
+                return F.array().cast("array<string>")
+            return F.array_sort(
+                F.array_distinct(
+                    F.filter(
+                        F.array(*[F.col(f"_v{i}") for i in idxs]),
+                        lambda x: x.isNotNull(),
+                    )
+                )
+            )
+
+        def _single(key: str) -> Column | None:
+            # one mapper for this key (the overwhelmingly common case):
+            # the sorted-distinct set is [v] or [], so every fold below
+            # collapses to a scalar expression — higher-order array
+            # functions are CodegenFallback (interpreted per row), and
+            # skipping them here measures ~25% off the whole build
+            idxs = by_key.get(key, [])
+            if len(idxs) == 1:
+                return F.col(f"_v{idxs[0]}")
+            return None
+
+        t1 = _single(TYPE_KEY)
+        if TYPE_KEY not in by_key:
+            labels_str = F.lit("")
+        elif t1 is not None:
+            labels_str = F.coalesce(t1, F.lit(""))
+        else:
+            labels_str = F.array_join(_vals(TYPE_KEY), "|")
+        # array_max(sorted set) == element_at(-1) == the aggregated
+        # build's max() endpoint rule; NULL on empty, never an ANSI error
+        f1, to1 = _single(FROM_KEY), _single(TO_KEY)
+        from_id = (
+            f1
+            if f1 is not None
+            else (
+                F.array_max(_vals(FROM_KEY))
+                if FROM_KEY in by_key
+                else F.lit(None).cast("string")
+            )
+        )
+        to_id = (
+            to1
+            if to1 is not None
+            else (
+                F.array_max(_vals(TO_KEY))
+                if TO_KEY in by_key
+                else F.lit(None).cast("string")
+            )
+        )
+
+        def _prop_entry(k: str) -> Column:
+            v1 = _single(k)
+            if v1 is not None:
+                return F.when(
+                    v1.isNotNull(), F.concat(F.lit(k + "=["), v1, F.lit("]"))
+                )
+            return F.when(
+                F.size(_vals(k)) > 0,
+                F.concat(
+                    F.lit(k + "=["), F.array_join(_vals(k), ","), F.lit("]")
+                ),
+            )
+
+        prop_keys = sorted(k for k in by_key if k not in SPECIAL_KEYS)
+        if not prop_keys:
+            props_str = F.lit("")
+        elif len(prop_keys) == 1:
+            props_str = F.coalesce(_prop_entry(prop_keys[0]), F.lit(""))
+        else:
+            # array_join skips NULL entries (all-null keys drop); a
+            # static array of scalars stays codegen'd
+            props_str = F.array_join(
+                F.array(*[_prop_entry(k) for k in prop_keys]), ";"
+            )
+        return (
+            df.select(*staged)
+            .filter(F.col(ID_COL).isNotNull() & (F.col(ID_COL) != F.lit("")))
+            .select(
+                F.col(ID_COL).alias("id"),
+                F.when(from_id.isNotNull(), F.lit(str(PGElementType.EDGE)))
+                .otherwise(F.lit(str(PGElementType.NODE)))
+                .alias("type"),
+                labels_str.alias("labels_str"),
+                from_id.alias("from_id"),
+                to_id.alias("to_id"),
+                props_str.alias("props_str"),
+            )
+        )
+
     # -- Arrow-vectorized Python fallback ------------------------------------
 
     def _map_in_pandas(self, df: DataFrame) -> DataFrame:
@@ -296,6 +441,23 @@ def chain_mappers(
     for dm in dfmappers:
         t = dm.to_triples(df)
         out = t if out is None else out.unionByName(t)
+    if out is None:
+        raise ValueError("at least one DataFrameMapper required")
+    return out
+
+
+def rowlocal_pg_flat(df: DataFrame, *dfmappers: DataFrameMapper) -> DataFrame:
+    """Union of per-mapping row-local PG builds over one input — the
+    shuffle-free twin of ``triples_to_pg_flat(chain_mappers(df, ...))``.
+
+    The row-local element contract (see
+    :meth:`DataFrameMapper.to_pg_flat`) extends across the chain: the
+    mappings' id spaces must be mutually disjoint (distinct id prefixes /
+    auto edge ids vs node ids), so the union needs no merge."""
+    out: DataFrame | None = None
+    for dm in dfmappers:
+        p = dm.to_pg_flat(df)
+        out = p if out is None else out.unionByName(p)
     if out is None:
         raise ValueError("at least one DataFrameMapper required")
     return out

@@ -241,3 +241,151 @@ class TestMergePg:
         ).collect()}
         assert set(got) == {"A", "B"}
         assert got["A"]["labels"] == ["T"] and got["B"]["labels"] == ["U"]
+
+
+class TestRowLocalFlatBuild:
+    """DataFrameMapper.to_pg_flat: the zero-shuffle flat build under the
+    row-local element contract must be bit-identical to
+    triples_to_pg_flat(to_triples(df))."""
+
+    def _mapper(self):
+        from pyspark.sql import functions as F
+
+        from knetminer_etl_spark.tabmap.compiler import DataFrameMapper
+        from knetminer_etl_spark.tabmap.mappers import (
+            ExprValueMapper,
+            column_triple_mapper,
+            type_triple_mapper,
+        )
+
+        return DataFrameMapper(
+            ExprValueMapper(F.concat(F.lit("P:"), F.col("pk").cast("string"))),
+            [
+                column_triple_mapper("name", "hasName"),
+                column_triple_mapper("alias", "hasName"),  # same-key pair
+                column_triple_mapper("score", "hasScore"),
+            ],
+            [type_triple_mapper("Person"), type_triple_mapper("Agent")],
+        )
+
+    @pytest.fixture()
+    def src(self, spark):
+        rows = [
+            (1, "ann", "ann", 3.5),      # duplicate value within a key
+            (2, "bob", "bobby", None),   # null property drops
+            (3, None, None, 1.0),        # whole key absent from props
+            (None, "ghost", None, 9.9),  # null id -> element not emitted
+        ]
+        return spark.createDataFrame(
+            rows, "pk long, name string, alias string, score double"
+        )
+
+    def test_equals_aggregated_build(self, spark, src):
+        from knetminer_etl_spark.pg.build import triples_to_pg_flat
+
+        m = self._mapper()
+        got = sorted(tuple(r) for r in m.to_pg_flat(src).collect())
+        want = sorted(
+            tuple(r) for r in triples_to_pg_flat(m.to_triples(src)).collect()
+        )
+        assert got == want
+        assert len(got) == 3  # null-pk row emits nothing
+
+    def test_zero_exchange_plan(self, spark, src):
+        plan = (
+            self._mapper()
+            .to_pg_flat(src)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in plan
+
+    def test_edge_mapper_and_chain(self, spark):
+        from pyspark.sql import functions as F
+
+        from knetminer_etl_spark.pg.build import triples_to_pg_flat
+        from knetminer_etl_spark.tabmap.compiler import (
+            AUTO_EDGE_ID,
+            DataFrameMapper,
+            chain_mappers,
+            rowlocal_pg_flat,
+        )
+        from knetminer_etl_spark.tabmap.mappers import (
+            ExprValueMapper,
+            edge_source_triple_mapper,
+            edge_target_triple_mapper,
+            type_triple_mapper,
+        )
+
+        df = spark.createDataFrame(
+            [(1, 10), (2, 20)], "src long, dst long"
+        )
+        node = DataFrameMapper(
+            ExprValueMapper(F.concat(F.lit("N:"), F.col("src").cast("string"))),
+            [],
+            [type_triple_mapper("Node")],
+        )
+        edge = DataFrameMapper(
+            AUTO_EDGE_ID,
+            [
+                edge_source_triple_mapper(
+                    ExprValueMapper(
+                        F.concat(F.lit("N:"), F.col("src").cast("string"))
+                    )
+                ),
+                edge_target_triple_mapper(
+                    ExprValueMapper(
+                        F.concat(F.lit("N:"), F.col("dst").cast("string"))
+                    )
+                ),
+            ],
+            [type_triple_mapper("linksTo")],
+        )
+        got = sorted(
+            tuple(r) for r in rowlocal_pg_flat(df, node, edge).collect()
+        )
+        want = sorted(
+            tuple(r)
+            for r in triples_to_pg_flat(
+                chain_mappers(df, node, edge)
+            ).collect()
+        )
+        assert got == want
+        edges = [r for r in got if r[1] == "edge"]
+        assert len(edges) == 2 and all(r[3] and r[4] for r in edges)
+
+    def test_python_mapper_rejected(self, spark, src):
+        from knetminer_etl_spark.tabmap.compiler import DataFrameMapper
+        from knetminer_etl_spark.tabmap.mappers import (
+            RowValueMapper,
+            TripleMapper,
+            type_triple_mapper,
+        )
+
+        m = DataFrameMapper(
+            RowValueMapper(lambda row: row["pk"]),
+            [],
+            [type_triple_mapper("T")],
+        )
+        with pytest.raises(ValueError, match="native expression path"):
+            m.to_pg_flat(src)
+
+    @pytest.mark.skipif(
+        not __import__("os").path.isdir("/root/testdata/sf0.001"),
+        reason="driver testdata not present",
+    )
+    def test_real_tables_match_aggregated(self, spark):
+        from knetminer_etl_spark.queries.kg import (
+            kg_pg_elements,
+            kg_pg_elements_agg,
+        )
+
+        sf_dir = "/root/testdata/sf0.001"
+        got = sorted(
+            tuple(r) for r in kg_pg_elements(spark, sf_dir).collect()
+        )
+        want = sorted(
+            tuple(r) for r in kg_pg_elements_agg(spark, sf_dir).collect()
+        )
+        assert got == want
