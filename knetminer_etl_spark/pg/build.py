@@ -321,6 +321,46 @@ def flatten_pg(pg: DataFrame) -> DataFrame:
     )
 
 
+def pg_to_triples(pg: DataFrame) -> DataFrame:
+    """The inverse of :func:`triples_to_pg`: expand a PG relation back to
+    its (id, key, value) triple multiset — labels become ``@type`` rows,
+    endpoints ``@from``/``@to`` rows, each property value its own row.
+
+    ``triples_to_pg(pg_to_triples(pg)) == pg`` (tested), which makes N-way
+    PG merging a single shuffle: union the expansions and re-aggregate,
+    instead of folding N-1 full-outer joins of :func:`merge_pg`. One
+    narrow explode per input — no shuffle of its own.
+    """
+    structs = F.concat(
+        F.transform(
+            "labels",
+            lambda l: F.struct(
+                F.lit(TYPE_KEY).alias("key"), l.alias("value")
+            ),
+        ),
+        F.filter(
+            F.array(
+                F.struct(F.lit(FROM_KEY).alias("key"), F.col("from").alias("value")),
+                F.struct(F.lit(TO_KEY).alias("key"), F.col("to").alias("value")),
+            ),
+            lambda s: s["value"].isNotNull(),
+        ),
+        F.flatten(
+            F.transform(
+                F.map_entries("properties"),
+                lambda e: F.transform(
+                    e["value"],
+                    lambda v: F.struct(e["key"].alias("key"), v.alias("value")),
+                ),
+            )
+        ),
+    )
+    return (
+        pg.select("id", F.explode(structs).alias("_t"))
+        .select("id", "_t.key", "_t.value")
+    )
+
+
 def merge_pg(old: DataFrame, delta: DataFrame) -> DataFrame:
     """Merge two PG relations into one, equivalent to rebuilding from the
     union of their source triples (asserted in tests and the

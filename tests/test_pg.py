@@ -389,3 +389,16 @@ class TestRowLocalFlatBuild:
             tuple(r) for r in kg_pg_elements_agg(spark, sf_dir).collect()
         )
         assert got == want
+
+
+def test_pg_to_triples_roundtrip(spark, triples):
+    """pg_to_triples is a true inverse: re-aggregating the expansion
+    reproduces the PG relation exactly (the contract N-way merge and the
+    streaming delta-log compaction rely on)."""
+    from knetminer_etl_spark.pg.build import pg_to_triples
+
+    pg = triples_to_pg(triples)
+    back = triples_to_pg(pg_to_triples(pg))
+    a = sorted(map(str, pg.collect()))
+    b = sorted(map(str, back.collect()))
+    assert a == b

@@ -121,11 +121,11 @@ def test_delta_merge_rewrites_only_touched_buckets(spark, tmp_path):
 
     first = customer.filter("c_custkey != 1")
     delta = customer.filter("c_custkey = 1")  # a handful of element ids
-    merge_triples_batch(spark, mapper.to_triples(first), pg_path, n_buckets=16)
+    merge_triples_batch(spark, mapper.to_triples(first), pg_path, n_buckets=16, mode="inplace")
     before = _bucket_files(pg_path)
     assert len(before) > 8  # the big batch populated most buckets
 
-    merge_triples_batch(spark, mapper.to_triples(delta), pg_path, n_buckets=16)
+    merge_triples_batch(spark, mapper.to_triples(delta), pg_path, n_buckets=16, mode="inplace")
     after = _bucket_files(pg_path)
     changed = [b for b in before if after.get(b) != before[b]]
     # one customer row maps to a handful of ids → a handful of buckets;
@@ -138,7 +138,7 @@ def test_delta_merge_rewrites_only_touched_buckets(spark, tmp_path):
 
     # replayed delta (crash-recovery / duplicate delivery at the merge
     # level): idempotent — rewrites its buckets with identical content
-    merge_triples_batch(spark, mapper.to_triples(delta), pg_path, n_buckets=16)
+    merge_triples_batch(spark, mapper.to_triples(delta), pg_path, n_buckets=16, mode="inplace")
     assertDataFrameEqual(_canon(read_kg(spark, pg_path)), _canon(expected))
 
 
@@ -159,6 +159,7 @@ def test_corrupt_store_raises_instead_of_resetting(spark, tmp_path):
         mapper.to_triples(customer.filter("c_custkey % 2 = 0")),
         pg_path,
         n_buckets=4,
+        mode="inplace",
     )
     # corrupt every bucket partition so whichever buckets the next
     # delta touches, its store read hits the corruption
@@ -173,7 +174,145 @@ def test_corrupt_store_raises_instead_of_resetting(spark, tmp_path):
             mapper.to_triples(customer.filter("c_custkey % 2 = 1")),
             pg_path,
             n_buckets=4,
+            mode="inplace",
         )
     # merge materializes (localCheckpoint) before writing, so the
     # failure happened before any partition was replaced
     assert _bucket_files(pg_path) == before
+
+
+def _tree_bytes(root, since=None):
+    import glob as g
+    import os
+
+    total = 0
+    for f in g.glob(f"{root}/**/*.parquet", recursive=True):
+        if since is None or os.path.getmtime(f) >= since:
+            total += os.path.getsize(f)
+    return total
+
+
+class TestAppendModeDeltaLog:
+    """mode='append' (the default): per-epoch write bytes are O(delta)
+    for ANY id distribution — the guarantee hash-bucketed in-place
+    merging cannot give (a 150-id uniform delta touches ~59 of 64
+    buckets; measured 81% of the store rewritten — SCALE.md)."""
+
+    def test_epoch_writes_are_delta_sized(self, spark, tmp_path):
+        import time
+
+        from knetminer_etl_spark.streaming.kg import merge_triples_batch
+
+        customer = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+        mapper = _customer_mapper()
+        pg_path = str(tmp_path / "pg")
+
+        bulk = customer.filter("c_custkey % 50 != 0")
+        delta = customer.filter("c_custkey % 50 = 0")  # ~2% of rows
+        merge_triples_batch(
+            spark, mapper.to_triples(bulk), pg_path, epoch_id=0
+        )
+        store = _tree_bytes(pg_path)
+        mark = time.time()
+        merge_triples_batch(
+            spark,
+            mapper.to_triples(delta),
+            pg_path,
+            epoch_id=1,
+            # keep compaction out of this epoch so the append bound is
+            # what's measured (compaction cost is amortized, tested below)
+            compact_threshold=10.0,
+            max_delta_batches=100,
+        )
+        written = _tree_bytes(pg_path, since=mark)
+        # a ~2% delta must not rewrite a store-sized byte volume;
+        # parquet per-file overhead dominates tiny files, so allow 25%
+        assert written < store * 0.25, (written, store)
+
+        expected = triples_to_pg(mapper.to_triples(customer))
+        assertDataFrameEqual(_canon(read_kg(spark, pg_path)), _canon(expected))
+
+    def test_compaction_folds_and_clears_log(self, spark, tmp_path):
+        import os
+
+        from knetminer_etl_spark.streaming.kg import (
+            compact_kg,
+            merge_triples_batch,
+            read_kg,
+        )
+
+        customer = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+        mapper = _customer_mapper()
+        pg_path = str(tmp_path / "pg")
+
+        for i, pred in enumerate(
+            ["c_custkey % 3 = 0", "c_custkey % 3 = 1", "c_custkey % 3 >= 1"]
+        ):
+            merge_triples_batch(
+                spark,
+                mapper.to_triples(customer.filter(pred)),
+                pg_path,
+                epoch_id=i,
+                compact_threshold=10.0,
+                max_delta_batches=100,
+            )
+        assert os.path.isdir(f"{pg_path}/delta")
+        compact_kg(spark, pg_path, n_buckets=8)
+        assert not os.path.exists(f"{pg_path}/delta")
+        assert os.path.isdir(f"{pg_path}/base")
+
+        expected = triples_to_pg(mapper.to_triples(customer))
+        assertDataFrameEqual(_canon(read_kg(spark, pg_path)), _canon(expected))
+
+        # post-compaction appends keep merging correctly
+        merge_triples_batch(
+            spark,
+            mapper.to_triples(customer.filter("c_custkey % 3 = 0")),
+            pg_path,
+            epoch_id=3,
+            compact_threshold=10.0,
+            max_delta_batches=100,
+        )
+        assertDataFrameEqual(_canon(read_kg(spark, pg_path)), _canon(expected))
+
+    def test_replayed_epoch_overwrites_its_own_partition(self, spark, tmp_path):
+        from knetminer_etl_spark.streaming.kg import merge_triples_batch
+
+        customer = spark.read.parquet(f"{SF_DIR}/customer.parquet").limit(30)
+        mapper = _customer_mapper()
+        pg_path = str(tmp_path / "pg")
+
+        kw = dict(compact_threshold=10.0, max_delta_batches=100)
+        merge_triples_batch(
+            spark, mapper.to_triples(customer), pg_path, epoch_id=7, **kw
+        )
+        # crash-replay of the SAME epoch: batch_id=7 is overwritten, not
+        # appended twice
+        merge_triples_batch(
+            spark, mapper.to_triples(customer), pg_path, epoch_id=7, **kw
+        )
+        got = read_kg(spark, pg_path)
+        expected = triples_to_pg(mapper.to_triples(customer))
+        assertDataFrameEqual(_canon(got), _canon(expected))
+
+    def test_auto_compaction_triggers_on_batch_count(self, spark, tmp_path):
+        import os
+
+        from knetminer_etl_spark.streaming.kg import merge_triples_batch
+
+        customer = spark.read.parquet(f"{SF_DIR}/customer.parquet").limit(40)
+        mapper = _customer_mapper()
+        pg_path = str(tmp_path / "pg")
+
+        for i in range(3):
+            merge_triples_batch(
+                spark,
+                mapper.to_triples(customer.filter(f"c_custkey % 3 = {i}")),
+                pg_path,
+                epoch_id=i,
+                compact_threshold=1e9,  # never by bytes
+                max_delta_batches=3,  # ...but by count on the 3rd epoch
+            )
+        assert not os.path.exists(f"{pg_path}/delta")  # log folded
+        expected = triples_to_pg(mapper.to_triples(customer))
+        assertDataFrameEqual(_canon(read_kg(spark, pg_path)), _canon(expected))
