@@ -319,9 +319,18 @@ class DataFrameMapper:
             props_str = F.array_join(
                 F.array(*[_prop_entry(k) for k in prop_keys]), ";"
             )
+        # a row whose every serialized value is NULL emits zero triples,
+        # so the aggregated build has no such element — drop it here too
+        any_triple = F.coalesce(
+            *[F.col(f"_v{i}") for i in range(len(self.mappers))]
+        ).isNotNull()
         return (
             df.select(*staged)
-            .filter(F.col(ID_COL).isNotNull() & (F.col(ID_COL) != F.lit("")))
+            .filter(
+                F.col(ID_COL).isNotNull()
+                & (F.col(ID_COL) != F.lit(""))
+                & any_triple
+            )
             .select(
                 F.col(ID_COL).alias("id"),
                 F.when(from_id.isNotNull(), F.lit(str(PGElementType.EDGE)))
