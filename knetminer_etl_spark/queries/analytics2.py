@@ -818,30 +818,28 @@ def orders_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import bloomjoin as BJ
 
     o = _t(spark, sf_dir, "orders")
+    # no .distinct(): c_custkey is the customer PK, and bloom insertion
+    # is idempotent anyway — the exchange would buy nothing
     dim = (
         _t(spark, sf_dir, "customer")
         .filter(F.col("c_mktsegment") == "BUILDING")
         .select("c_custkey")
-        .distinct()
     )
-    passed = BJ.bloom_semi_filter(o, "o_custkey", dim, "c_custkey")
-    n_pass = passed.groupBy("o_orderpriority").agg(
-        F.count("*").alias("n_bloom_pass")
-    )
-    n_true = (
-        o.join(dim, o["o_custkey"] == dim["c_custkey"], "left_semi")
-        .groupBy("o_orderpriority")
-        .agg(F.count("*").alias("n_true_match"))
+    words = BJ.bloom_build(dim, "c_custkey")
+    passed = BJ.might_contain(F.col("o_custkey"), words)
+    # ONE orders scan: the bloom probe is a scan-side expression and the
+    # exact membership mark a broadcast join, so both counts fold into a
+    # single 5-group aggregation (was: two scans, two aggs, a join)
+    joined = o.join(
+        F.broadcast(dim), o["o_custkey"] == dim["c_custkey"], "left"
     )
     return (
-        n_pass.join(n_true, "o_orderpriority", "left")
-        .select(
-            "o_orderpriority",
-            "n_bloom_pass",
-            F.coalesce("n_true_match", F.lit(0)).cast("long").alias(
-                "n_true_match"
-            ),
+        joined.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.when(passed, 1)).alias("n_bloom_pass"),
+            F.count("c_custkey").cast("long").alias("n_true_match"),
         )
+        .filter(F.col("n_bloom_pass") > 0)
         .orderBy("o_orderpriority")
     )
 
