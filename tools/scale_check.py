@@ -299,8 +299,51 @@ def main() -> None:
     print(json.dumps(out))
 
 
+def reflag() -> None:
+    """Re-run ONLY the flagged entries of an existing SCALE_CHECK.json.
+
+    Used when a sweep completed under an older script (or was interrupted
+    after the first pass): applies the same min-of-two rule as main()'s
+    remeasure loop and rewrites the file in place. Requires the 10x
+    dataset at DST to still exist.
+    """
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "SCALE_CHECK.json",
+    )
+    with open(path) as fh:
+        out = json.load(fh)
+    results = out["queries"]
+    for name, entry in list(results.items()):
+        ratio = entry.get("ratio")
+        if ratio is None or ratio < FLAG_RATIO or "remeasured" in entry:
+            continue
+        rec2 = _run_one(name)
+        if rec2 is None:
+            continue
+        first = {k: entry[k] for k in ("sf0.1_sec", "x10_sec", "ratio")}
+        second = {k: rec2[k] for k in ("sf0.1_sec", "x10_sec", "ratio")}
+        best, other = (
+            (second, first)
+            if (second["ratio"] or 1e9) < (first["ratio"] or 1e9)
+            else (first, second)
+        )
+        results[name] = {**best, "remeasured": other}
+        print(
+            f"{name}: flagged {first['ratio']}x -> re-measured "
+            f"{second['ratio']}x (keeping {best['ratio']}x)",
+            file=sys.stderr,
+        )
+        with open(path, "w") as fh:
+            json.dump(out, fh, indent=1)
+            fh.write("\n")
+    print(json.dumps(out))
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 2 and sys.argv[1] == "--one":
         one(sys.argv[2])
+    elif len(sys.argv) > 1 and sys.argv[1] == "--reflag":
+        reflag()
     else:
         main()
