@@ -254,6 +254,48 @@ def assign_shards(
     return out
 
 
+def leakage_safe_split(
+    df: DataFrame,
+    weights: dict[str, float],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.5,
+    seed: str = "leakage_split",
+    pairs_fn=None,
+    split_col: str = "split",
+) -> DataFrame:
+    """(id, component, split): train/val/test assignment keyed on the
+    NEAR-DUP COMPONENT, not the document — every member of a near-dup
+    cluster lands in the same split, so no eval example has a
+    near-duplicate in train (the train/test-leakage failure mode a
+    per-document :func:`hash_split` cannot prevent).
+
+    Composition of two established shapes: candidate-linear banded
+    MinHash-LSH pairs → log-round star-contraction components
+    (:func:`~knetminer_etl_spark.operators.graph.connected_components`)
+    → a shuffle-free seeded md5 bucket of the component id
+    (:func:`split_column`). Deterministic in (corpus, seed); singleton
+    documents are their own component, so for non-duplicated docs the
+    assignment degrades to a plain per-document hash split. Expected
+    split fractions hold over components (weighted by cluster size the
+    skew is bounded by the largest cluster — by construction the thing
+    you must not split).
+    """
+    from .dedup import _default_pairs_fn
+    from .graph import connected_components  # local: avoid cycle at import
+
+    gen = pairs_fn or _default_pairs_fn(df, id_col, text_col, k, threshold)
+    comp = connected_components(
+        gen(df), "id_a", "id_b", nodes=df, node_id=id_col
+    )
+    return comp.select(
+        F.col("id").alias(id_col),
+        "component",
+        split_column(F.col("component"), weights, seed).alias(split_col),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Temperature (mixture) sampling
 # ---------------------------------------------------------------------------

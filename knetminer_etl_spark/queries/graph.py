@@ -105,6 +105,38 @@ FROM sized WHERE rn = 1 ORDER BY doc_id
 """
 
 
+def doc_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test assignment: split keyed on the
+    near-dup COMPONENT (word-3-shingle Jaccard ≥ 0.5 clusters), so a
+    near-duplicate pair can never straddle train and eval
+    (operators/sampling.leakage_safe_split). 80/10/10 by seeded md5
+    bucket of the component id."""
+    from ..operators.sampling import leakage_safe_split
+
+    docs = CAT.read_parquet(spark, f"{sf_dir}/documents.parquet")
+    return leakage_safe_split(
+        docs, {"train": 0.8, "val": 0.1, "test": 0.1}, seed="leakage"
+    ).orderBy("doc_id")
+
+
+def _leakage_split_sql() -> str:
+    from ..operators.sampling import split_sql
+
+    case = split_sql(
+        "component", {"train": 0.8, "val": 0.1, "test": 0.1}, seed="leakage"
+    )
+    return (
+        _COMPONENTS_WALK
+        + f"""
+SELECT id AS doc_id, component, {case} AS split
+FROM labels ORDER BY doc_id
+"""
+    )
+
+
+DOC_LEAKAGE_SAFE_SPLIT_SQL = _leakage_split_sql()
+
+
 def kg_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Degree relation of the customer-placed-order graph (prefixed ids)."""
     orders = CAT.read_parquet(spark, f"{sf_dir}/orders.parquet")
@@ -324,6 +356,7 @@ QUERIES = {
     "dedup_components": dedup_components,
     "dedup_corpus_clusters": dedup_corpus_clusters,
     "dedup_keep_best": dedup_keep_best,
+    "doc_leakage_safe_split": doc_leakage_safe_split,
     "kg_degrees": kg_degrees,
     "kg_2hop": kg_2hop,
     "kg_triangles": kg_triangles,
@@ -336,6 +369,7 @@ ORACLES = {
     "dedup_components": DEDUP_COMPONENTS_SQL,
     "dedup_corpus_clusters": DEDUP_CORPUS_SQL,
     "dedup_keep_best": DEDUP_KEEP_BEST_SQL,
+    "doc_leakage_safe_split": DOC_LEAKAGE_SAFE_SPLIT_SQL,
     "kg_degrees": KG_DEGREES_SQL,
     "kg_2hop": KG_2HOP_SQL,
     "kg_pagerank": KG_PAGERANK_SQL,

@@ -239,3 +239,52 @@ class TestDifficultyBands:
         )
         plan = difficulty_bands(df, "score", 5)._jdf.queryExecution().executedPlan().toString()
         assert "Window" not in plan  # banding must not be a global window
+
+
+class TestLeakageSafeSplit:
+    """leakage_safe_split: near-dup clusters never straddle splits."""
+
+    @pytest.fixture(scope="class")
+    def docs(self, spark):
+        # 40 distinct docs + 10 planted near-dup pairs (suffix tweak
+        # keeps 3-shingle Jaccard well above 0.5)
+        base = [
+            (i, f"alpha bravo charlie delta echo foxtrot golf {i} hotel india")
+            for i in range(40)
+        ]
+        dups = [
+            (100 + i, f"alpha bravo charlie delta echo foxtrot golf {i} hotel juliet")
+            for i in range(10)
+        ]
+        return spark.createDataFrame(base + dups, "doc_id long, text string")
+
+    def test_near_dups_share_split_and_partition(self, docs):
+        out = SP.leakage_safe_split(
+            docs, {"train": 0.8, "val": 0.1, "test": 0.1}, seed="t"
+        ).collect()
+        by_id = {r["doc_id"]: r for r in out}
+        assert len(by_id) == 50  # every doc exactly one row
+        for i in range(10):  # planted pair: same component, same split
+            assert by_id[i]["component"] == by_id[100 + i]["component"]
+            assert by_id[i]["split"] == by_id[100 + i]["split"]
+        assert {r["split"] for r in out} <= {"train", "val", "test"}
+
+    def test_matches_component_keyed_hash_split(self, docs):
+        # the split label must be exactly split_column(component):
+        # recompute it from the returned component and compare
+        out = SP.leakage_safe_split(
+            docs, {"train": 0.8, "val": 0.1, "test": 0.1}, seed="t"
+        )
+        recomputed = out.withColumn(
+            "expect",
+            SP.split_column(F.col("component"), {"train": 0.8, "val": 0.1, "test": 0.1}, "t"),
+        )
+        assert recomputed.filter(F.col("split") != F.col("expect")).count() == 0
+
+    def test_deterministic_and_seed_sensitive(self, docs):
+        w = {"train": 0.5, "test": 0.5}
+        a = SP.leakage_safe_split(docs, w, seed="s").collect()
+        b = SP.leakage_safe_split(docs, w, seed="s").collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+        c = {(r["doc_id"], r["split"]) for r in SP.leakage_safe_split(docs, w, seed="u").collect()}
+        assert c != {(r["doc_id"], r["split"]) for r in a}
