@@ -16,8 +16,12 @@ moov box) — all pure-stdlib byte parsing, no codec library.
 codec (:func:`png_pixels`, filters 0-4; :func:`png_encode` writes
 spec-conformant files); :func:`pil_pixels` covers every other image
 format when Pillow (the ``media`` extra) is installed;
-:func:`auto_pixels` picks the best available. Compressed audio/video
-content remains **stubbed** (``decode_fn=None`` selects a
+:func:`auto_pixels` picks the best available. WAV PCM audio content is
+decoded for real too (:func:`wav_samples`: 8/16/24/32-bit int + IEEE
+float, mono-mixed; :func:`wav_encode` is the test-fixture inverse),
+feeding :func:`audio_fingerprints` / :func:`audio_dup_pairs`.
+**Compressed** audio/video content remains stubbed
+(``decode_fn=None`` selects a
 deterministic fake so the Spark-side plumbing — schema, batching,
 partitioning, UDF signatures — is real and tested); pass an
 ffmpeg/torchaudio ``decode_fn`` in production, or use
@@ -625,3 +629,211 @@ def image_dup_pairs(
 
     fp = image_ahash(df, id_col, binary_col, fmt_col, pixels_fn)
     return hamming_pairs(fp, "media_id", "ahash", max_hamming)
+
+
+# ---------------------------------------------------------------------------
+# Real PCM audio decode (WAV) + acoustic fingerprinting + audio near-dup
+# ---------------------------------------------------------------------------
+
+
+def wav_encode(samples, sample_rate: int = 16_000) -> bytes:
+    """Spec-conformant 16-bit PCM RIFF/WAVE writer (stdlib-only), the
+    inverse of :func:`wav_samples` up to 16-bit quantization. ``samples``
+    is a 1-D (mono) or (frames, channels) float array in [-1, 1]."""
+    import numpy as np
+
+    x = np.asarray(samples, dtype=np.float64)
+    if x.ndim == 1:
+        x = x[:, None]
+    frames, channels = x.shape
+    pcm = np.clip(np.rint(x * 32767.0), -32768, 32767).astype("<i2")
+    body = pcm.tobytes()
+    byte_rate = sample_rate * channels * 2
+    fmt = (
+        b"fmt "
+        + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little")  # PCM
+        + channels.to_bytes(2, "little")
+        + sample_rate.to_bytes(4, "little")
+        + byte_rate.to_bytes(4, "little")
+        + (channels * 2).to_bytes(2, "little")  # block align
+        + (16).to_bytes(2, "little")  # bits per sample
+    )
+    data = b"data" + len(body).to_bytes(4, "little") + body
+    if len(body) & 1:
+        data += b"\x00"  # chunk word-alignment pad
+    riff_body = b"WAVE" + fmt + data
+    return b"RIFF" + len(riff_body).to_bytes(4, "little") + riff_body
+
+
+def wav_samples(data: bytes):
+    """Real PCM decode of a RIFF/WAVE container: ``(mono_float64_array,
+    sample_rate)`` with samples in [-1, 1] (channels averaged), or None
+    if the bytes are not decodable WAV. Handles integer PCM at 8 bits
+    (unsigned), 16/24/32 bits (signed little-endian) and IEEE float
+    (format code 3) at 32/64 bits — pure numpy over the ``data`` chunk,
+    no codec library. This makes audio a REAL modality end-to-end, not
+    a stubbed one: header, samples, and features all decode in-process."""
+    import numpy as np
+
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        return None
+    rate = channels = bits = audio_fmt = None
+    raw = None
+    i, n = 12, len(data)
+    while i + 8 <= n:
+        cid = data[i : i + 4]
+        size = int.from_bytes(data[i + 4 : i + 8], "little")
+        if cid == b"fmt " and i + 24 <= n:
+            audio_fmt = int.from_bytes(data[i + 8 : i + 10], "little")
+            channels = int.from_bytes(data[i + 10 : i + 12], "little")
+            rate = int.from_bytes(data[i + 12 : i + 16], "little")
+            bits = int.from_bytes(data[i + 22 : i + 24], "little")
+        elif cid == b"data":
+            raw = data[i + 8 : i + 8 + size]
+        i += 8 + size + (size & 1)
+    if not rate or not channels or not bits or raw is None:
+        return None
+    if audio_fmt == 1:  # integer PCM
+        if bits == 8:
+            x = (_raw_arr(raw, np.uint8).astype(np.float64) - 128.0) / 128.0
+        elif bits == 16:
+            x = _raw_arr(raw, "<i2").astype(np.float64) / 32768.0
+        elif bits == 24:
+            b = np.frombuffer(raw[: len(raw) - len(raw) % 3], dtype=np.uint8)
+            b = b.reshape(-1, 3).astype(np.int64)
+            v = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
+            v = np.where(v >= 1 << 23, v - (1 << 24), v)
+            x = v.astype(np.float64) / float(1 << 23)
+        elif bits == 32:
+            x = _raw_arr(raw, "<i4").astype(np.float64) / float(1 << 31)
+        else:
+            return None
+    elif audio_fmt == 3:  # IEEE float
+        if bits == 32:
+            x = _raw_arr(raw, "<f4").astype(np.float64)
+        elif bits == 64:
+            x = _raw_arr(raw, "<f8")
+        else:
+            return None
+    else:
+        return None
+    frames = x.shape[0] // channels
+    x = x[: frames * channels].reshape(frames, channels).mean(axis=1)
+    return x, rate
+
+
+def _raw_arr(raw: bytes, dtype):
+    """frombuffer trimmed to a whole number of elements."""
+    import numpy as np
+
+    w = np.dtype(dtype).itemsize
+    return np.frombuffer(raw[: len(raw) - len(raw) % w], dtype=dtype)
+
+
+def _audio_fp_one(samples, n_frames: int = 16):
+    """Fixed-size acoustic fingerprint of one mono PCM array: split into
+    ``n_frames`` equal windows; per window take RMS energy and
+    zero-crossing rate; L2-normalize the rms block (volume rides its
+    norm) and the final concatenated vector, keeping zcr at its
+    absolute level (the frequency signal). Volume-invariant by
+    construction, frequency- and envelope-discriminative, robust to
+    small noise; deterministic float64 ops, so driver and executor
+    computations agree bitwise."""
+    import numpy as np
+
+    x = np.asarray(samples, dtype=np.float64)
+    if x.shape[0] < n_frames:
+        x = np.pad(x, (0, n_frames - x.shape[0]))
+    w = x.shape[0] // n_frames
+    x = x[: w * n_frames].reshape(n_frames, w)
+    rms = np.sqrt((x * x).mean(axis=1))
+    zcr = (np.signbit(x[:, 1:]) != np.signbit(x[:, :-1])).mean(axis=1)
+
+    # rms scales linearly with volume, so normalize THAT block before
+    # concatenating (its direction is volume-invariant, its norm is
+    # not). zcr is left at its absolute [0, 1] values: it is already
+    # volume-invariant, and its LEVEL is the frequency signal — a
+    # constant 440 Hz tone and a constant 1600 Hz tone have the same
+    # zcr *direction* but very different zcr levels, so normalizing
+    # that block would collide all stationary tones.
+    def _unit(v):
+        nrm = float(np.sqrt((v * v).sum()))
+        return v / nrm if nrm > 0 else v
+
+    return _unit(np.concatenate([_unit(rms), zcr])).tolist()
+
+
+def audio_fingerprints(
+    df: DataFrame,
+    id_col: str = "media_id",
+    binary_col: str = "data",
+    samples_fn: Callable[[bytes], Any] | None = None,
+    n_frames: int = 16,
+) -> DataFrame:
+    """(media_id, fingerprint array<double>, sample_rate, duration_ms):
+    one acoustic fingerprint per audio row, decoded and featurized in
+    Arrow-batched ``mapInPandas`` (same 100 TB shape as
+    :func:`decode_media`: no driver involvement, partition-parallel).
+    ``samples_fn`` defaults to the REAL :func:`wav_samples` PCM decoder;
+    rows whose bytes don't decode come back with a null fingerprint so
+    callers can route them to a quarantine sink instead of losing them
+    silently."""
+    import pandas as pd
+
+    fn = samples_fn or wav_samples
+    src = df.select(id_col, binary_col)
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            out = []
+            for mid, d in zip(pdf[id_col].to_numpy(), pdf[binary_col]):
+                dec = fn(bytes(d)) if d is not None else None
+                if dec is None:
+                    out.append((int(mid), None, None, None))
+                else:
+                    samples, rate = dec
+                    out.append(
+                        (
+                            int(mid),
+                            _audio_fp_one(samples, n_frames),
+                            int(rate),
+                            int(len(samples) * 1000 // rate) if rate else 0,
+                        )
+                    )
+            yield pd.DataFrame(
+                out,
+                columns=["media_id", "fingerprint", "sample_rate", "duration_ms"],
+            )
+
+    return src.mapInPandas(
+        batches,
+        "media_id long, fingerprint array<double>, "
+        "sample_rate int, duration_ms long",
+    )
+
+
+def audio_dup_pairs(
+    df: DataFrame,
+    id_col: str = "media_id",
+    binary_col: str = "data",
+    samples_fn: Callable[[bytes], Any] | None = None,
+    n_frames: int = 16,
+    threshold: float = 0.99,
+) -> DataFrame:
+    """Near-duplicate audio pairs: real PCM decode → acoustic
+    fingerprint → the sign-LSH banded cosine engine
+    (:func:`~knetminer_etl_spark.operators.dedup.embedding_dup_pairs`).
+    The audio-corpus dedup composition mirrors :func:`image_dup_pairs`:
+    decode once, block on fingerprint bands, verify exact cosine — the
+    corpus is never self-joined on raw bytes. Output:
+    (id_a, id_b, cos)."""
+    from .dedup import embedding_dup_pairs
+
+    fp = audio_fingerprints(df, id_col, binary_col, samples_fn, n_frames)
+    return embedding_dup_pairs(
+        fp.filter(F.col("fingerprint").isNotNull()),
+        "media_id",
+        "fingerprint",
+        threshold,
+    )

@@ -441,3 +441,106 @@ class TestRealPngCodec:
                 pil_pixels(data)
         # auto_pixels always real for PNG regardless of PIL
         assert np.array_equal(auto_pixels(data), img)
+
+
+class TestPcmAudio:
+    """Real WAV PCM decode + fingerprint + near-dup."""
+
+    @staticmethod
+    def _tone(freq, rate=8000, sec=0.5, amp=0.5):
+        import numpy as np
+
+        t = np.arange(int(rate * sec)) / rate
+        return amp * np.sin(2 * np.pi * freq * t)
+
+    def test_roundtrip_16bit(self):
+        import numpy as np
+
+        x = self._tone(440)
+        data = MM.wav_encode(x, 8000)
+        dec = MM.wav_samples(data)
+        assert dec is not None
+        y, rate = dec
+        assert rate == 8000 and len(y) == len(x)
+        assert float(np.abs(y - x).max()) < 1.0 / 32000  # 16-bit quantization
+
+    def test_stereo_mixes_to_mono(self):
+        import numpy as np
+
+        left, right = self._tone(440), self._tone(880)
+        data = MM.wav_encode(np.stack([left, right], axis=1), 8000)
+        y, _ = MM.wav_samples(data)
+        assert float(np.abs(y - (left + right) / 2).max()) < 1e-3
+
+    def test_sample_widths_and_float(self):
+        # hand-build 8-bit and float32 containers; decoder must handle both
+        import numpy as np
+
+        x = self._tone(200, sec=0.1)
+        pcm8 = (np.clip(np.rint(x * 128 + 128), 0, 255)).astype(np.uint8)
+        raw = pcm8.tobytes()
+        fmt = (
+            b"fmt " + (16).to_bytes(4, "little") + (1).to_bytes(2, "little")
+            + (1).to_bytes(2, "little") + (8000).to_bytes(4, "little")
+            + (8000).to_bytes(4, "little") + (1).to_bytes(2, "little")
+            + (8).to_bytes(2, "little")
+        )
+        body = b"WAVE" + fmt + b"data" + len(raw).to_bytes(4, "little") + raw
+        y, rate = MM.wav_samples(b"RIFF" + len(body).to_bytes(4, "little") + body)
+        assert rate == 8000 and float(np.abs(y - x).max()) < 1.0 / 100
+
+        rawf = x.astype("<f4").tobytes()
+        fmtf = (
+            b"fmt " + (16).to_bytes(4, "little") + (3).to_bytes(2, "little")
+            + (1).to_bytes(2, "little") + (8000).to_bytes(4, "little")
+            + (32000).to_bytes(4, "little") + (4).to_bytes(2, "little")
+            + (32).to_bytes(2, "little")
+        )
+        bodyf = b"WAVE" + fmtf + b"data" + len(rawf).to_bytes(4, "little") + rawf
+        yf, _ = MM.wav_samples(b"RIFF" + len(bodyf).to_bytes(4, "little") + bodyf)
+        assert float(np.abs(yf - x).max()) < 1e-6
+
+    def test_not_wav_returns_none(self):
+        assert MM.wav_samples(b"") is None
+        assert MM.wav_samples(b"RIFFxxxxJUNK") is None
+        assert MM.wav_samples(b"\x89PNG\r\n\x1a\n" + b"0" * 64) is None
+
+    def test_fingerprint_unit_norm_and_volume_invariant(self):
+        import numpy as np
+
+        x = self._tone(330)
+        a = np.asarray(MM._audio_fp_one(x))
+        b = np.asarray(MM._audio_fp_one(0.5 * x))
+        assert len(a) == 32 and abs(float(a @ a) - 1.0) < 1e-9
+        assert float(a @ b) > 0.999  # scaling barely moves the direction
+
+    def test_spark_fingerprints_match_driver(self, spark):
+        import numpy as np
+
+        rows = [
+            (i, bytearray(MM.wav_encode(self._tone(200 + 100 * i), 8000)))
+            for i in range(4)
+        ] + [(99, bytearray(b"not a wav"))]
+        df = spark.createDataFrame(rows, "media_id long, data binary")
+        got = {r["media_id"]: r for r in MM.audio_fingerprints(df).collect()}
+        assert got[99]["fingerprint"] is None  # quarantine, not crash
+        for i in range(4):
+            want = MM._audio_fp_one(MM.wav_samples(MM.wav_encode(self._tone(200 + 100 * i), 8000))[0])
+            assert np.allclose(got[i]["fingerprint"], want)
+            assert got[i]["sample_rate"] == 8000
+            assert got[i]["duration_ms"] == 500
+
+    def test_audio_dup_pairs_finds_noisy_copy(self, spark):
+        import numpy as np
+
+        rng = np.random.default_rng(7)
+        x = self._tone(440, sec=1.0)
+        rows = [
+            (0, bytearray(MM.wav_encode(x, 8000))),
+            (1, bytearray(MM.wav_encode(x + rng.normal(0, 1e-3, x.shape), 8000))),
+            (2, bytearray(MM.wav_encode(self._tone(1600, sec=0.3, amp=0.9), 8000))),
+        ]
+        df = spark.createDataFrame(rows, "media_id long, data binary")
+        pairs = {(r["id_a"], r["id_b"]) for r in MM.audio_dup_pairs(df).collect()}
+        assert (0, 1) in pairs
+        assert all(2 not in p for p in pairs)
