@@ -1341,15 +1341,39 @@ def semantic_dedup_kmeans(
     )
 
 
+def _pair_dots(a_col: Column, b_col: Column) -> Column:
+    """``double`` column of rowwise a·b, computed one Arrow batch per
+    task with a SEQUENTIAL per-dimension fold — ``((0 + a₀b₀) + a₁b₁) +
+    …`` over the batch accumulator — so every value is bit-identical to
+    ``similarity._dot``'s in-plan ``aggregate``/``zip_with`` fold and
+    DuckDB's ``list_reduce`` (the :func:`_centroid_dots` argument: a
+    BLAS matmul would pairwise-sum and drift in the last ulp, flipping
+    6-dp round ties against the oracle). Verification pair volume is
+    candidate-linear, but on the expression path each pair pays ``dim``
+    INTERPRETED ops (higher-order functions don't codegen) — the
+    measured wall of the direct-path SemDeDup verification."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _dots(va: pd.Series, vb: pd.Series) -> pd.Series:
+        X = np.stack(va.to_numpy())
+        Y = np.stack(vb.to_numpy())
+        acc = np.zeros(X.shape[0])
+        for d in range(X.shape[1]):
+            acc += X[:, d] * Y[:, d]
+        return pd.Series(acc)
+
+    return _dots(a_col, b_col)
+
+
 def _verified_drops(
     assigned: DataFrame, pairs: DataFrame, threshold: float
 ) -> DataFrame:
     """ids (the larger side of each pair) with an exact-cosine-verified
     smaller twin: join the candidate pairs back to the pinned vector
-    relation on both sides, compute cos to 6 dp, keep id_b where
+    relation on both sides, compute cos to 6 dp (Arrow-batched pair
+    dots, bit-identical to the expression fold), keep id_b where
     cos ≥ threshold. NOT distinct — callers dedup once at the end."""
-    from .similarity import _dot
-
     va = assigned.select(
         F.col("_id").alias("id_a"), F.col("_v").alias("v_a"), F.col("_n").alias("n_a")
     )
@@ -1362,7 +1386,7 @@ def _verified_drops(
         .withColumn(
             "_cos",
             F.round(
-                _dot(F.col("v_a"), F.col("v_b"))
+                _pair_dots(F.col("v_a"), F.col("v_b"))
                 / (F.col("n_a") * F.col("n_b")),
                 6,
             ),
