@@ -154,8 +154,8 @@ def pq_train(
     executor-memory gamble at 100 TB (an eviction silently recomputes
     the full upstream); the codebook quality argument is the standard
     one — k-means parameters converge on a uniform sample. At or below
-    the bound the plan is IDENTICAL to full-corpus training (the probe
-    is an early-exit limit+count, no shuffle).
+    the bound the ordered limit selects every row, so the training set
+    is identical to full-corpus training — no size probe needed.
     """
     from .util import fan_out
 
@@ -169,14 +169,17 @@ def pq_train(
     # materialization job up front (the seeds job below fills the
     # cache) — one fewer driver-synchronized job in a plan whose cost
     # is job latency
-    if v_all.limit(train_max + 1).count() > train_max:
-        v = (
-            v_all.orderBy(F.md5(F.col("_id").cast("string")), F.col("_id"))
-            .limit(train_max)
-            .cache()
-        )
-    else:
-        v = v_all.cache()
+    # unconditional TakeOrdered: when the corpus holds ≤ train_max
+    # vectors the ordered limit selects ALL of them, so the training
+    # SET is identical to the unbounded plan on either side of the
+    # bound — which lets the size probe (a whole extra
+    # driver-synchronized job in a plan whose cost IS job latency) be
+    # dropped entirely
+    v = (
+        v_all.orderBy(F.md5(F.col("_id").cast("string")), F.col("_id"))
+        .limit(train_max)
+        .cache()
+    )
     # dim comes from the seed rows — no separate first() job
     seeds = (
         v.orderBy(F.md5(F.col("_id").cast("string")), F.col("_id"))

@@ -307,17 +307,20 @@ def kmeans_fit(
     sampled centroids stay oracle-reproducible. Pinning a 100 TB corpus
     for an nlist×dim parameter matrix is an executor-memory gamble; a
     uniform sample is the standard k-means training shape. At or below
-    the bound the plan is IDENTICAL to full-corpus training (the probe
-    is an early-exit limit+count, no shuffle).
+    the bound the ordered limit selects every row, so the training set
+    is identical to full-corpus training — no size probe needed.
     """
     v_all = corpus.select(
         F.col(id_col).alias("_id"), _dvec(F.col(vec_col)).alias("_v")
     )
-    if v_all.limit(train_max + 1).count() > train_max:
-        v_all = v_all.orderBy(
-            F.md5(F.col("_id").cast("string")), F.col("_id")
-        ).limit(train_max)
-    v = v_all.localCheckpoint(eager=True)
+    # unconditional TakeOrdered (≤ train_max corpora get ALL their rows
+    # — same training set as the unbounded plan), dropping the size
+    # probe's extra driver-synchronized job
+    v = (
+        v_all.orderBy(F.md5(F.col("_id").cast("string")), F.col("_id"))
+        .limit(train_max)
+        .localCheckpoint(eager=True)
+    )
 
     # seed selection via distributed TakeOrdered (orderBy+limit), NOT a
     # global row_number window — a partitionBy-less window single-tasks
