@@ -67,6 +67,7 @@ CHECK_QUERIES = [
     "doc_html_extract",
     "kg_shortest_costs",
     "kg_closure_counts",
+    "doc_leakage_safe_split",
 ]
 
 
