@@ -837,3 +837,162 @@ def audio_dup_pairs(
         "fingerprint",
         threshold,
     )
+
+
+# ---------------------------------------------------------------------------
+# Video near-dup: frame sampling → per-frame perceptual hash → frame voting
+# ---------------------------------------------------------------------------
+
+
+def video_frame_hashes(
+    df: DataFrame,
+    id_col: str = "media_id",
+    binary_col: str = "data",
+    every_ms: int = 1000,
+    frame_pixels_fn: Callable[[bytes, int], Any] | None = None,
+    hash_size: int = 8,
+) -> DataFrame:
+    """(media_id, frame_ts_ms, ahash): one 64-bit perceptual hash per
+    sampled frame. Duration comes from the REAL MP4/MOV header parse
+    (:func:`parse_mp4_header`); frame-pixel extraction is the pluggable
+    ``frame_pixels_fn(data, ts_ms) → 2-D gray array`` (ffmpeg seek in
+    production; ``None`` selects a deterministic fake keyed on (bytes,
+    ts) so the plumbing is testable without codecs).
+
+    Scale shape: sampling, decode, and hashing all happen INSIDE one
+    Arrow-batched ``mapInPandas`` pass — the video bytes are read once
+    per row and never replicated per frame through an explode/shuffle
+    (a column-level frame explode would carry the full binary beside
+    every frame row; at 100 TB of video that multiplies the heaviest
+    column by frames-per-video). Rows whose container doesn't parse
+    emit a single (ts NULL, hash NULL) marker row so callers can route
+    them to quarantine — same contract as :func:`audio_fingerprints`.
+    """
+    import pandas as pd
+
+    fn = frame_pixels_fn or (
+        lambda data, ts: _fake_pixels(
+            (data or b"") + int(ts).to_bytes(8, "little"), "bin"
+        )
+    )
+    src = df.select(id_col, binary_col)
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            out = []
+            for mid, d in zip(pdf[id_col].to_numpy(), pdf[binary_col]):
+                data = bytes(d) if d is not None else b""
+                meta = parse_mp4_header(data)
+                if meta is None:
+                    out.append((int(mid), None, None))
+                    continue
+                _w, _h, duration_ms = meta
+                for ts in range(0, max(int(duration_ms), 1), every_ms):
+                    out.append(
+                        (int(mid), ts, _ahash_one(fn(data, ts), hash_size))
+                    )
+            yield pd.DataFrame(out, columns=["media_id", "frame_ts_ms", "ahash"])
+
+    return src.mapInPandas(
+        batches, "media_id long, frame_ts_ms long, ahash long"
+    )
+
+
+def video_dup_pairs(
+    df: DataFrame,
+    id_col: str = "media_id",
+    binary_col: str = "data",
+    every_ms: int = 1000,
+    frame_pixels_fn: Callable[[bytes, int], Any] | None = None,
+    max_hamming: int = 5,
+    min_match_frac: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate video pairs by FRAME VOTING: two videos pair when
+    ≥ ``min_match_frac`` of the smaller video's sampled frames have a
+    perceptual near-twin (Hamming ≤ ``max_hamming``) in the other —
+    robust to re-encodes, trims and container changes in a way whole-
+    file hashing can never be.
+
+    Blocking is the exact pigeonhole band scheme of
+    :func:`~knetminer_etl_spark.operators.dedup.hamming_pairs` applied
+    at FRAME granularity (frames agreeing on ≥1 of max_hamming+1 hash
+    bands meet in a band bucket; cross-video only), then verified with
+    ``bit_count`` and aggregated per video pair — candidate volume is
+    band-bucket-linear, never |videos|² or |frames|². Output:
+    ``(id_a, id_b, matched_frames, frac_a, frac_b)``.
+    """
+    frames = video_frame_hashes(
+        df, id_col, binary_col, every_ms, frame_pixels_fn
+    ).filter(F.col("ahash").isNotNull())
+    frames = frames.localCheckpoint(eager=True)  # both join sides + counts
+    n_frames = frames.groupBy("media_id").agg(
+        F.count("*").alias("n_frames")
+    )
+    nbands = max_hamming + 1
+    width = 64 // nbands
+    full_mask = -1 if width >= 64 else (1 << width) - 1
+    banded = frames.select(
+        "media_id",
+        "frame_ts_ms",
+        "ahash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned(F.col("ahash"), b * width)
+                        .bitwiseAND(F.lit(full_mask).cast("long"))
+                        .alias("chunk"),
+                    )
+                    for b in range(nbands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("media_id", "frame_ts_ms", "ahash", "bb.band", "bb.chunk")
+    a = banded.select(
+        "band",
+        "chunk",
+        F.col("media_id").alias("id_a"),
+        F.col("frame_ts_ms").alias("ts_a"),
+        F.col("ahash").alias("h_a"),
+    )
+    b = banded.select(
+        "band",
+        "chunk",
+        F.col("media_id").alias("id_b"),
+        F.col("frame_ts_ms").alias("ts_b"),
+        F.col("ahash").alias("h_b"),
+    )
+    matched = (
+        a.join(b, on=["band", "chunk"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))) <= max_hamming
+        )
+        # one vote per (pair, source frame): a frame matching several
+        # target frames (or via several bands) still counts once
+        .select("id_a", "id_b", "ts_a")
+        .dropDuplicates(["id_a", "id_b", "ts_a"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("matched_frames"))
+    )
+    return (
+        matched.join(
+            n_frames.select(
+                F.col("media_id").alias("id_a"), F.col("n_frames").alias("_na")
+            ),
+            on="id_a",
+        )
+        .join(
+            n_frames.select(
+                F.col("media_id").alias("id_b"), F.col("n_frames").alias("_nb")
+            ),
+            on="id_b",
+        )
+        .withColumn("frac_a", F.col("matched_frames") / F.col("_na"))
+        .withColumn("frac_b", F.col("matched_frames") / F.col("_nb"))
+        .filter(
+            F.greatest("frac_a", "frac_b") >= F.lit(min_match_frac)
+        )
+        .select("id_a", "id_b", "matched_frames", "frac_a", "frac_b")
+    )
