@@ -239,6 +239,15 @@ def _run_one(name: str) -> dict | None:
 
 def main() -> None:
     copies = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    # SCALE_CHECK_QUERIES=a,b,c restricts the sweep (and, with
+    # SCALE_CHECK_OUT, redirects the artifact) — the spot-check mode for
+    # one-off larger-copies runs (e.g. `SCALE_CHECK_QUERIES=exact_dedup
+    # SCALE_CHECK_OUT=/tmp/x.json python tools/scale_check.py 100`)
+    # without touching the committed 10x artifact.
+    subset = os.environ.get("SCALE_CHECK_QUERIES")
+    names = (
+        [n for n in subset.split(",") if n] if subset else list(CHECK_QUERIES)
+    )
 
     spark = _session()
     print(f"building {copies}x dataset at {DST} ...", file=sys.stderr)
@@ -253,7 +262,7 @@ def main() -> None:
     spark.sparkContext.stop()
 
     results = {}
-    for name in CHECK_QUERIES:
+    for name in names:
         rec = _run_one(name)
         if rec is None:
             continue
@@ -290,7 +299,7 @@ def main() -> None:
         )
 
     out = {"copies": copies, "queries": results}
-    path = os.path.join(
+    path = os.environ.get("SCALE_CHECK_OUT") or os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "SCALE_CHECK.json",
     )
