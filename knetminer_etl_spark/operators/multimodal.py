@@ -646,7 +646,11 @@ def wav_encode(samples, sample_rate: int = 16_000) -> bytes:
     if x.ndim == 1:
         x = x[:, None]
     frames, channels = x.shape
-    pcm = np.clip(np.rint(x * 32767.0), -32768, 32767).astype("<i2")
+    # scale by 32768 (the decoder's divisor), clipping +1.0 to 32767 —
+    # a 32767 encode scale against a 32768 decode divisor would bias
+    # every round-tripped sample by x/32768 (found by the round-trip
+    # property test)
+    pcm = np.clip(np.rint(x * 32768.0), -32768, 32767).astype("<i2")
     body = pcm.tobytes()
     byte_rate = sample_rate * channels * 2
     fmt = (
@@ -748,7 +752,13 @@ def _audio_fp_one(samples, n_frames: int = 16):
     w = x.shape[0] // n_frames
     x = x[: w * n_frames].reshape(n_frames, w)
     rms = np.sqrt((x * x).mean(axis=1))
-    zcr = (np.signbit(x[:, 1:]) != np.signbit(x[:, :-1])).mean(axis=1)
+    # width-1 windows have no adjacent sample pairs: their crossing
+    # count is an empty mean (NaN) — define zcr = 0 there instead of
+    # poisoning the whole fingerprint (found by the property test)
+    if x.shape[1] < 2:
+        zcr = np.zeros(x.shape[0])
+    else:
+        zcr = (np.signbit(x[:, 1:]) != np.signbit(x[:, :-1])).mean(axis=1)
 
     # rms scales linearly with volume, so normalize THAT block before
     # concatenating (its direction is volume-invariant, its norm is
