@@ -225,12 +225,19 @@ FLAG_RATIO = 3.5  # re-measure anything past this once, automatically
 def _run_one(name: str) -> dict | None:
     import subprocess
 
-    proc = subprocess.run(
-        [sys.executable, os.path.abspath(__file__), "--one", name],
-        capture_output=True,
-        text=True,
-        timeout=900,
-    )
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--one", name],
+            capture_output=True,
+            text=True,
+            timeout=int(os.environ.get("SCALE_CHECK_TIMEOUT", "900")),
+        )
+    except subprocess.TimeoutExpired as e:
+        # a query overrunning the bound is a RESULT (record it), not a
+        # reason to lose the rest of the sweep
+        print(f"{name}: TIMEOUT after {e.timeout}s", file=sys.stderr)
+        return {"name": name, "sf0.1_sec": None, "x10_sec": None,
+                "ratio": None, "timeout_sec": e.timeout}
     if proc.returncode != 0:
         print(f"{name}: FAILED\n{proc.stderr[-800:]}", file=sys.stderr)
         return None
@@ -266,7 +273,9 @@ def main() -> None:
         rec = _run_one(name)
         if rec is None:
             continue
-        results[name] = {k: rec[k] for k in ("sf0.1_sec", "x10_sec", "ratio")}
+        results[name] = {
+            k: v for k, v in rec.items() if k != "name"
+        }
         print(
             f"{name}: {rec['sf0.1_sec']}s -> {rec['x10_sec']}s  ({rec['ratio']}x)",
             file=sys.stderr,
