@@ -38,6 +38,10 @@ def _batch_rollup(batch: DataFrame) -> DataFrame:
 
 
 def _merge_batch(spark: SparkSession, delta: DataFrame, rollup_path: str) -> None:
+    # driver-held day list: bounded by DAYS TOUCHED PER MICRO-BATCH (a
+    # near-real-time stream touches 1-2 days; even a month-long backfill
+    # epoch is ~31 strings), not by stream or store size — the partition-
+    # pruning filter below is why the merge reads only touched days
     days = [r["day"] for r in delta.select("day").distinct().collect()]
     if not days:
         return
