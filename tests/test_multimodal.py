@@ -615,3 +615,35 @@ class TestVideoDup:
             df, frame_pixels_fn=fn, max_hamming=0, min_match_frac=1.1
         ).collect()
         assert none == []
+
+    def test_banding_matches_bruteforce_frame_voting(self, spark):
+        # pigeonhole blocking must equal the brute-force frame-pair scan
+        import itertools
+
+        vids = [(i, self._mp4(duration=3500, timescale=1000 + 7 * i)) for i in range(12)]
+        df = spark.createDataFrame(vids, "media_id long, data binary")
+        frames = MM.video_frame_hashes(df).filter("ahash is not null").collect()
+        by_vid = {}
+        for r in frames:
+            by_vid.setdefault(r["media_id"], []).append((r["frame_ts_ms"], r["ahash"]))
+        max_h, frac = 3, 0.25
+        expect = {}
+        for a, b in itertools.combinations(sorted(by_vid), 2):
+            matched = {
+                ts_a
+                for ts_a, ha in by_vid[a]
+                for _, hb in by_vid[b]
+                if bin((ha ^ hb) & ((1 << 64) - 1)).count("1") <= max_h
+            }
+            if matched:
+                fa = len(matched) / len(by_vid[a])
+                fb = len(matched) / len(by_vid[b])
+                if max(fa, fb) >= frac:
+                    expect[(a, b)] = len(matched)
+        got = {
+            (r["id_a"], r["id_b"]): r["matched_frames"]
+            for r in MM.video_dup_pairs(
+                df, max_hamming=max_h, min_match_frac=frac
+            ).collect()
+        }
+        assert got == expect
