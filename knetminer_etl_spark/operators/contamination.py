@@ -148,7 +148,7 @@ def semantic_contamination(
     :func:`semantic_decontaminate` (mode="auto"), which switches to the
     candidate-blocked plan as the evaluation suite grows.
     """
-    from .similarity import _dot, _dvec, _norm
+    from .similarity import _dvec, _norm, _pair_dots
 
     c = train_vecs.select(
         F.col(id_col).alias("_id"), _dvec(F.col(vec_col)).alias("_v")
@@ -161,7 +161,7 @@ def semantic_contamination(
         .select(
             "_id",
             F.round(
-                _dot(F.col("_v"), F.col("_tv"))
+                _pair_dots(F.col("_v"), F.col("_tv"))
                 / (F.col("_n") * F.col("_tn")),
                 6,
             ).alias("_cos"),
@@ -272,7 +272,7 @@ def semantic_decontaminate_banded(
     default), i.e. candidate-linear once random collisions stop
     dominating."""
     from .dedup import sign_lsh_band_buckets
-    from .similarity import _dot, _dvec, _norm
+    from .similarity import _dvec, _norm, _pair_dots
 
     c = train_vecs.select(
         F.col(id_col).alias("_id"), _dvec(F.col(vec_col)).alias("_v")
@@ -299,7 +299,7 @@ def semantic_decontaminate_banded(
         cb.join(F.broadcast(tb), ["_band", "_bucket"])
         .filter(
             F.round(
-                _dot(F.col("_v"), F.col("_tv")) / (F.col("_n") * F.col("_tn")),
+                _pair_dots(F.col("_v"), F.col("_tv")) / (F.col("_n") * F.col("_tn")),
                 6,
             )
             >= F.lit(threshold)

@@ -913,7 +913,7 @@ def embedding_dup_pairs(
         .join(vb, on="id_b")
         .withColumn(
             "cosine",
-            F.round(_dot(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b")), 6),
+            F.round(_pair_dots(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b")), 6),
         )
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
@@ -1264,7 +1264,7 @@ def incremental_semantic_pairs(
         .withColumn(
             "cosine",
             F.round(
-                _dot(F.col("v_a"), F.col("v_b"))
+                _pair_dots(F.col("v_a"), F.col("v_b"))
                 / (F.col("n_a") * F.col("n_b")),
                 6,
             ),
@@ -1342,28 +1342,13 @@ def semantic_dedup_kmeans(
 
 
 def _pair_dots(a_col: Column, b_col: Column) -> Column:
-    """``double`` column of rowwise a·b, computed one Arrow batch per
-    task with a SEQUENTIAL per-dimension fold — ``((0 + a₀b₀) + a₁b₁) +
-    …`` over the batch accumulator — so every value is bit-identical to
-    ``similarity._dot``'s in-plan ``aggregate``/``zip_with`` fold and
-    DuckDB's ``list_reduce`` (the :func:`_centroid_dots` argument: a
-    BLAS matmul would pairwise-sum and drift in the last ulp, flipping
-    6-dp round ties against the oracle). Verification pair volume is
-    candidate-linear, but on the expression path each pair pays ``dim``
-    INTERPRETED ops (higher-order functions don't codegen) — the
-    measured wall of the direct-path SemDeDup verification."""
-    from pyspark.sql.functions import pandas_udf
+    """Arrow-batched rowwise pair dot — see
+    :func:`~knetminer_etl_spark.operators.similarity._pair_dots` (the
+    shared implementation; values bit-identical to the expression
+    fold)."""
+    from .similarity import _pair_dots as _impl
 
-    @pandas_udf("double")
-    def _dots(va: pd.Series, vb: pd.Series) -> pd.Series:
-        X = np.stack(va.to_numpy())
-        Y = np.stack(vb.to_numpy())
-        acc = np.zeros(X.shape[0])
-        for d in range(X.shape[1]):
-            acc += X[:, d] * Y[:, d]
-        return pd.Series(acc)
-
-    return _dots(a_col, b_col)
+    return _impl(a_col, b_col)
 
 
 def _verified_drops(

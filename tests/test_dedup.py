@@ -171,10 +171,12 @@ class TestEmbeddingDups:
         assert not any(4 in p for p in pairs)
 
     def test_projection_udf_evaluates_once(self, spark):
-        """Regression guard: posexplode (vs posexplode_outer) infers a
-        size>0 predicate whose pushdown re-evaluates the Arrow projection
-        UDF below the fan_out exchange - the plan must contain exactly
-        ONE ArrowEvalPython node."""
+        """Regression guard against Arrow-UDF double evaluation: the
+        banding projection must not re-evaluate below the fan_out
+        exchange (posexplode_outer vs the size>0 pushdown), and the
+        pair-dot verification must be shared by its filter and project
+        (the nondeterministic marker) — exactly TWO ArrowEvalPython
+        nodes total: one banding, one verification."""
         df = spark.createDataFrame(
             [(i, [float(i), 1.0, 2.0, 3.0]) for i in range(8)],
             "vec_id long, embedding array<float>",
@@ -185,7 +187,8 @@ class TestEmbeddingDups:
             .executedPlan()
             .toString()
         )
-        assert plan.count("ArrowEvalPython") == 1
+        assert plan.count("ArrowEvalPython") == 2
+        assert plan.count("_dots") == 1  # verification evaluated ONCE
 
     def test_planted_near_dup_recall(self, spark):
         """OR-amplified banding must recover ≥95% of true cosine-0.9 pairs
