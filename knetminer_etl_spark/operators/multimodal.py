@@ -979,12 +979,16 @@ def video_dup_pairs(
         .filter(
             F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))) <= max_hamming
         )
-        # one vote per (pair, source frame): a frame matching several
-        # target frames (or via several bands) still counts once
-        .select("id_a", "id_b", "ts_a")
-        .dropDuplicates(["id_a", "id_b", "ts_a"])
+        # one vote per (pair, source frame), counted PER SIDE: a frame
+        # matching several target frames (or via several bands) still
+        # counts once, and each video's fraction is over ITS OWN
+        # matched frames — 15 A-frames all matching one B frame give
+        # frac_b = 1/n_b, not 15/n_b
         .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("matched_frames"))
+        .agg(
+            F.countDistinct("ts_a").alias("matched_frames"),
+            F.countDistinct("ts_b").alias("_matched_b"),
+        )
     )
     return (
         matched.join(
@@ -1000,7 +1004,7 @@ def video_dup_pairs(
             on="id_b",
         )
         .withColumn("frac_a", F.col("matched_frames") / F.col("_na"))
-        .withColumn("frac_b", F.col("matched_frames") / F.col("_nb"))
+        .withColumn("frac_b", F.col("_matched_b") / F.col("_nb"))
         .filter(
             F.greatest("frac_a", "frac_b") >= F.lit(min_match_frac)
         )

@@ -55,17 +55,44 @@ def _pair_dots(a_col: Column, b_col: Column) -> Column:
     INTERPRETED ops — higher-order functions never enter codegen.
     Row-vs-constant dots stay literal below the flop guard
     (`_LITERAL_DOTS_MAX`); per-ROW norms over the corpus stay on
-    :func:`_norm` (linear volume, one pass)."""
+    :func:`_norm` (linear volume, one pass).
+
+    Null contract == the in-plan fold's: a NULL vector, a length
+    mismatch (``zip_with`` pads with NULL), or a NULL element all yield
+    NULL cosine — the row is then dropped by the consumer's threshold
+    filter / sorted last in top-k, never crashes the Arrow batch and
+    never NaN-sorts FIRST under a descending order (Spark orders NaN
+    above every double). Arrow hands null elements to pandas as NaN
+    inside a float64 ndarray, so a NaN fold result is mapped back to
+    NULL (observed null-element propagation; bona-fide NaN embedding
+    values have no meaningful cosine either)."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("double")
     def _dots(va: pd.Series, vb: pd.Series) -> pd.Series:
-        X = np.stack(va.to_numpy())
-        Y = np.stack(vb.to_numpy())
-        acc = np.zeros(X.shape[0])
-        for d in range(X.shape[1]):
-            acc += X[:, d] * Y[:, d]
-        return pd.Series(acc)
+        A = va.to_numpy()
+        B = vb.to_numpy()
+        n = len(A)
+        dims_a = np.fromiter(
+            (len(x) if x is not None else -1 for x in A), np.int64, count=n
+        )
+        dims_b = np.fromiter(
+            (len(x) if x is not None else -2 for x in B), np.int64, count=n
+        )
+        valid = (dims_a >= 0) & (dims_a == dims_b)
+        out = np.full(n, np.nan)
+        # group by dimension: ragged-but-matching batches still vectorize
+        for d in np.unique(dims_a[valid]):
+            m = valid & (dims_a == d)
+            X = np.stack(A[m])
+            Y = np.stack(B[m])
+            acc = np.zeros(X.shape[0])
+            for k in range(X.shape[1]):
+                acc += X[:, k] * Y[:, k]
+            out[m] = acc
+        res = pd.Series(out, dtype="float64").astype(object)
+        res[np.isnan(out)] = None
+        return res
 
     # nondeterministic marker (the VALUE is fully deterministic): the
     # usual consumer computes `filter(round(dot/…) ≥ t)` over a

@@ -139,8 +139,15 @@ def kg_pg_elements(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     customer = CAT.read_parquet(spark, f"{sf_dir}/customer.parquet")
     orders = CAT.read_parquet(spark, f"{sf_dir}/orders.parquet")
-    return rowlocal_pg_flat(customer, _customer_mapper()).unionByName(
-        rowlocal_pg_flat(orders, _order_mapper(), _placed_mapper())
+    # check_contract: exact id-uniqueness probe (raises on violation)
+    # riding one narrow single-column agg per source — fails loudly if
+    # the primary-key assumption above ever breaks
+    return rowlocal_pg_flat(
+        customer, _customer_mapper(), check_contract=True
+    ).unionByName(
+        rowlocal_pg_flat(
+            orders, _order_mapper(), _placed_mapper(), check_contract=True
+        )
     )
 
 

@@ -81,17 +81,25 @@ def _delta(pg_path: str) -> str:
     return f"{pg_path}/delta"
 
 
-def _delta_batch_count(spark: SparkSession, delta_path: str) -> int:
+def _delta_batch_ids(spark: SparkSession, delta_path: str) -> list[int]:
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path(delta_path)
     fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
     if not fs.exists(hpath):
-        return 0
-    return sum(
-        1
-        for st in fs.listStatus(hpath)
-        if st.isDirectory() and st.getPath().getName().startswith("batch_id=")
-    )
+        return []
+    out = []
+    for st in fs.listStatus(hpath):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith("batch_id="):
+            try:
+                out.append(int(name.split("=", 1)[1]))
+            except ValueError:
+                pass
+    return out
+
+
+def _delta_batch_count(spark: SparkSession, delta_path: str) -> int:
+    return len(_delta_batch_ids(spark, delta_path))
 
 
 def _merged_relation(
@@ -129,7 +137,7 @@ def merge_triples_batch(
     n_buckets: int = N_BUCKETS,
     *,
     mode: str = "append",
-    epoch_id: int = 0,
+    epoch_id: int | None = None,
     compact_threshold: float = COMPACT_THRESHOLD,
     max_delta_batches: int = MAX_DELTA_BATCHES,
 ) -> None:
@@ -142,6 +150,13 @@ def merge_triples_batch(
     delta-touched bucket partitions of a flat bucketed store (the
     streaming/rollup.py recipe) — preferable only when deltas are
     id-clustered so few buckets really are touched.
+
+    ``epoch_id`` is the delta-log slot: streaming ``foreachBatch``
+    passes its epoch (re-ingestion of the SAME epoch idempotently
+    overwrites that slot — exactly-once on retry). A non-streaming
+    caller may omit it: the next free ``batch_id`` is derived from the
+    log (max existing + 1), so repeated un-epoched merges APPEND rather
+    than silently overwriting slot 0.
     """
     if mode == "inplace":
         _merge_inplace(spark, triples, pg_path, n_buckets)
@@ -152,6 +167,9 @@ def merge_triples_batch(
     delta = triples_to_pg(triples).localCheckpoint(eager=True)
     if not delta.take(1):
         return
+    if epoch_id is None:
+        existing = _delta_batch_ids(spark, _delta(pg_path))
+        epoch_id = max(existing) + 1 if existing else 0
     from ..runtime.checkpoint import tuned_partitions
 
     out = delta.withColumn("batch_id", F.lit(int(epoch_id)))

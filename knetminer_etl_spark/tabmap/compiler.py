@@ -193,7 +193,9 @@ class DataFrameMapper:
 
     # -- row-local flat PG build ---------------------------------------------
 
-    def to_pg_flat(self, df: DataFrame) -> DataFrame:
+    def to_pg_flat(
+        self, df: DataFrame, *, check_contract: bool = False
+    ) -> DataFrame:
         """Compile the mapping straight to the flattened PG relation —
         **zero shuffle** — under the *row-local element contract*:
 
@@ -220,6 +222,15 @@ class DataFrameMapper:
         contract. Reference parity: src/ketl/io/core.py:16-127 always
         aggregates; this is the engine exploiting declared key
         uniqueness the way bucketed tables declare distribution.
+
+        ``check_contract=True`` runs an exact id-uniqueness probe before
+        building (one narrow single-column aggregation — map-side
+        partial counts, only duplicate groups survive to the reduce) and
+        raises :class:`ValueError` with witness ids on violation, so
+        misuse fails loudly instead of producing silently wrong property
+        sets. Cheap relative to the build; wired on in the shipped
+        queries and tests, opt-out for production hot paths whose key
+        uniqueness is already enforced upstream.
         """
         if self.is_python:
             raise ValueError(
@@ -227,6 +238,12 @@ class DataFrameMapper:
                 "Python mappers must go through to_triples + triples_to_pg_flat"
             )
         eid = self._id_expr()
+        if check_contract:
+            _assert_rowlocal_ids(
+                df.select(eid.alias(ID_COL)).filter(
+                    F.col(ID_COL).isNotNull() & (F.col(ID_COL) != F.lit(""))
+                )
+            )
         staged: list[Column] = [eid.alias(ID_COL)]
         by_key: dict[str, list[int]] = {}
         for i, m in enumerate(self.mappers):
@@ -314,10 +331,15 @@ class DataFrameMapper:
         elif len(prop_keys) == 1:
             props_str = F.coalesce(_prop_entry(prop_keys[0]), F.lit(""))
         else:
-            # array_join skips NULL entries (all-null keys drop); a
-            # static array of scalars stays codegen'd
+            # sort the RENDERED 'key=[vals]' entries, not the keys: the
+            # aggregated build array_sorts the entry strings, and key
+            # order can differ when one key prefixes another ('score2'
+            # sorts before 'score=' since '2' < '='). sort_array stays
+            # codegen'd (asc puts NULLs first; array_join then skips
+            # them, so all-null keys still drop)
             props_str = F.array_join(
-                F.array(*[_prop_entry(k) for k in prop_keys]), ";"
+                F.sort_array(F.array(*[_prop_entry(k) for k in prop_keys])),
+                ";",
             )
         # a row whose every serialized value is NULL emits zero triples,
         # so the aggregated build has no such element — drop it here too
@@ -455,18 +477,63 @@ def chain_mappers(
     return out
 
 
-def rowlocal_pg_flat(df: DataFrame, *dfmappers: DataFrameMapper) -> DataFrame:
+def rowlocal_pg_flat(
+    df: DataFrame,
+    *dfmappers: DataFrameMapper,
+    check_contract: bool = False,
+) -> DataFrame:
     """Union of per-mapping row-local PG builds over one input — the
     shuffle-free twin of ``triples_to_pg_flat(chain_mappers(df, ...))``.
 
     The row-local element contract (see
     :meth:`DataFrameMapper.to_pg_flat`) extends across the chain: the
     mappings' id spaces must be mutually disjoint (distinct id prefixes /
-    auto edge ids vs node ids), so the union needs no merge."""
+    auto edge ids vs node ids), so the union needs no merge.
+    ``check_contract=True`` probes uniqueness over the UNION of the
+    mappings' id projections, so both per-mapping duplicates and
+    cross-mapping id collisions fail loudly."""
+    if not dfmappers:
+        raise ValueError("at least one DataFrameMapper required")
+    if check_contract:
+        ids: DataFrame | None = None
+        for dm in dfmappers:
+            if dm.is_python:
+                raise ValueError(
+                    "row-local PG build requires the native expression path; "
+                    "Python mappers must go through to_triples + triples_to_pg_flat"
+                )
+            p = df.select(dm._id_expr().alias(ID_COL)).filter(
+                F.col(ID_COL).isNotNull() & (F.col(ID_COL) != F.lit(""))
+            )
+            ids = p if ids is None else ids.unionByName(p)
+        assert ids is not None
+        _assert_rowlocal_ids(ids)
     out: DataFrame | None = None
     for dm in dfmappers:
         p = dm.to_pg_flat(df)
         out = p if out is None else out.unionByName(p)
-    if out is None:
-        raise ValueError("at least one DataFrameMapper required")
+    assert out is not None
     return out
+
+
+def _assert_rowlocal_ids(ids: DataFrame) -> None:
+    """Exact uniqueness probe for the row-local PG contract: a single-
+    column hash aggregation (partial counts map-side; only duplicate
+    groups reach the reduce, so the shuffle is near-empty when the
+    contract holds). Raises with up to 3 witness ids on violation."""
+    dup = (
+        ids.groupBy(ID_COL)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > 1)
+        .limit(3)
+        .collect()
+    )
+    if dup:
+        witnesses = ", ".join(f"{r[ID_COL]!r}×{r['_n']}" for r in dup)
+        raise ValueError(
+            "row-local PG contract violated — element id(s) produced by "
+            f"more than one input row or mapping: {witnesses}. These ids "
+            "would get silently wrong label/property sets under the "
+            "zero-shuffle build; use triples_to_pg_flat / triples_to_pg "
+            "(contract-free aggregated builds) for non-row-unique ids."
+        )

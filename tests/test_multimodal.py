@@ -616,6 +616,47 @@ class TestVideoDup:
         ).collect()
         assert none == []
 
+    def test_static_content_fracs_are_per_side(self, spark):
+        # 15 frames of A all match the single frame of B (static
+        # content): frac_b must be 1/1 counted on B's OWN matched
+        # frames, and frac_a must be 15/15 — never >1.0, and never A's
+        # matched count divided by B's total (the pre-r7 formula gave
+        # frac_b = 15/1 = 15.0 for this shape)
+        fn = lambda data, ts: MM._fake_pixels(b"static", "bin")  # every frame identical
+        df = spark.createDataFrame(
+            [(1, self._mp4(duration=14500)), (2, self._mp4(duration=500))],
+            "media_id long, data binary",
+        )
+        out = MM.video_dup_pairs(
+            df, frame_pixels_fn=fn, max_hamming=0, min_match_frac=0.5
+        ).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert r["matched_frames"] == 15
+        assert abs(r["frac_a"] - 1.0) < 1e-9
+        assert abs(r["frac_b"] - 1.0) < 1e-9
+        assert r["frac_a"] <= 1.0 and r["frac_b"] <= 1.0
+
+    def test_asymmetric_match_fracs_never_exceed_one(self, spark):
+        # A has 15 frames, 5 distinct pixel patterns repeating; B has 5
+        # frames, one per pattern. Every A frame matches exactly one B
+        # frame and vice versa: frac_a = 15/15, frac_b = 5/5 — B's side
+        # is counted on B's matched frames, not A's vote count.
+        fn = lambda data, ts: MM._fake_pixels(
+            (int(ts) // 1000 % 5).to_bytes(2, "little"), "bin"
+        )
+        df = spark.createDataFrame(
+            [(1, self._mp4(duration=14500)), (2, self._mp4(duration=4500))],
+            "media_id long, data binary",
+        )
+        out = MM.video_dup_pairs(
+            df, frame_pixels_fn=fn, max_hamming=0, min_match_frac=0.9
+        ).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert r["matched_frames"] == 15 and r["frac_a"] == 1.0
+        assert abs(r["frac_b"] - 1.0) < 1e-9 and r["frac_b"] <= 1.0
+
     def test_banding_matches_bruteforce_frame_voting(self, spark):
         # pigeonhole blocking must equal the brute-force frame-pair scan
         import itertools
@@ -629,17 +670,23 @@ class TestVideoDup:
         max_h, frac = 3, 0.25
         expect = {}
         for a, b in itertools.combinations(sorted(by_vid), 2):
-            matched = {
+            matched_a = {
                 ts_a
                 for ts_a, ha in by_vid[a]
                 for _, hb in by_vid[b]
                 if bin((ha ^ hb) & ((1 << 64) - 1)).count("1") <= max_h
             }
-            if matched:
-                fa = len(matched) / len(by_vid[a])
-                fb = len(matched) / len(by_vid[b])
+            matched_b = {
+                ts_b
+                for ts_b, hb in by_vid[b]
+                for _, ha in by_vid[a]
+                if bin((ha ^ hb) & ((1 << 64) - 1)).count("1") <= max_h
+            }
+            if matched_a:
+                fa = len(matched_a) / len(by_vid[a])
+                fb = len(matched_b) / len(by_vid[b])
                 if max(fa, fb) >= frac:
-                    expect[(a, b)] = len(matched)
+                    expect[(a, b)] = len(matched_a)
         got = {
             (r["id_a"], r["id_b"]): r["matched_frames"]
             for r in MM.video_dup_pairs(

@@ -291,6 +291,82 @@ class TestRowLocalFlatBuild:
         assert got == want
         assert len(got) == 3  # null-pk row emits nothing
 
+    def test_prefix_keys_match_aggregated_entry_order(self, spark):
+        """Keys where one is a proper prefix of another ('score' vs
+        'score2': '2' < '=') order differently by key than by rendered
+        'key=[vals]' entry string; the flat build must match the
+        aggregated build's ENTRY-string sort."""
+        from pyspark.sql import functions as F
+
+        from knetminer_etl_spark.pg.build import triples_to_pg_flat
+        from knetminer_etl_spark.tabmap.compiler import DataFrameMapper
+        from knetminer_etl_spark.tabmap.mappers import (
+            ExprValueMapper,
+            column_triple_mapper,
+            type_triple_mapper,
+        )
+
+        m = DataFrameMapper(
+            ExprValueMapper(F.concat(F.lit("P:"), F.col("pk").cast("string"))),
+            [
+                column_triple_mapper("s1", "score"),
+                column_triple_mapper("s2", "score2"),
+                column_triple_mapper("s3", "score"),  # multi-entry path
+            ],
+            [type_triple_mapper("T")],
+        )
+        src = spark.createDataFrame(
+            [(1, 2.0, 3.0, 4.0), (2, None, 5.0, None)],
+            "pk long, s1 double, s2 double, s3 double",
+        )
+        got = sorted(tuple(r) for r in m.to_pg_flat(src).collect())
+        want = sorted(
+            tuple(r) for r in triples_to_pg_flat(m.to_triples(src)).collect()
+        )
+        assert got == want
+        # and the entry order really is the non-key order
+        assert got[0][5].startswith("score2=[")
+
+    def test_contract_violation_fails_loudly(self, spark):
+        """check_contract=True: duplicate element ids (non-unique key, or
+        two mappings emitting the same id) raise with witnesses instead
+        of producing a silently wrong PG."""
+        from pyspark.sql import functions as F
+
+        from knetminer_etl_spark.tabmap.compiler import (
+            DataFrameMapper,
+            rowlocal_pg_flat,
+        )
+        from knetminer_etl_spark.tabmap.mappers import (
+            ExprValueMapper,
+            column_triple_mapper,
+            type_triple_mapper,
+        )
+
+        def mk(prefix):
+            return DataFrameMapper(
+                ExprValueMapper(
+                    F.concat(F.lit(prefix), F.col("grp").cast("string"))
+                ),
+                [column_triple_mapper("val", "hasVal")],
+                [type_triple_mapper("T")],
+            )
+
+        dup_rows = spark.createDataFrame(
+            [(1, "a"), (1, "b"), (2, "c")], "grp long, val string"
+        )
+        with pytest.raises(ValueError, match="row-local PG contract"):
+            mk("P:").to_pg_flat(dup_rows, check_contract=True)
+
+        # cross-mapping collision: same id emitted by two chained mappings
+        uniq = spark.createDataFrame([(1, "a"), (2, "b")], "grp long, val string")
+        with pytest.raises(ValueError, match="row-local PG contract"):
+            rowlocal_pg_flat(uniq, mk("P:"), mk("P:"), check_contract=True)
+
+        # the probe passes on genuinely unique ids (and is side-effect free)
+        out = rowlocal_pg_flat(uniq, mk("P:"), mk("Q:"), check_contract=True)
+        assert out.count() == 4
+
     def test_zero_exchange_plan(self, spark, src):
         plan = (
             self._mapper()

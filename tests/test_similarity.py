@@ -43,6 +43,59 @@ class TestBruteForce:
         assert cosines == sorted(cosines, reverse=True)
 
 
+class TestPairDotsNullContract:
+    """_pair_dots (the Arrow scorer shared by every verification join)
+    must propagate NULL for null / ragged / null-element vectors — like
+    the in-plan zip_with fold did — not crash np.stack."""
+
+    def test_null_and_ragged_rows_yield_null(self, spark):
+        from pyspark.sql import functions as F
+
+        rows = [
+            (1, [1.0, 2.0], [3.0, 4.0]),      # fine: 11.0
+            (2, None, [1.0, 1.0]),            # null vector
+            (3, [1.0, 2.0], None),            # null other side
+            (4, [1.0, 2.0, 3.0], [1.0, 1.0]), # ragged
+            (5, [1.0, None], [2.0, 2.0]),     # null element
+            (6, [2.0], [5.0]),                # different (valid) dim: 10.0
+        ]
+        df = spark.createDataFrame(
+            rows, "id long, a array<double>, b array<double>"
+        )
+        got = {
+            r["id"]: r["dot"]
+            for r in df.select(
+                "id", SIM._pair_dots(F.col("a"), F.col("b")).alias("dot")
+            ).collect()
+        }
+        assert got[1] == 11.0 and got[6] == 10.0
+        assert got[2] is None and got[3] is None and got[4] is None
+        assert got[5] is None
+        # and the in-plan fold agrees on every row
+        want = {
+            r["id"]: r["dot"]
+            for r in df.select(
+                "id", SIM._dot(F.col("a"), F.col("b")).alias("dot")
+            ).collect()
+        }
+        assert got == want
+
+    def test_lsh_topk_tolerates_null_vectors(self, spark, vectors):
+        """A null embedding reaching the verification join is filtered,
+        not a job failure."""
+        from pyspark.sql import functions as F
+
+        poisoned = vectors.unionByName(
+            vectors.sparkSession.createDataFrame(
+                [(99, None)], "vec_id long, embedding array<float>"
+            )
+        )
+        got = SIM.lsh_topk(
+            poisoned, poisoned.filter("vec_id = 0"), k=3, n_planes=4
+        ).collect()
+        assert got and all(r["neighbor_id"] != 99 for r in got)
+
+
 class TestLSH:
     def test_high_recall_on_separated_clusters(self, spark, vectors):
         queries = vectors.filter("vec_id IN (0, 10, 20)")

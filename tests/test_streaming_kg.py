@@ -295,6 +295,38 @@ class TestAppendModeDeltaLog:
         expected = triples_to_pg(mapper.to_triples(customer))
         assertDataFrameEqual(_canon(got), _canon(expected))
 
+    def test_unepoched_appends_never_overwrite_each_other(self, spark, tmp_path):
+        """A non-streaming caller omitting epoch_id must APPEND to the
+        delta log (next free batch_id), not dynamic-overwrite slot 0 and
+        silently drop the prior uncompacted delta."""
+        from knetminer_etl_spark.streaming.kg import merge_triples_batch
+
+        customer = spark.read.parquet(f"{SF_DIR}/customer.parquet").limit(60)
+        mapper = _customer_mapper()
+        pg_path = str(tmp_path / "pg")
+
+        kw = dict(compact_threshold=10.0, max_delta_batches=100)
+        for pred in ["c_custkey % 3 = 0", "c_custkey % 3 = 1", "c_custkey % 3 = 2"]:
+            merge_triples_batch(
+                spark, mapper.to_triples(customer.filter(pred)), pg_path, **kw
+            )
+        expected = triples_to_pg(mapper.to_triples(customer))
+        assertDataFrameEqual(_canon(read_kg(spark, pg_path)), _canon(expected))
+
+        # and un-epoched merges interleave safely with epoched ones:
+        # the auto id continues past the explicit one
+        merge_triples_batch(
+            spark,
+            mapper.to_triples(customer.filter("c_custkey % 3 = 0")),
+            pg_path,
+            epoch_id=50,
+            **kw,
+        )
+        merge_triples_batch(
+            spark, mapper.to_triples(customer.filter("c_custkey % 3 = 1")), pg_path, **kw
+        )
+        assertDataFrameEqual(_canon(read_kg(spark, pg_path)), _canon(expected))
+
     def test_auto_compaction_triggers_on_batch_count(self, spark, tmp_path):
         import os
 
