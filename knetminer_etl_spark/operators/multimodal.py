@@ -841,12 +841,15 @@ def audio_dup_pairs(
     from .dedup import embedding_dup_pairs
 
     fp = audio_fingerprints(df, id_col, binary_col, samples_fn, n_frames)
-    return embedding_dup_pairs(
-        fp.filter(F.col("fingerprint").isNotNull()),
-        "media_id",
-        "fingerprint",
-        threshold,
+    # pin the tiny fingerprint relation: the banded-pair engine
+    # references it three times (banding + both verification join
+    # sides) and the upstream decode+featurize mapInPandas must not
+    # re-run per reference (same pin hamming_pairs/video_frame_hashes
+    # apply; measured 3x the Python decode cost without it)
+    fp = fp.filter(F.col("fingerprint").isNotNull()).localCheckpoint(
+        eager=True
     )
+    return embedding_dup_pairs(fp, "media_id", "fingerprint", threshold)
 
 
 # ---------------------------------------------------------------------------

@@ -26,6 +26,7 @@ from . import (
     corpus,
     graph,
     kg,
+    media,
     olap,
     pipeline,
     sketches,
@@ -63,6 +64,7 @@ _ALL_QUERIES = {
     **olap.QUERIES,
     **sketches.QUERIES,
     **training.QUERIES,
+    **media.QUERIES,
 }
 
 # Registry iteration order: a class-balanced sample first, the long tail
@@ -73,8 +75,11 @@ _ALL_QUERIES = {
 # sampling, validation) rather than 50 variations of one family.
 #
 # The prefix ROTATES each round (within family slots) so no oracle sits
-# unchecked by the driver forever. Round 6 rotated the round-5 displaced
-# set back in — q12_late_shipments, q15_top_supplier, kg_triangles,
+# unchecked by the driver forever. Round 7 rotated in the three new
+# oracle-grade multimodal entries (media_image/audio/video_dup_pairs),
+# displacing doc_span_scrub_hashed, embedding_lsh_topk and
+# doc_tfidf_terms (each family keeps prefix coverage). Round 6 rotated
+# the round-5 displaced set back in — q12_late_shipments, q15_top_supplier, kg_triangles,
 # doc_incremental_dedup, events_scd2, doc_bpe_pairs — displacing six
 # prefix-green peers within the same family slots (q1_pricing_summary,
 # q13_customer_distribution, kg_pagerank, minhash_lsh_pairs,
@@ -100,12 +105,16 @@ _PRIORITY = [
     # deduplication family (whole-doc, n-gram, LSH, fingerprint,
     # embedding, substring-span incl. hashed mode, semantic,
     # incremental)
-    "exact_dedup", "doc_span_scrub", "doc_span_scrub_hashed",
+    "exact_dedup", "doc_span_scrub",
     "ngram_jaccard_pairs", "doc_incremental_dedup",
     "simhash_pairs", "embedding_dup_pairs",
     "embedding_semantic_dedup",
-    # similarity search (exact, LSH, IVF, PQ)
-    "embedding_topk", "embedding_lsh_topk", "embedding_ivf_topk",
+    # multimodal near-dup (REAL codec round-trips: PNG pixels, WAV PCM,
+    # MP4 duration parse) — oracle-grade since round 7
+    "media_image_dup_pairs", "media_audio_dup_pairs",
+    "media_video_dup_pairs",
+    # similarity search (exact, IVF, PQ)
+    "embedding_topk", "embedding_ivf_topk",
     "embedding_pq_topk",
     # text analysis (stats, language id, boilerplate extraction)
     "text_stats", "lang_id_counts", "doc_html_extract",
@@ -113,7 +122,7 @@ _PRIORITY = [
     "doc_bpe_pairs", "doc_quality_filter", "doc_pii_redaction",
     "doc_context_windows", "doc_repetition_stats", "doc_decontamination",
     "embedding_semantic_decontamination_auto",
-    "doc_tfidf_terms", "doc_lm_scores",
+    "doc_lm_scores",
     "doc_pipeline_stages",
     # event streams: windows, sessions, as-of, SCD2, gap-fill
     "events_scd2", "events_sessionize", "events_asof_last_error",
@@ -124,7 +133,11 @@ _PRIORITY = [
     # OLAP cube / training layout / data contracts
     "segment_year_cube", "doc_shard_manifest", "doc_temperature_mix",
     "orders_validation",
-    # rotated out of the prefix this round (covered by the full sweep)
+    # rotated out of the prefix this round (covered by the full sweep).
+    # Round 7 displaced doc_span_scrub_hashed, embedding_lsh_topk and
+    # doc_tfidf_terms (same-family peers stay in the prefix) to make
+    # room for the three new multimodal entries.
+    "doc_span_scrub_hashed", "embedding_lsh_topk", "doc_tfidf_terms",
     "q1_pricing_summary", "q13_customer_distribution", "kg_pagerank",
     "minhash_lsh_pairs", "events_tumbling_5m", "doc_split_counts",
     "embedding_semantic_decontamination_banded",
@@ -149,4 +162,5 @@ ORACLES = {
     **olap.ORACLES,
     **sketches.ORACLES,
     **training.ORACLES,
+    **media.ORACLES,
 }
