@@ -32,11 +32,60 @@ from .text import normalize_text, shingles_from_tokens, tokens, word_shingles
 from .util import fan_out
 
 
+#: Last-created candidate-bill Observation per metrics label
+#: (``<label>`` = bucket stats, ``<label>:out`` = output rows). Filled
+#: by the banded-pair operators on every plan build; read AFTER an
+#: action on that plan (tools/scale_check.py records them per tier so
+#: a high runtime ratio is attributable to candidate volume vs
+#: algorithmic blowup). Last-write-wins: holds the newest plan's
+#: Observation for each label.
+CANDIDATE_METRICS: dict[str, "Observation"] = {}
+
+
+def _observe_buckets(groups: DataFrame, ids_size, label: str) -> DataFrame:
+    """Attach the candidate-bill probe (bucket count, max bucket size,
+    Σ C(k,2) candidates) — a CollectMetrics node riding the existing
+    aggregation, no extra job, no extra exchange."""
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    CANDIDATE_METRICS[label] = obs
+    return groups.observe(
+        obs,
+        F.count(F.lit(1)).alias("buckets"),
+        F.max(ids_size).alias("max_bucket"),
+        F.sum(ids_size * (ids_size - 1) / F.lit(2))
+        .cast("long")
+        .alias("candidates"),
+    )
+
+
+def observe_output(df: DataFrame, label: str) -> DataFrame:
+    """Attach an output-row-count probe under ``<label>:out``."""
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    CANDIDATE_METRICS[f"{label}:out"] = obs
+    return df.observe(obs, F.count(F.lit(1)).alias("rows"))
+
+
+def read_candidate_metrics(label: str) -> dict:
+    """Metrics of the last EXECUTED plan for ``label`` (call only after
+    an action on that plan — Observation.get blocks otherwise; a plan
+    whose observed subtree AQE pruned to an empty relation raises)."""
+    out = dict(CANDIDATE_METRICS[label].get)
+    if f"{label}:out" in CANDIDATE_METRICS:
+        out["out_rows"] = CANDIDATE_METRICS[f"{label}:out"].get["rows"]
+    return out
+
+
 def candidate_pairs_from_buckets(
     bucketed: DataFrame,
     bucket_cols: list[str],
     id_col: str = "doc_id",
     num_partitions: int | None = None,
+    max_bucket_size: int | None = None,
+    metrics_label: str | None = None,
 ) -> DataFrame:
     """Distinct id-ordered candidate pairs from a blocking relation.
 
@@ -50,7 +99,16 @@ def candidate_pairs_from_buckets(
     ``num_partitions`` — Catalyst's estimate above a join/explode tower
     can be off by 1000× (measured 75 GB estimated for a 2,200-row
     relation → a 4,096-task repartition of pure scheduler overhead).
-    Output: (id_a, id_b).
+
+    ``max_bucket_size`` is the Σ|bucket|² backstop (the band-bucket
+    analog of ``ngram_jaccard_pairs``'s ``max_shingle_freq``): buckets
+    larger than the cap are dropped BEFORE pair expansion, bounding the
+    candidate bill at cap²/2 per bucket whatever adversarial boilerplate
+    hashes into one bucket. Recall trade-off: a true pair is lost only
+    if EVERY band bucket it shares is oversized — for LSH bandings that
+    means the pair's entire similarity evidence is corpus-wide template
+    content. ``metrics_label`` attaches the candidate-bill probe (see
+    :data:`CANDIDATE_METRICS`). Output: (id_a, id_b).
     """
     from ..runtime.checkpoint import group_agg_partitions
 
@@ -60,6 +118,10 @@ def candidate_pairs_from_buckets(
         .groupBy(*bucket_cols)
         .agg(F.array_sort(F.collect_set(id_col)).alias("_ids"))
     )
+    if max_bucket_size is not None:
+        groups = groups.filter(F.size("_ids") <= max_bucket_size)
+    if metrics_label is not None:
+        groups = _observe_buckets(groups, F.size("_ids"), metrics_label)
     combos = F.flatten(
         F.transform(
             F.col("_ids"),
@@ -488,6 +550,7 @@ def minhash_lsh_pairs(
     k: int = 3,
     threshold: float = 0.7,
     verify: bool = True,
+    max_bucket_size: int | None = 4096,
 ) -> DataFrame:
     """Near-dup pairs via banded MinHash LSH.
 
@@ -498,11 +561,24 @@ def minhash_lsh_pairs(
     checked against true shingle Jaccard (joining the shingle sets back
     in) so the output has no LSH false positives; without it the
     signature-estimated Jaccard is reported.
+
+    ``max_bucket_size`` (default ON at 4096) drops band buckets larger
+    than the cap before pair expansion — the Σ|bucket|² backstop against
+    boilerplate corpora where one band value hashes a large fraction of
+    documents (recall is lost only for pairs whose EVERY matching band
+    is such a mega-bucket; see :func:`candidate_pairs_from_buckets`).
+    Candidate-bill metrics ride the plan under the ``minhash_lsh`` label
+    (:data:`CANDIDATE_METRICS`).
     Output: ``(id_a, id_b, jaccard)``, id_a < id_b.
     """
     banded = minhash_band_rows(df, id_col, text_col, num_perm, bands, k)
 
-    cands = candidate_pairs_from_buckets(banded, ["band", "bucket"])
+    cands = candidate_pairs_from_buckets(
+        banded,
+        ["band", "bucket"],
+        max_bucket_size=max_bucket_size,
+        metrics_label="minhash_lsh",
+    )
 
     if not verify:
         sigs = minhash_signatures(df, id_col, text_col, num_perm, k)
@@ -517,15 +593,19 @@ def minhash_lsh_pairs(
             )
             / F.lit(num_perm)
         )
-        return (
+        return observe_output(
             cands.join(sa, on="id_a")
             .join(sb, on="id_b")
             .withColumn("jaccard", F.round(est, 6))
             .filter(F.col("jaccard") >= threshold)
-            .select("id_a", "id_b", "jaccard")
+            .select("id_a", "id_b", "jaccard"),
+            "minhash_lsh",
         )
 
-    return verified_jaccard_pairs(cands, df, id_col, text_col, k, threshold)
+    return observe_output(
+        verified_jaccard_pairs(cands, df, id_col, text_col, k, threshold),
+        "minhash_lsh",
+    )
 
 
 def verified_jaccard_pairs(
@@ -723,6 +803,7 @@ def simhash_pairs(
     shingle_k: int = 1,
     hash_fn=None,
     nbits: int = 64,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs within Hamming distance ``max_hamming`` of the
     ``nbits``-bit SimHash.
@@ -731,12 +812,23 @@ def simhash_pairs(
     by pigeonhole any pair within distance d agrees exactly on ≥1
     band → candidates come from band equi-joins, verified with bit_count.
     The blocking is therefore EXACT (no false negatives), whatever the
-    hash — the pair set equals a brute-force Hamming scan.
+    hash — the pair set equals a brute-force Hamming scan — unless a
+    ``max_bucket_size`` backstop is passed for fingerprint-degenerate
+    corpora (see :func:`hamming_pairs`). Candidate-bill metrics ride
+    under the ``simhash`` label.
     """
     fp = with_simhash64(
         df, id_col, text_col, shingle_k, hash_fn=hash_fn, nbits=nbits
     )
-    return hamming_pairs(fp, "doc_id", "fp", max_hamming, nbits)
+    return hamming_pairs(
+        fp,
+        "doc_id",
+        "fp",
+        max_hamming,
+        nbits,
+        max_bucket_size=max_bucket_size,
+        metrics_label="simhash",
+    )
 
 
 def hamming_pairs(
@@ -745,6 +837,8 @@ def hamming_pairs(
     fp_col: str = "fp",
     max_hamming: int = 3,
     nbits: int = 64,
+    max_bucket_size: int | None = None,
+    metrics_label: str | None = None,
 ) -> DataFrame:
     """All id pairs whose integer fingerprints differ in ≤ ``max_hamming``
     bits — the generic Hamming-blocking engine behind
@@ -753,9 +847,16 @@ def hamming_pairs(
 
     Blocking: split the fingerprint into ``max_hamming+1`` equal bands;
     by pigeonhole any pair within distance d agrees exactly on ≥1 band →
-    candidates come from band equi-joins, verified with bit_count. The
-    blocking is EXACT (no false negatives) whatever the hash — the pair
-    set equals a brute-force Hamming scan. Output: (id_a, id_b, hamming).
+    candidates come from band equi-joins, verified with bit_count. With
+    ``max_bucket_size=None`` (default) the blocking is EXACT (no false
+    negatives) whatever the hash — the pair set equals a brute-force
+    Hamming scan. Passing a cap drops band buckets above it before the
+    self-join (broadcast anti-join on the tiny oversized-bucket set):
+    the Σ|bucket|² backstop for fingerprint-degenerate corpora (constant
+    images, boilerplate) — a true pair is lost only when EVERY band
+    chunk it agrees on is an oversized bucket. ``metrics_label``
+    attaches the candidate-bill probe (:data:`CANDIDATE_METRICS`).
+    Output: (id_a, id_b, hamming).
     """
     nbands = max_hamming + 1
     width = nbits // nbands
@@ -789,19 +890,48 @@ def hamming_pairs(
             )
         ).alias("bb"),
     ).select("_hid", "_hfp", "bb.band", "bb.chunk")
+    if max_bucket_size is not None:
+        # the oversized set is tiny BY DEFINITION (each member holds >
+        # cap rows), so the anti-join broadcast never grows with the
+        # corpus — only with its degeneracy
+        sizes = banded.groupBy("band", "chunk").agg(
+            F.count(F.lit(1)).alias("_k")
+        )
+        oversized = sizes.filter(F.col("_k") > max_bucket_size).select(
+            "band", "chunk"
+        )
+        banded = banded.join(
+            F.broadcast(oversized), on=["band", "chunk"], how="left_anti"
+        )
     a = banded.select(
         "band", "chunk", F.col("_hid").alias("id_a"), F.col("_hfp").alias("fp_a")
     )
     b = banded.select(
         "band", "chunk", F.col("_hid").alias("id_b"), F.col("_hfp").alias("fp_b")
     )
-    return (
-        a.join(b, on=["band", "chunk"])
-        .filter(F.col("id_a") < F.col("id_b"))
+    joined = a.join(b, on=["band", "chunk"]).filter(
+        F.col("id_a") < F.col("id_b")
+    )
+    if metrics_label is not None:
+        # candidate bill = id-ordered join matches before verification
+        # (multi-band repeats included: each IS paid for) — a pure
+        # CollectMetrics node on the existing stream, no extra job
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        CANDIDATE_METRICS[metrics_label] = obs
+        joined = joined.observe(
+            obs, F.count(F.lit(1)).alias("candidates")
+        )
+    out = (
+        joined
         .withColumn("hamming", F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))))
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
         .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        observe_output(out, metrics_label) if metrics_label is not None else out
     )
 
 
@@ -864,6 +994,7 @@ def embedding_dup_pairs(
     n_planes: int = 6,
     n_bands: int = 24,
     seed: int = 0x5EED,
+    max_bucket_size: int | None = 4096,
 ) -> DataFrame:
     """Vector pairs with cosine ≥ threshold.
 
@@ -881,8 +1012,11 @@ def embedding_dup_pairs(
     JVM-side, so the output has no false positives; misses are bounded
     by the formula above. Bucket count per band is 2^n_planes — raise
     ``n_planes`` (and ``n_bands`` with it) for bigger corpora to keep
-    the per-bucket pair combination term sub-quadratic.
-    Output: ``(id_a, id_b, cosine)``, id_a < id_b.
+    the per-bucket pair combination term sub-quadratic, and
+    ``max_bucket_size`` (default ON at 4096) is the hard Σ|bucket|²
+    backstop when a corpus direction cluster defeats the planes (see
+    :func:`candidate_pairs_from_buckets`; metrics under
+    ``embedding_lsh``). Output: ``(id_a, id_b, cosine)``, id_a < id_b.
     """
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     base = fan_out(
@@ -900,7 +1034,12 @@ def embedding_dup_pairs(
     banded = base.select(
         "doc_id", F.posexplode_outer("_bkts").alias("band", "bucket")
     ).filter(F.col("bucket").isNotNull())
-    cands = candidate_pairs_from_buckets(banded, ["band", "bucket"])
+    cands = candidate_pairs_from_buckets(
+        banded,
+        ["band", "bucket"],
+        max_bucket_size=max_bucket_size,
+        metrics_label="embedding_lsh",
+    )
     # column pruning drops _bkts from the join sides — the UDF runs once
     va = base.select(
         F.col("doc_id").alias("id_a"), F.col("_v").alias("v_a"), F.col("_nrm").alias("n_a")
@@ -908,7 +1047,7 @@ def embedding_dup_pairs(
     vb = base.select(
         F.col("doc_id").alias("id_b"), F.col("_v").alias("v_b"), F.col("_nrm").alias("n_b")
     )
-    return (
+    return observe_output(
         cands.join(va, on="id_a")
         .join(vb, on="id_b")
         .withColumn(
@@ -916,7 +1055,8 @@ def embedding_dup_pairs(
             F.round(_pair_dots(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b")), 6),
         )
         .filter(F.col("cosine") >= threshold)
-        .select("id_a", "id_b", "cosine")
+        .select("id_a", "id_b", "cosine"),
+        "embedding_lsh",
     )
 
 

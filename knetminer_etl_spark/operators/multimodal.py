@@ -619,16 +619,28 @@ def image_dup_pairs(
     fmt_col: str | None = None,
     pixels_fn: Callable[[bytes, str], Any] | None = None,
     max_hamming: int = 5,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-duplicate image pairs: perceptual aHash + the exact Hamming
     banding engine (``dedup.hamming_pairs`` — no false negatives at the
-    fingerprint level). The image-corpus dedup composition: decode once,
-    block by fingerprint bands, verify with bit_count — the corpus is
-    never self-joined on raw bytes. Output: (id_a, id_b, hamming)."""
+    fingerprint level; pass ``max_bucket_size`` as the Σ|bucket|²
+    backstop for hash-degenerate corpora, e.g. solid-color thumbnails).
+    The image-corpus dedup composition: decode once, block by
+    fingerprint bands, verify with bit_count — the corpus is never
+    self-joined on raw bytes. Candidate-bill metrics ride under the
+    ``image_hamming`` label (``dedup.CANDIDATE_METRICS``).
+    Output: (id_a, id_b, hamming)."""
     from .dedup import hamming_pairs
 
     fp = image_ahash(df, id_col, binary_col, fmt_col, pixels_fn)
-    return hamming_pairs(fp, "media_id", "ahash", max_hamming)
+    return hamming_pairs(
+        fp,
+        "media_id",
+        "ahash",
+        max_hamming,
+        max_bucket_size=max_bucket_size,
+        metrics_label="image_hamming",
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -919,6 +931,7 @@ def video_dup_pairs(
     frame_pixels_fn: Callable[[bytes, int], Any] | None = None,
     max_hamming: int = 5,
     min_match_frac: float = 0.5,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-duplicate video pairs by FRAME VOTING: two videos pair when
     ≥ ``min_match_frac`` of the smaller video's sampled frames have a
@@ -931,9 +944,15 @@ def video_dup_pairs(
     at FRAME granularity (frames agreeing on ≥1 of max_hamming+1 hash
     bands meet in a band bucket; cross-video only), then verified with
     ``bit_count`` and aggregated per video pair — candidate volume is
-    band-bucket-linear, never |videos|² or |frames|². Output:
+    band-bucket-linear, never |videos|² or |frames|².
+    ``max_bucket_size`` drops frame-hash band buckets above the cap
+    before the join (the Σ|bucket|² backstop for static/black-frame
+    corpora where one frame hash dominates); candidate-bill metrics
+    ride under the ``video_frames`` label
+    (``dedup.CANDIDATE_METRICS``). Output:
     ``(id_a, id_b, matched_frames, frac_a, frac_b)``.
     """
+    from .dedup import CANDIDATE_METRICS
     frames = video_frame_hashes(
         df, id_col, binary_col, every_ms, frame_pixels_fn
     ).filter(F.col("ahash").isNotNull())
@@ -962,6 +981,18 @@ def video_dup_pairs(
             )
         ).alias("bb"),
     ).select("media_id", "frame_ts_ms", "ahash", "bb.band", "bb.chunk")
+    if max_bucket_size is not None:
+        # oversized buckets are tiny in number by definition (> cap rows
+        # each), so the anti-join broadcast never grows with the corpus
+        oversized = (
+            banded.groupBy("band", "chunk")
+            .agg(F.count(F.lit(1)).alias("_k"))
+            .filter(F.col("_k") > max_bucket_size)
+            .select("band", "chunk")
+        )
+        banded = banded.join(
+            F.broadcast(oversized), on=["band", "chunk"], how="left_anti"
+        )
     a = banded.select(
         "band",
         "chunk",
@@ -976,9 +1007,14 @@ def video_dup_pairs(
         F.col("frame_ts_ms").alias("ts_b"),
         F.col("ahash").alias("h_b"),
     )
+    from pyspark.sql import Observation
+
+    _obs = Observation()
+    CANDIDATE_METRICS["video_frames"] = _obs
     matched = (
         a.join(b, on=["band", "chunk"])
         .filter(F.col("id_a") < F.col("id_b"))
+        .observe(_obs, F.count(F.lit(1)).alias("candidates"))
         .filter(
             F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))) <= max_hamming
         )

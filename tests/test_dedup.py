@@ -85,6 +85,115 @@ class TestMinHash:
         assert est[(1, 2)] == 1.0
 
 
+class TestBucketCapAndMetrics:
+    """The per-band-bucket cap (Σ|bucket|² backstop) and the
+    candidate-bill observations, across all three banded engines."""
+
+    def _mono_corpus(self, spark, n=40):
+        # pathological single-bucket shape: every doc identical — all n
+        # land in ONE bucket per band; uncapped bill = bands * C(n,2)
+        return spark.createDataFrame(
+            [(i, BASE) for i in range(n)], "doc_id long, text string"
+        )
+
+    def test_minhash_cap_bounds_pathological_bucket(self, spark):
+        mono = self._mono_corpus(spark)
+        # the extra small cluster must SURVIVE the cap (its buckets are small)
+        extra = spark.createDataFrame(
+            [(100, "tiny pair of similar docs one"),
+             (101, "tiny pair of similar docs one")],
+            "doc_id long, text string",
+        )
+        df = mono.unionByName(extra)
+        capped = {
+            (r["id_a"], r["id_b"])
+            for r in DD.minhash_lsh_pairs(
+                df, threshold=0.9, max_bucket_size=10
+            ).collect()
+        }
+        assert capped == {(100, 101)}  # mega-cluster dropped, pair kept
+        uncapped = DD.minhash_lsh_pairs(
+            df, threshold=0.9, max_bucket_size=None
+        ).count()
+        assert uncapped == 40 * 39 // 2 + 1
+
+    def test_minhash_candidate_metrics(self, spark):
+        df = self._mono_corpus(spark, n=10)
+        out = DD.minhash_lsh_pairs(df, threshold=0.9)
+        n_out = out.count()
+        m = DD.read_candidate_metrics("minhash_lsh")
+        assert m["out_rows"] == n_out == 45
+        assert m["candidates"] >= 45  # every emitted pair was a candidate
+        assert m["max_bucket"] == 10
+
+    def test_hamming_cap_and_metrics(self, spark):
+        rows = [(i, 0) for i in range(30)] + [(100, 255), (101, 255)]
+        fp = spark.createDataFrame(rows, "doc_id long, fp long")
+        capped = {
+            (r["id_a"], r["id_b"])
+            for r in DD.hamming_pairs(
+                fp, max_hamming=3, max_bucket_size=8, metrics_label="h_t"
+            ).collect()
+        }
+        assert capped == {(100, 101)}
+        m = DD.read_candidate_metrics("h_t")
+        assert m["candidates"] >= 1 and m["out_rows"] == 1
+        # uncapped default stays the exact brute-force set
+        assert DD.hamming_pairs(fp, max_hamming=3).count() == 30 * 29 // 2 + 1
+
+    def test_embedding_cap(self, spark):
+        rows = [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(30)] + [
+            (100, [0.0, 1.0, 0.0, 0.0]),
+            (101, [0.0, 1.0, 0.0, 0.0]),
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        capped = {
+            (r["id_a"], r["id_b"])
+            for r in DD.embedding_dup_pairs(
+                df, threshold=0.99, max_bucket_size=8
+            ).collect()
+        }
+        # identical-direction mega-cluster shares EVERY band bucket ->
+        # fully dropped; the orthogonal small pair lives in other buckets
+        assert capped == {(100, 101)}
+        n_unc = DD.embedding_dup_pairs(
+            df, threshold=0.99, max_bucket_size=None
+        ).count()
+        assert n_unc == 30 * 29 // 2 + 1
+        m = DD.read_candidate_metrics("embedding_lsh")
+        assert m["candidates"] >= m["out_rows"] == n_unc
+
+    def test_video_frame_cap(self, spark):
+        from knetminer_etl_spark.operators import multimodal as MM
+
+        # static content: every frame of every video hashes identically
+        fn = lambda data, ts: MM._fake_pixels(b"static", "bin")
+        vids = [
+            (i, __import__("tests.test_multimodal", fromlist=["TestMp4Decode"])
+                 .TestMp4Decode._mp4_bytes(duration=4500))
+            for i in range(6)
+        ]
+        df = spark.createDataFrame(vids, "media_id long, data binary")
+        uncapped = MM.video_dup_pairs(
+            df, frame_pixels_fn=fn, max_hamming=0, min_match_frac=0.5
+        ).count()
+        assert uncapped == 15  # all pairs match everywhere
+        # candidate bill of the static corpus: C(6,2) video pairs x 5x5
+        # frame combos in the single shared bucket (read BEFORE building
+        # the capped plan: AQE empty-relation propagation prunes the
+        # observe node out of a fully-capped plan)
+        m = DD.CANDIDATE_METRICS["video_frames"].get
+        assert m["candidates"] == 15 * 25
+        capped = MM.video_dup_pairs(
+            df,
+            frame_pixels_fn=fn,
+            max_hamming=0,
+            min_match_frac=0.5,
+            max_bucket_size=10,  # 6 videos x 5 frames = 30 > 10 per bucket
+        ).count()
+        assert capped == 0
+
+
 class TestSimHash:
     def test_near_dups_within_hamming(self, spark, corpus):
         pairs = {

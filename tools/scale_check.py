@@ -68,7 +68,38 @@ CHECK_QUERIES = [
     "kg_shortest_costs",
     "kg_closure_counts",
     "doc_leakage_safe_split",
+    # round-7: banded engines with candidate-bill instrumentation,
+    # multimodal near-dup family
+    "embedding_dup_pairs",
+    "media_image_dup_pairs",
+    "media_audio_dup_pairs",
+    "media_video_dup_pairs",
 ]
+
+# queries whose banded engine publishes candidate-bill observations
+# (operators/dedup.CANDIDATE_METRICS) — recorded per tier so a high
+# runtime ratio is attributable: candidates tracking output = the pair
+# bill is real work; candidates exploding past output = bucket skew.
+METRIC_LABELS = {
+    "minhash_lsh_pairs": "minhash_lsh",
+    "simhash_pairs": "simhash",
+    "embedding_dup_pairs": "embedding_lsh",
+    "media_image_dup_pairs": "image_hamming",
+    "media_audio_dup_pairs": "embedding_lsh",
+    "media_video_dup_pairs": "video_frames",
+}
+
+
+def _maybe_metrics(name: str) -> dict | None:
+    label = METRIC_LABELS.get(name)
+    if label is None:
+        return None
+    from knetminer_etl_spark.operators.dedup import read_candidate_metrics
+
+    try:
+        return read_candidate_metrics(label)
+    except Exception:
+        return None  # AQE-pruned empty subtree or label never built
 
 
 def build_dataset(spark, copies: int) -> None:
@@ -214,9 +245,15 @@ def one(name: str) -> None:
     spark = _session()
     fn = entry.queries()[name]
     base = time_query(fn, spark, SRC)
+    m_base = _maybe_metrics(name)  # read BEFORE the big tier overwrites
     big = time_query(fn, spark, DST)
+    m_big = _maybe_metrics(name)
     ratio = round(big / base, 2) if base > 0 else None
-    print(json.dumps({"name": name, "sf0.1_sec": base, "x10_sec": big, "ratio": ratio}))
+    rec = {"name": name, "sf0.1_sec": base, "x10_sec": big, "ratio": ratio}
+    if m_base or m_big:
+        rec["metrics_base"] = m_base
+        rec["metrics_big"] = m_big
+    print(json.dumps(rec))
 
 
 FLAG_RATIO = 3.5  # re-measure anything past this once, automatically
