@@ -1611,64 +1611,56 @@ def _semantic_keep(
             )
             .filter(F.col("bucket").isNotNull())
         )
-        groups = (
-            banded.repartition(
-                _parts(n_vecs * n_bands, 48), "cluster", "band", "bucket"
-            )
-            .groupBy("cluster", "band", "bucket")
-            .agg(F.array_sort(F.collect_set("doc_id")).alias("_ids"))
-            .filter(F.size("_ids") >= 2)
-            .select(F.monotonically_increasing_id().alias("_g"), "_ids")
-            .localCheckpoint(eager=True)  # reused by both phases
+        # Group mins via a codegen'd hash aggregation + co-partitioned
+        # join back — NO object-holding collect buffers anywhere on the
+        # banded path. (The previous collect_set/collect_list member
+        # arrays were the 100x GC hazard: per-group object state scales
+        # with group size and cannot spill, concentrating boxed ids in
+        # one JVM heap — measured bimodal 6x/53x walls at 100x data.
+        # min/count aggregation and sort-merge joins stay on spillable
+        # UnsafeRow state end-to-end, so wall time is reproducible.)
+        keys = ["cluster", "band", "bucket"]
+        banded = banded.repartition(_parts(n_vecs * n_bands, 48), *keys)
+        mins = (
+            banded.groupBy(*keys)
+            .agg(F.min("doc_id").alias("_min"), F.count(F.lit(1)).alias("_k"))
+            .filter(F.col("_k") >= 2)  # singleton buckets pair nothing
+            .drop("_k")
+        )
+        # one row per (bucket, non-min member); both children of the
+        # join are hash-partitioned on the bucket keys by the single
+        # repartition above, so no further exchange. Pinned: referenced
+        # by phase 1 and both phase-2 join sides (and the sign-LSH UDF
+        # upstream must run once).
+        nonmin = (
+            banded.join(mins, on=keys)
+            .filter(F.col("doc_id") > F.col("_min"))
+            .localCheckpoint(eager=True)
         )
         # phase 1: (group min, member) — Σ|group| candidate pairs
-        p1 = (
-            groups.select(
-                F.col("_ids")[0].alias("id_a"),
-                F.explode(F.slice("_ids", 2, F.size("_ids"))).alias("id_b"),
-            )
-            .dropDuplicates(["id_a", "id_b"])
-        )
+        p1 = nonmin.select(
+            F.col("_min").alias("id_a"), F.col("doc_id").alias("id_b")
+        ).dropDuplicates(["id_a", "id_b"])
         dropped1 = (
             _verified_drops(assigned, p1, threshold)
             .distinct()
             .localCheckpoint(eager=True)  # joined below AND unioned into output
         )
-        # phase 2: survivors vs their remaining smaller group members.
-        # Dropped members stay in the arrays — they remain valid
-        # *witnesses*; only the subject side is filtered to survivors.
-        members = groups.filter(F.size("_ids") >= 3).select(
-            "_g", F.explode("_ids").alias("_id")
-        )
-        flagged = (
-            members.join(dropped1.withColumn("_drp", F.lit(True)), on="_id", how="left")
-            .repartition(_parts(n_vecs * n_bands, 24), "_g")
-            .groupBy("_g")
-            .agg(F.array_sort(F.collect_list(F.struct("_id", "_drp"))).alias("_m"))
-        )
-        # for survivor y at 0-based index j ≥ 2: pair with members at
-        # indices 1..j-1 (index 0 = the min, phase-1-checked). slice's
-        # length argument doubles as the subject filter — 0 for dropped
-        # subjects yields a typed empty array with no when/otherwise
-        # type gymnastics.
-        take = lambda y, j: F.when(  # noqa: E731
-            y["_drp"].isNull(), F.greatest(j - 1, F.lit(0))
-        ).otherwise(F.lit(0))
-        combos = F.flatten(
-            F.transform(
-                F.col("_m"),
-                lambda y, j: F.transform(
-                    F.slice(F.col("_m"), 2, take(y, j)),
-                    lambda x: F.struct(
-                        x["_id"].alias("a"), y["_id"].alias("b")
-                    ),
-                ),
-            )
-        )
+        # phase 2: survivors vs their remaining smaller group members —
+        # Σ|group|·|group survivors| streamed join rows, never
+        # materialized per group. Dropped members stay on the witness
+        # side (they remain valid *witnesses*); the min is excluded from
+        # both sides (phase 1 checked it against everyone).
+        subjects = nonmin.join(
+            dropped1.select(F.col("_id").alias("doc_id")),
+            on="doc_id",
+            how="left_anti",
+        ).select(*keys, F.col("doc_id").alias("id_b"))
+        witnesses = nonmin.select(*keys, F.col("doc_id").alias("id_a"))
         p2 = (
-            flagged.select(F.explode_outer(combos).alias("_p"))
-            .filter(F.col("_p").isNotNull())
-            .select(F.col("_p.a").alias("id_a"), F.col("_p.b").alias("id_b"))
+            subjects.join(witnesses, on=keys)
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
             .dropDuplicates(["id_a", "id_b"])
         )
         dropped_ids = dropped1.unionByName(

@@ -626,4 +626,73 @@ def transitive_closure(
             "incomplete. Path doubling covers 2^max_rounds-hop paths — "
             "raise max_rounds (needed: ceil(log2(max depth)))."
         )
+    LAST_CLOSURE_STATS.clear()
+    LAST_CLOSURE_STATS.update({"pairs": int(n), "edges": int(cm["n"])})
     return cl.select(F.col("a").alias("ancestor"), F.col("b").alias("descendant"))
+
+
+#: Driver-side stats of the last closure computed in this process
+#: (pairs = output volume, edges = input volume) — recorded by
+#: tools/scale_check.py so a super-linear closure RUNTIME ratio is
+#: attributable to output growth (reachable pairs grow super-linearly
+#: with hierarchy fan-out) rather than a plan defect.
+LAST_CLOSURE_STATS: dict = {}
+
+
+def bounded_closure(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_depth: int = 3,
+) -> DataFrame:
+    """(ancestor, descendant, depth) reachability pairs within
+    ``max_depth`` hops, depth = MINIMUM hop count — the production form
+    of :func:`transitive_closure` for graphs where the full closure is
+    output-infeasible (a depth-d cap bounds output at
+    O(nodes × out-degree^d) however deep the graph runs).
+
+    Frontier BFS, one round per depth level: each round joins only the
+    NEWLY discovered pairs against the edge relation and anti-joins the
+    accumulated closure, so per-round work is O(new pairs × out-degree),
+    never O(closure²); rounds are pinned (referenced by the next
+    round's join, the anti-join, and the output) with the convergence
+    count riding the pin job. Early exit when a level adds nothing.
+    Unlike the full closure, cycles are tolerated: the anti-join stops
+    re-expansion, and the depth bound guarantees termination.
+    """
+    from .util import pin_observe as _pin_observe
+
+    base, bm = _pin_observe(
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
+        .distinct(),
+        F.count(F.lit(1)).alias("n"),
+    )
+    frontier = base.withColumn("depth", F.lit(1))
+    levels = [frontier]
+    total = int(bm["n"])
+    for d in range(2, max_depth + 1):
+        grown = (
+            frontier.alias("l")
+            .join(base.alias("r"), F.col("l.b") == F.col("r.a"))
+            .select(F.col("l.a").alias("a"), F.col("r.b").alias("b"))
+            .distinct()
+        )
+        for seen in levels:
+            grown = grown.join(seen.select("a", "b"), on=["a", "b"], how="left_anti")
+        new, nm = _pin_observe(
+            grown.withColumn("depth", F.lit(d)), F.count(F.lit(1)).alias("n")
+        )
+        if int(nm["n"]) == 0:
+            break
+        total += int(nm["n"])
+        levels.append(new)
+        frontier = new
+    LAST_CLOSURE_STATS.clear()
+    LAST_CLOSURE_STATS.update({"pairs": total, "edges": int(bm["n"])})
+    out = levels[0]
+    for lvl in levels[1:]:
+        out = out.unionByName(lvl)
+    return out.select(
+        F.col("a").alias("ancestor"), F.col("b").alias("descendant"), "depth"
+    )

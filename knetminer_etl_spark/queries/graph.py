@@ -547,3 +547,74 @@ FROM cl GROUP BY 1 ORDER BY 1
 
 QUERIES["kg_closure_counts"] = kg_closure_counts
 ORACLES["kg_closure_counts"] = KG_CLOSURE_COUNTS_SQL
+
+
+def kg_closure_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Depth-bounded reachability (operators/graph.bounded_closure,
+    max_depth=2) over the same region→nation→customer→order hierarchy —
+    the production closure for graphs where the full transitive closure
+    is output-infeasible: the 3-hop region→order pairs (the bulk of the
+    full closure) are deliberately outside the bound. Summarized per
+    (ancestor level, depth); oracle = depth-tracked recursive CTE with
+    min-depth dedup."""
+    nation = CAT.read_parquet(spark, f"{sf_dir}/nation.parquet")
+    customer = CAT.read_parquet(spark, f"{sf_dir}/customer.parquet")
+    orders = CAT.read_parquet(spark, f"{sf_dir}/orders.parquet")
+    e = (
+        nation.select(
+            F.concat(F.lit("R:"), F.col("n_regionkey").cast("string")).alias("src"),
+            F.concat(F.lit("N:"), F.col("n_nationkey").cast("string")).alias("dst"),
+        )
+        .unionByName(
+            customer.select(
+                F.concat(F.lit("N:"), F.col("c_nationkey").cast("string")).alias("src"),
+                F.concat(F.lit("C:"), F.col("c_custkey").cast("string")).alias("dst"),
+            )
+        )
+        .unionByName(
+            orders.select(
+                F.concat(F.lit("C:"), F.col("o_custkey").cast("string")).alias("src"),
+                F.concat(F.lit("O:"), F.col("o_orderkey").cast("string")).alias("dst"),
+            )
+        )
+    )
+    cl = G.bounded_closure(e, max_depth=2)
+    return (
+        cl.groupBy(
+            F.substring("ancestor", 1, 1).alias("ancestor_level"),
+            F.col("depth").cast("int").alias("depth"),
+        )
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.countDistinct("ancestor").alias("n_ancestors"),
+            F.countDistinct("descendant").alias("n_descendants"),
+        )
+        .orderBy("ancestor_level", "depth")
+    )
+
+
+KG_CLOSURE_BOUNDED_SQL = """
+WITH RECURSIVE
+e AS (
+  SELECT 'R:' || n_regionkey AS src, 'N:' || n_nationkey AS dst FROM nation
+  UNION ALL
+  SELECT 'N:' || c_nationkey, 'C:' || c_custkey FROM customer
+  UNION ALL
+  SELECT 'C:' || o_custkey, 'O:' || o_orderkey FROM orders
+),
+cl(a, b, d) AS (
+  SELECT src, dst, 1 FROM e
+  UNION
+  SELECT cl.a, e.dst, cl.d + 1 FROM cl JOIN e ON e.src = cl.b WHERE cl.d < 2
+),
+mind AS (SELECT a, b, min(d) AS depth FROM cl GROUP BY a, b)
+SELECT substr(a, 1, 1) AS ancestor_level,
+       CAST(depth AS INT) AS depth,
+       count(*) AS n_pairs,
+       count(DISTINCT a) AS n_ancestors,
+       count(DISTINCT b) AS n_descendants
+FROM mind GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+QUERIES["kg_closure_bounded"] = kg_closure_bounded
+ORACLES["kg_closure_bounded"] = KG_CLOSURE_BOUNDED_SQL

@@ -318,3 +318,58 @@ class TestTransitiveClosure:
             transitive_closure(self._e(spark, [("a", "b"), ("b", "a")]))
         with _pytest.raises(ValueError, match="self-loop|DAG"):
             transitive_closure(self._e(spark, [("a", "a")]))
+
+    def test_output_stats_recorded(self, spark):
+        from knetminer_etl_spark.operators import graph as G
+
+        G.transitive_closure(self._e(spark, [("a", "b"), ("b", "c")]))
+        assert G.LAST_CLOSURE_STATS == {"pairs": 3, "edges": 2}
+
+
+class TestBoundedClosure:
+    def _e(self, spark, pairs):
+        return spark.createDataFrame(pairs, "src string, dst string")
+
+    def test_depth_bound_and_min_depth(self, spark):
+        from knetminer_etl_spark.operators.graph import bounded_closure
+
+        chain = [(f"n{i}", f"n{i+1}") for i in range(5)]  # depth 5
+        got = {
+            (r["ancestor"], r["descendant"]): r["depth"]
+            for r in bounded_closure(self._e(spark, chain), max_depth=2).collect()
+        }
+        expect = {(f"n{i}", f"n{i+1}"): 1 for i in range(5)}
+        expect.update({(f"n{i}", f"n{i+2}"): 2 for i in range(4)})
+        assert got == expect  # 3+-hop pairs are outside the bound
+
+    def test_min_depth_on_diamond(self, spark):
+        from knetminer_etl_spark.operators.graph import bounded_closure
+
+        # a->d both directly and via b: depth must be the MINIMUM (1)
+        e = [("a", "b"), ("b", "d"), ("a", "d")]
+        got = {
+            (r["ancestor"], r["descendant"]): r["depth"]
+            for r in bounded_closure(self._e(spark, e), max_depth=3).collect()
+        }
+        assert got == {("a", "b"): 1, ("b", "d"): 1, ("a", "d"): 1}
+
+    def test_cycles_tolerated_and_terminate(self, spark):
+        from knetminer_etl_spark.operators.graph import bounded_closure
+
+        e = [("a", "b"), ("b", "a"), ("b", "c")]
+        got = {
+            (r["ancestor"], r["descendant"]): r["depth"]
+            for r in bounded_closure(self._e(spark, e), max_depth=3).collect()
+        }
+        assert got[("a", "b")] == 1 and got[("b", "a")] == 1
+        assert got[("a", "c")] == 2
+        assert got[("a", "a")] == 2 and got[("b", "b")] == 2  # cycle closes
+
+    def test_early_exit_below_bound(self, spark):
+        from knetminer_etl_spark.operators import graph as G
+
+        got = G.bounded_closure(
+            self._e(spark, [("a", "b"), ("b", "c")]), max_depth=10
+        ).count()
+        assert got == 3  # converged at depth 2, no depth-3..10 rounds
+        assert G.LAST_CLOSURE_STATS == {"pairs": 3, "edges": 2}

@@ -74,6 +74,7 @@ CHECK_QUERIES = [
     "media_image_dup_pairs",
     "media_audio_dup_pairs",
     "media_video_dup_pairs",
+    "kg_closure_bounded",
 ]
 
 # queries whose banded engine publishes candidate-bill observations
@@ -91,6 +92,13 @@ METRIC_LABELS = {
 
 
 def _maybe_metrics(name: str) -> dict | None:
+    if name in ("kg_closure_counts", "kg_closure_bounded"):
+        # closure output volume (driver-side stats recorded by the
+        # operator): attributes a super-linear runtime ratio to
+        # reachable-pair growth vs plan defects
+        from knetminer_etl_spark.operators.graph import LAST_CLOSURE_STATS
+
+        return dict(LAST_CLOSURE_STATS) or None
     label = METRIC_LABELS.get(name)
     if label is None:
         return None
