@@ -440,6 +440,7 @@ def ngram_jaccard_pairs(
     )
     if max_shingle_freq is not None:
         groups = groups.filter(F.size("_ds") <= max_shingle_freq)
+    groups = _observe_buckets(groups, F.size("_ds"), "ngram_jaccard")
     # all (i<j) combinations within a shingle group, id-ordered via the sort
     combos = F.flatten(
         F.transform(
@@ -469,7 +470,7 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
-    return pairs
+    return observe_output(pairs, "ngram_jaccard")
 
 
 # ---------------------------------------------------------------------------

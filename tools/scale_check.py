@@ -82,6 +82,7 @@ CHECK_QUERIES = [
 # runtime ratio is attributable: candidates tracking output = the pair
 # bill is real work; candidates exploding past output = bucket skew.
 METRIC_LABELS = {
+    "ngram_jaccard_pairs": "ngram_jaccard",
     "minhash_lsh_pairs": "minhash_lsh",
     "simhash_pairs": "simhash",
     "embedding_dup_pairs": "embedding_lsh",
