@@ -1630,13 +1630,15 @@ def _semantic_keep(
         )
         # one row per (bucket, non-min member); both children of the
         # join are hash-partitioned on the bucket keys by the single
-        # repartition above, so no further exchange. Pinned: referenced
-        # by phase 1 and both phase-2 join sides (and the sign-LSH UDF
-        # upstream must run once).
-        nonmin = (
-            banded.join(mins, on=keys)
-            .filter(F.col("doc_id") > F.col("_min"))
-            .localCheckpoint(eager=True)
+        # repartition above, so no further exchange. NOT pinned:
+        # localCheckpoint stores deserialized row objects (millions of
+        # on-heap objects at 100x — the GC tail this path exists to
+        # avoid); the banded exchange is instead deduplicated by
+        # ReusedExchange within each action, and shuffle files are
+        # serialized + spillable. Phase 1 and both phase-2 sides share
+        # the one exchange per action.
+        nonmin = banded.join(mins, on=keys).filter(
+            F.col("doc_id") > F.col("_min")
         )
         # phase 1: (group min, member) — Σ|group| candidate pairs
         p1 = nonmin.select(
