@@ -295,8 +295,17 @@ def semantic_decontaminate_banded(
             sign_lsh_band_buckets("_tv", n_planes, n_bands, seed)
         ).alias("_band", "_bucket"),
     )
+    from pyspark.sql import Observation
+
+    from .dedup import CANDIDATE_METRICS
+
+    _obs = Observation()
+    CANDIDATE_METRICS["decontamination_bands"] = _obs
     flagged = (
         cb.join(F.broadcast(tb), ["_band", "_bucket"])
+        # candidate bill = train×test bucket collisions (each pays one
+        # exact-cosine verification) — CollectMetrics on the stream
+        .observe(_obs, F.count(F.lit(1)).alias("candidates"))
         .filter(
             F.round(
                 _pair_dots(F.col("_v"), F.col("_tv")) / (F.col("_n") * F.col("_tn")),

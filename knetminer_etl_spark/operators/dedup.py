@@ -69,13 +69,40 @@ def observe_output(df: DataFrame, label: str) -> DataFrame:
     return df.observe(obs, F.count(F.lit(1)).alias("rows"))
 
 
+def _obs_row(obs) -> dict | None:
+    """Non-blocking Observation read: None when the observed plan never
+    executed (e.g. a dispatcher took another path) instead of
+    Observation.get's wait-forever; None too when AQE pruned the
+    observed subtree to an empty relation."""
+    try:
+        jrow = obs._jo.getRowOrEmpty()
+        if jrow is None:
+            return None
+        # scala Option
+        if hasattr(jrow, "isEmpty") and jrow.isEmpty():
+            return None
+        row = jrow.get() if hasattr(jrow, "get") else jrow
+        from pyspark.serializers import CPickleSerializer
+
+        utils = getattr(
+            obs._jvm, "org.apache.spark.sql.api.python.PythonSQLUtils"
+        )
+        return CPickleSerializer().loads(utils.toPyRow(row)).asDict()
+    except Exception:
+        return None
+
+
 def read_candidate_metrics(label: str) -> dict:
-    """Metrics of the last EXECUTED plan for ``label`` (call only after
-    an action on that plan — Observation.get blocks otherwise; a plan
-    whose observed subtree AQE pruned to an empty relation raises)."""
-    out = dict(CANDIDATE_METRICS[label].get)
-    if f"{label}:out" in CANDIDATE_METRICS:
-        out["out_rows"] = CANDIDATE_METRICS[f"{label}:out"].get["rows"]
+    """Metrics of the last EXECUTED plan for ``label``; raises KeyError
+    for an unknown label, returns ``{}`` when the label's last plan was
+    never executed (non-blocking — safe for dispatchers that may take a
+    different physical path)."""
+    row = _obs_row(CANDIDATE_METRICS[label])
+    out = dict(row) if row else {}
+    if out and f"{label}:out" in CANDIDATE_METRICS:
+        orow = _obs_row(CANDIDATE_METRICS[f"{label}:out"])
+        if orow:
+            out["out_rows"] = orow["rows"]
     return out
 
 

@@ -89,6 +89,8 @@ METRIC_LABELS = {
     "media_image_dup_pairs": "image_hamming",
     "media_audio_dup_pairs": "embedding_lsh",
     "media_video_dup_pairs": "video_frames",
+    "embedding_semantic_decontamination_banded": "decontamination_bands",
+    "embedding_semantic_decontamination_auto": "decontamination_bands",
 }
 
 
