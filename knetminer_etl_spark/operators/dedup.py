@@ -859,6 +859,46 @@ def simhash_pairs(
     )
 
 
+def hamming_band_rows(
+    fp: DataFrame,
+    id_col: str = "doc_id",
+    fp_col: str = "fp",
+    max_hamming: int = 3,
+    nbits: int = 64,
+) -> DataFrame:
+    """``(doc_id, fp, band, chunk)`` — the pigeonhole band relation of an
+    integer-fingerprint corpus, the PERSISTABLE Hamming index: two
+    fingerprints within distance ``max_hamming`` agree exactly on ≥1 of
+    the ``max_hamming+1`` bands, so candidate lookups are equi-joins on
+    ``(band, chunk)`` and the fingerprint rides along for index-local
+    verification. Deterministic (pure bit arithmetic), so batch and
+    incremental candidate generation split cleanly (the
+    :func:`minhash_band_rows` contract)."""
+    nbands = max_hamming + 1
+    width = nbits // nbands
+    # width == 64 (max_hamming == 0, exact-match blocking): the all-ones
+    # mask doesn't fit an unsigned long literal — it IS -1 in two's
+    # complement
+    full_mask = -1 if width >= 64 else (1 << width) - 1
+    return fp.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(fp_col).alias("fp"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned(F.col(fp_col), b * width)
+                        .bitwiseAND(F.lit(full_mask).cast("long"))
+                        .alias("chunk"),
+                    )
+                    for b in range(nbands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "fp", "bb.band", "bb.chunk")
+
+
 def hamming_pairs(
     fp: DataFrame,
     id_col: str = "doc_id",
@@ -886,12 +926,6 @@ def hamming_pairs(
     attaches the candidate-bill probe (:data:`CANDIDATE_METRICS`).
     Output: (id_a, id_b, hamming).
     """
-    nbands = max_hamming + 1
-    width = nbits // nbands
-    # width == 64 (max_hamming == 0, exact-match blocking): the all-ones
-    # mask doesn't fit an unsigned long literal — it IS -1 in two's
-    # complement
-    full_mask = -1 if width >= 64 else (1 << width) - 1
     # Pin the tiny (id, fp) table: chunk buckets can be huge on
     # self-similar corpora, so candidates come from a bucket SELF-JOIN
     # (row-streamed; AQE splits hot chunks) rather than per-bucket
@@ -901,23 +935,14 @@ def hamming_pairs(
     fp = fp.select(
         F.col(id_col).alias("_hid"), F.col(fp_col).alias("_hfp")
     ).localCheckpoint(eager=True)
-    banded = fp.select(
-        "_hid",
-        "_hfp",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.shiftrightunsigned(F.col("_hfp"), b * width)
-                        .bitwiseAND(F.lit(full_mask).cast("long"))
-                        .alias("chunk"),
-                    )
-                    for b in range(nbands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("_hid", "_hfp", "bb.band", "bb.chunk")
+    banded = hamming_band_rows(
+        fp, "_hid", "_hfp", max_hamming, nbits
+    ).select(
+        F.col("doc_id").alias("_hid"),
+        F.col("fp").alias("_hfp"),
+        "band",
+        "chunk",
+    )
     if max_bucket_size is not None:
         # the oversized set is tiny BY DEFINITION (each member holds >
         # cap rows), so the anti-join broadcast never grows with the
@@ -961,6 +986,70 @@ def hamming_pairs(
     return (
         observe_output(out, metrics_label) if metrics_label is not None else out
     )
+
+
+def incremental_hamming_pairs(
+    new_fp: DataFrame,
+    old_index: DataFrame | None,
+    id_col: str = "doc_id",
+    fp_col: str = "fp",
+    max_hamming: int = 3,
+    nbits: int = 64,
+) -> DataFrame:
+    """Hamming near-dup pairs INVOLVING a new fingerprint batch, against
+    a previously saved band index (:func:`hamming_band_rows` of every
+    prior batch) — the incremental-ingestion twin of
+    :func:`incremental_minhash_pairs` for integer fingerprints
+    (perceptual image/frame hashes, SimHash). Each refresh bands only
+    its own batch, equi-joins the bounded index, and never re-pairs
+    old-vs-old (already emitted when those batches landed):
+
+        prior pairs ∪ incremental pairs == full-corpus hamming_pairs
+
+    exactly, because the pigeonhole banding is deterministic AND exact —
+    a pair within distance d shares ≥1 band whichever batches its sides
+    arrived in. Verification is index-local (the index carries the
+    fingerprint), so no document/byte store is touched at all.
+    ``old_index`` rows whose ids reappear in ``new_fp`` are ignored
+    (re-ingestion safe: the new fingerprint wins). Per-refresh cost is
+    O(batch + matched buckets), never O(corpus).
+    """
+    new_bands = hamming_band_rows(
+        new_fp, id_col, fp_col, max_hamming, nbits
+    ).localCheckpoint(eager=True)  # both candidate branches + id set
+    # new-new: exact in-batch pairs
+    new_new = hamming_pairs(new_fp, id_col, fp_col, max_hamming, nbits)
+    if old_index is None:
+        return new_new
+    new_ids = new_bands.select("doc_id").distinct()
+    old = old_index.join(new_ids, on="doc_id", how="left_anti")
+    o = old.select(
+        "band",
+        "chunk",
+        F.col("doc_id").alias("_oid"),
+        F.col("fp").alias("_ofp"),
+    )
+    n = new_bands.select(
+        "band",
+        "chunk",
+        F.col("doc_id").alias("_nid"),
+        F.col("fp").alias("_nfp"),
+    )
+    new_old = (
+        n.join(o, on=["band", "chunk"])
+        .filter(F.col("_nid") != F.col("_oid"))
+        .withColumn(
+            "hamming", F.bit_count(F.col("_nfp").bitwiseXOR(F.col("_ofp")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select(
+            F.least("_nid", "_oid").alias("id_a"),
+            F.greatest("_nid", "_oid").alias("id_b"),
+            "hamming",
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return new_new.unionByName(new_old).dropDuplicates(["id_a", "id_b"])
 
 
 # ---------------------------------------------------------------------------
@@ -1014,13 +1103,39 @@ def sign_lsh_band_buckets(
     return _buckets(F.col(vec_col))
 
 
+def _auto_lsh_shape(
+    n: int, threshold: float, target_bucket: int = 64, miss: float = 1e-6
+) -> tuple[int, int]:
+    """(n_planes, n_bands) sized for the corpus: planes grow with
+    log2(n / target_bucket) so expected band-bucket occupancy stays
+    ~constant (a FIXED plane count is corpus-quadratic: 6 planes = 64
+    buckets per band, so in-bucket pair volume grows ∝ (n/64)² — the
+    committed 10x sweep measured 118x wall before this sizing), and
+    bands then restore per-pair recall at the threshold:
+    miss(c) = (1 − p(c)^planes)^bands with p(c) = 1 − acos(c)/π, solved
+    for ``miss`` at c = threshold (the hardest admitted pair — closer
+    pairs miss far less). Floors keep small corpora on the measured
+    6×24 default shape."""
+    import math
+
+    p = 1.0 - math.acos(min(max(threshold, 0.0), 0.999)) / math.pi
+    planes = 6
+    if n > target_bucket:
+        planes = max(6, min(24, math.ceil(math.log2(n / target_bucket))))
+    per_band = p**planes
+    bands = 24
+    if 0 < per_band < 1:
+        bands = max(24, math.ceil(math.log(miss) / math.log(1.0 - per_band)))
+    return planes, bands
+
+
 def embedding_dup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
-    n_planes: int = 6,
-    n_bands: int = 24,
+    n_planes: int | str = "auto",
+    n_bands: int | None = None,
     seed: int = 0x5EED,
     max_bucket_size: int | None = 4096,
 ) -> DataFrame:
@@ -1038,18 +1153,29 @@ def embedding_dup_pairs(
     a single AND-only bucket of 8 planes (the naive scheme) would keep
     that pair with only p ≈ 0.28. Exact cosine verifies candidates
     JVM-side, so the output has no false positives; misses are bounded
-    by the formula above. Bucket count per band is 2^n_planes — raise
-    ``n_planes`` (and ``n_bands`` with it) for bigger corpora to keep
-    the per-bucket pair combination term sub-quadratic, and
-    ``max_bucket_size`` (default ON at 4096) is the hard Σ|bucket|²
-    backstop when a corpus direction cluster defeats the planes (see
-    :func:`candidate_pairs_from_buckets`; metrics under
-    ``embedding_lsh``). Output: ``(id_a, id_b, cosine)``, id_a < id_b.
+    by the formula above. Bucket count per band is 2^n_planes, so a
+    FIXED plane count is corpus-quadratic (in-bucket pairs grow
+    ∝ (n/2^planes)²) — ``n_planes="auto"`` (default) therefore sizes
+    the shape from a corpus count via :func:`_auto_lsh_shape`: planes
+    track log2(n), bands restore the per-pair miss bound at the
+    threshold (committed evidence: the 10x sweep's 118x wall with the
+    static 6×24 shape). The count is one narrow pre-job (the
+    ``n_clusters="auto"`` pattern of :func:`semantic_dedup`); pass
+    explicit ints to pin a plan. ``max_bucket_size`` (default ON at
+    4096) stays as the hard Σ|bucket|² backstop when a corpus direction
+    cluster defeats the planes (see :func:`candidate_pairs_from_buckets`;
+    metrics under ``embedding_lsh``).
+    Output: ``(id_a, id_b, cosine)``, id_a < id_b.
     """
+    filtered = df.filter(
+        F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) > 0)
+    )
+    if n_planes == "auto":
+        n_planes, n_bands = _auto_lsh_shape(filtered.count(), threshold)
+    elif n_bands is None:
+        n_bands = 24
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    base = fan_out(
-        df.filter(F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) > 0))
-    ).select(
+    base = fan_out(filtered).select(
         F.col(id_col).alias("doc_id"),
         v.alias("_v"),
         _norm(v).alias("_nrm"),

@@ -30,7 +30,7 @@ Determinism across engines is engineered, not hoped for:
   Sign-LSH blocking has recall exactly 1 for the emitted pairs: they
   have bit-identical fingerprints, hence identical band buckets.
 * **Video frame identity is keyed through the container.** The frame
-  decoder hook recovers a per-video key from the byte length of a
+  decoder hook recovers a per-video key from the 8-byte payload of a
   trailing ISO-BMFF ``free`` box (production would seek real frames);
   frame timestamps come from the REAL ``mvhd`` duration parse, so a
   duration/timescale bug shifts the sampled grid and breaks the oracle.
@@ -166,6 +166,45 @@ WHERE bit_count(xor(a.h, b.h)) <= 5
 
 QUERIES["media_image_dup_pairs"] = media_image_dup_pairs
 ORACLES["media_image_dup_pairs"] = MEDIA_IMAGE_DUP_PAIRS_SQL
+
+
+def media_image_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental image ingestion: the base images are the prior corpus
+    (their aHash band index persisted conceptually as
+    ``hamming_band_rows``), the twins arrive as the NEW batch —
+    ``incremental_hamming_pairs`` bands only the batch, equi-joins the
+    index, and must emit exactly the pairs a full-corpus run emits for
+    pairs involving the batch (the blocking is exact and deterministic,
+    so prior ∪ incremental == full; pinned operator-level in
+    tests/test_streaming_media.py). Oracle = the brute-force scan
+    restricted to pairs with a twin side."""
+    from knetminer_etl_spark.operators.dedup import (
+        hamming_band_rows,
+        incremental_hamming_pairs,
+    )
+    from knetminer_etl_spark.operators.multimodal import image_ahash
+
+    corpus = _image_corpus(spark, sf_dir)
+    fp = image_ahash(
+        corpus, pixels_fn=lambda data, fmt: MM.png_pixels(data)
+    ).localCheckpoint(eager=True)
+    old_index = hamming_band_rows(
+        fp.filter(F.col("media_id") < _TWIN), "media_id", "ahash", 5
+    )
+    new_fp = fp.filter(F.col("media_id") >= _TWIN)
+    return incremental_hamming_pairs(
+        new_fp, old_index, id_col="media_id", fp_col="ahash", max_hamming=5
+    ).select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+
+
+MEDIA_IMAGE_INCREMENTAL_SQL = MEDIA_IMAGE_DUP_PAIRS_SQL.replace(
+    "WHERE bit_count(xor(a.h, b.h)) <= 5",
+    f"WHERE bit_count(xor(a.h, b.h)) <= 5 AND b.media_id >= {_TWIN}",
+)
+assert f"AND b.media_id >= {_TWIN}" in MEDIA_IMAGE_INCREMENTAL_SQL
+
+QUERIES["media_image_incremental"] = media_image_incremental
+ORACLES["media_image_incremental"] = MEDIA_IMAGE_INCREMENTAL_SQL
 
 
 # ---------------------------------------------------------------------------
@@ -306,14 +345,14 @@ def _iso_box(btype: bytes, payload: bytes) -> bytes:
     return struct.pack(">I", 8 + len(payload)) + btype + payload
 
 
-def _mp4_container(duration_ms: int, pad: int = 0) -> bytes:
+def _mp4_container(duration_ms: int, key: int = 0) -> bytes:
     """Minimal spec-shaped ISO-BMFF container: ftyp + moov/mvhd (v0,
     timescale 1000 -> duration field IS milliseconds) + a trailing
-    ``free`` box of ``pad`` zero bytes. The real
-    :func:`~..operators.multimodal.parse_mp4_header` walk reads the
-    duration; the free-box padding encodes the per-video key in
-    ``len(data)`` for the frame-decoder hook (production decoders seek
-    real frames; the hook boundary is the same)."""
+    ``free`` box whose 8-byte payload carries the per-video key for the
+    frame-decoder hook (production decoders seek real frames; the hook
+    boundary is the same). The key rides in box CONTENT, not length —
+    a length encoding would make container size O(key), which OOM'd
+    the Python workers on the synthetic 10x sweep's ~9e7 ids."""
     mvhd = (
         b"\x00" * 4
         + b"\x00" * 8
@@ -325,11 +364,8 @@ def _mp4_container(duration_ms: int, pad: int = 0) -> bytes:
     return (
         _iso_box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
         + moov
-        + _iso_box(b"free", b"\x00" * pad)
+        + _iso_box(b"free", int(key).to_bytes(8, "big"))
     )
-
-
-_MP4_BASE_LEN = len(_mp4_container(1000, pad=0))
 
 
 def _video_duration_ms(key: int) -> int:
@@ -338,9 +374,10 @@ def _video_duration_ms(key: int) -> int:
 
 def _video_frame_pixels(data: bytes, ts_ms: int) -> "np.ndarray":
     """Frame-decoder hook: 16x16 uint8 grid from (video key, frame ts).
-    The key rides in the container's free-box padding (len(data));
-    pixels are the image formula plus a per-second term."""
-    key = len(data) - _MP4_BASE_LEN
+    The key rides in the container's trailing free-box payload (the
+    last 8 bytes); pixels are the image formula plus a per-second
+    term."""
+    key = int.from_bytes(bytes(data)[-8:], "big")
     tsk = int(ts_ms) // 1000
     return (
         np.fromiter(
@@ -362,12 +399,12 @@ def _video_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             for did in pdf["doc_id"].to_numpy():
                 did = int(did)
                 rows.append(
-                    (did, _mp4_container(_video_duration_ms(did), pad=did))
+                    (did, _mp4_container(_video_duration_ms(did), key=did))
                 )
                 if did % 40 == 0:
                     # a TRIM of the same content: first 3 of its frames
                     rows.append(
-                        (did + _TWIN, _mp4_container(2500, pad=did))
+                        (did + _TWIN, _mp4_container(2500, key=did))
                     )
             yield pd.DataFrame(rows, columns=["media_id", "data"])
 

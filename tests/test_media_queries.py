@@ -79,11 +79,14 @@ class TestAudioQuery:
 
 
 class TestVideoQuery:
-    def test_container_parses_and_keys_via_length(self):
-        data = MQ._mp4_container(MQ._video_duration_ms(30), pad=30)
+    def test_container_parses_and_keys_via_payload(self):
+        data = MQ._mp4_container(MQ._video_duration_ms(30), key=30)
         w, h, dur = MM.parse_mp4_header(data)
         assert dur == MQ._video_duration_ms(30)
-        assert len(data) - MQ._MP4_BASE_LEN == 30
+        assert int.from_bytes(data[-8:], "big") == 30
+        # container size is O(1) whatever the key (the 10x-sweep OOM fix)
+        big = MQ._mp4_container(MQ._video_duration_ms(30), key=90_004_990)
+        assert len(big) == len(data)
 
     def test_trim_twin_pairs_surface(self, spark):
         rows = MQ.media_video_dup_pairs(spark, SF_DIR).collect()

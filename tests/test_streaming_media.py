@@ -1,0 +1,188 @@
+"""Continuous image near-dup (streaming/media.py) and the incremental
+Hamming engine (operators/dedup.incremental_hamming_pairs): the
+incremental invariant — prior ∪ incremental == full corpus — plus
+exactly-once epoch replay and cross-epoch re-ingestion."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from knetminer_etl_spark.operators import dedup as DD
+from knetminer_etl_spark.operators import multimodal as MM
+
+
+def _fp_df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, fp long")
+
+
+class TestIncrementalHamming:
+    # fingerprints engineered around max_hamming=3 (4 bands of 16 bits):
+    # 1/2 identical, 3 within 2 bits of 1, 4 far away, 5 within 3 of 4
+    ROWS = [
+        (1, 0x1111_2222_3333_4444),
+        (2, 0x1111_2222_3333_4444),
+        (3, 0x1111_2222_3333_4447),
+        (4, -0x1234_5678_0000_0001),
+        (5, -0x1234_5678_0000_0001 ^ 0b111),
+        (6, 0x0F0F_0F0F_0F0F_0F0F),
+    ]
+
+    def _pairs(self, df):
+        return {
+            (r["id_a"], r["id_b"]): r["hamming"]
+            for r in df.collect()
+        }
+
+    def test_prior_union_incremental_equals_full(self, spark):
+        full = self._pairs(DD.hamming_pairs(_fp_df(spark, self.ROWS)))
+        old_rows = [r for r in self.ROWS if r[0] <= 3]
+        new_rows = [r for r in self.ROWS if r[0] > 3]
+        prior = self._pairs(DD.hamming_pairs(_fp_df(spark, old_rows)))
+        index = DD.hamming_band_rows(_fp_df(spark, old_rows))
+        inc = self._pairs(
+            DD.incremental_hamming_pairs(_fp_df(spark, new_rows), index)
+        )
+        assert {**prior, **inc} == full
+        # incremental pairs all involve the new batch; old-old never re-emitted
+        assert all(b > 3 for _, b in inc)
+
+    def test_no_index_is_pure_batch(self, spark):
+        inc = self._pairs(
+            DD.incremental_hamming_pairs(_fp_df(spark, self.ROWS), None)
+        )
+        assert inc == self._pairs(DD.hamming_pairs(_fp_df(spark, self.ROWS)))
+
+    def test_reingested_ids_use_new_fingerprint(self, spark):
+        # id 3 re-arrives with a DIFFERENT fingerprint; its stale index
+        # rows must be ignored (no pair against its own old self, and
+        # matches computed from the new fp)
+        index = DD.hamming_band_rows(
+            _fp_df(spark, [r for r in self.ROWS if r[0] <= 3])
+        )
+        new = _fp_df(spark, [(3, 0x0F0F_0F0F_0F0F_0F0F)])
+        inc = self._pairs(DD.incremental_hamming_pairs(new, index))
+        assert inc == {}  # new fp of 3 is far from 1/2; no self-pair
+
+
+@pytest.fixture()
+def img_rows(spark):
+    import numpy as np
+
+    def px(seed, tweak=0):
+        rng = np.random.default_rng(seed)
+        a = rng.integers(0, 256, size=(16, 16)).astype(np.uint8)
+        if tweak:
+            a = a.copy()
+            a[:2, :2] = (a[:2, :2].astype(int) + tweak) % 256
+        return a
+
+    # 1/2 identical images, 3 a slightly tweaked copy of 1, 4 distinct
+    return [
+        (1, MM.png_encode(px(7))),
+        (2, MM.png_encode(px(7))),
+        (3, MM.png_encode(px(7, tweak=140))),
+        (4, MM.png_encode(px(99))),
+    ]
+
+
+class TestContinuousImageDedup:
+    def _run_epochs(self, spark, tmp_path, batches, replay=None):
+        from knetminer_etl_spark.streaming import media as SM
+
+        index = str(tmp_path / "index")
+        pairs = str(tmp_path / "pairs")
+        pix = lambda data, fmt: MM.png_pixels(data)
+        for e, rows in enumerate(batches):
+            df = spark.createDataFrame(rows, "media_id long, data binary")
+            SM.process_image_batch(
+                spark, df, e, index, pairs, pixels_fn=pix, max_hamming=6
+            )
+        if replay is not None:
+            e, rows = replay
+            df = spark.createDataFrame(rows, "media_id long, data binary")
+            SM.process_image_batch(
+                spark, df, e, index, pairs, pixels_fn=pix, max_hamming=6
+            )
+        return {
+            (r["id_a"], r["id_b"]): r["hamming"]
+            for r in SM.read_pairs(spark, pairs).collect()
+        }
+
+    def test_epochs_union_equals_batch_run(self, spark, tmp_path, img_rows):
+        got = self._run_epochs(
+            spark, tmp_path, [img_rows[:2], img_rows[2:3], img_rows[3:]]
+        )
+        df = spark.createDataFrame(img_rows, "media_id long, data binary")
+        want = {
+            (r["id_a"], r["id_b"]): r["hamming"]
+            for r in MM.image_dup_pairs(
+                df,
+                pixels_fn=lambda data, fmt: MM.png_pixels(data),
+                max_hamming=6,
+            ).collect()
+        }
+        assert got == want
+        assert (1, 2) in got and got[(1, 2)] == 0
+
+    def test_epoch_replay_is_idempotent(self, spark, tmp_path, img_rows):
+        once = self._run_epochs(
+            spark, tmp_path, [img_rows[:2], img_rows[2:]]
+        )
+        replayed = self._run_epochs(
+            spark,
+            tmp_path / "b",
+            [img_rows[:2], img_rows[2:]],
+            replay=(1, img_rows[2:]),  # crash-replay of epoch 1
+        )
+        assert replayed == once
+
+    def test_streaming_end_to_end(self, spark, tmp_path, img_rows):
+        """A real file-source stream through foreachBatch equals the
+        batch run (availableNow drains every file)."""
+        from pyspark.sql import types as T
+
+        from knetminer_etl_spark.streaming import media as SM
+
+        src = str(tmp_path / "src")
+        for i, row in enumerate(img_rows):
+            spark.createDataFrame(
+                [row], "media_id long, data binary"
+            ).write.mode("overwrite").parquet(f"{src}/f{i}.parquet")
+        schema = T.StructType(
+            [
+                T.StructField("media_id", T.LongType()),
+                T.StructField("data", T.BinaryType()),
+            ]
+        )
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/*")
+        )
+        q = SM.start_image_dedup_stream(
+            stream,
+            str(tmp_path / "index"),
+            str(tmp_path / "pairs"),
+            str(tmp_path / "ckpt"),
+            pixels_fn=lambda data, fmt: MM.png_pixels(data),
+            max_hamming=6,
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = {
+            (r["id_a"], r["id_b"]): r["hamming"]
+            for r in SM.read_pairs(spark, str(tmp_path / "pairs")).collect()
+        }
+        df = spark.createDataFrame(img_rows, "media_id long, data binary")
+        want = {
+            (r["id_a"], r["id_b"]): r["hamming"]
+            for r in MM.image_dup_pairs(
+                df,
+                pixels_fn=lambda data, fmt: MM.png_pixels(data),
+                max_hamming=6,
+            ).collect()
+        }
+        assert got == want

@@ -74,6 +74,7 @@ CHECK_QUERIES = [
     "media_image_dup_pairs",
     "media_audio_dup_pairs",
     "media_video_dup_pairs",
+    "media_image_incremental",
     "kg_closure_bounded",
 ]
 
