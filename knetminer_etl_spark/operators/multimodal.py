@@ -423,6 +423,108 @@ def video_header_decode(data: bytes, fmt: str) -> dict[str, Any]:
     }
 
 
+def sniff_media(data: bytes) -> dict[str, Any] | None:
+    """Container-sniffed media metadata from magic bytes — the REAL
+    header parsers dispatched by signature (PNG/JPEG/GIF images,
+    RIFF/WAVE audio, ISO-BMFF video). Returns
+    ``{media_type, format, width, height, duration_ms}`` or None for
+    unrecognized bytes (the caller's quarantine signal)."""
+    data = data or b""
+    img = parse_image_header(data)
+    if img is not None:
+        w, h, fmt = img
+        return {
+            "media_type": "image",
+            "format": fmt,
+            "width": w,
+            "height": h,
+            "duration_ms": None,
+        }
+    wav = parse_wav_header(data)
+    if wav is not None:
+        rate, channels, _bits, duration_ms = wav
+        return {
+            "media_type": "audio",
+            "format": "wav",
+            "width": rate,  # sample_rate rides the width slot
+            "height": channels,  # channel count rides the height slot
+            "duration_ms": duration_ms,
+        }
+    mp4 = parse_mp4_header(data)
+    if mp4 is not None:
+        w, h, duration_ms = mp4
+        return {
+            "media_type": "video",
+            "format": "mp4",
+            "width": w,
+            "height": h,
+            "duration_ms": duration_ms,
+        }
+    return None
+
+
+MEDIA_DIR_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("path", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("data", T.BinaryType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("format", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("duration_ms", T.LongType()),
+    ]
+)
+
+
+def read_media_dir(
+    spark,
+    path: str,
+    glob: str | None = None,
+    recursive: bool = False,
+) -> DataFrame:
+    """Distributed media ingestion from a directory tree: Spark's
+    ``binaryFile`` source (file listing + reads parallelized across
+    executors, ``pathGlobFilter`` pushed to the listing) plus
+    container-sniffed REAL header metadata (:func:`sniff_media`) in one
+    Arrow-batched pass. Unrecognized files survive with NULL
+    media_type — route them to quarantine, never lose them silently.
+
+    ``media_id`` is ``xxhash64(path)`` — deterministic, join-stable
+    across re-ingestions of the same tree. Output:
+    ``(media_id, path, n_bytes, data, media_type, format, width,
+    height, duration_ms)``. At 100 TB: bytes stay columnar in the scan,
+    the sniff reads only leading header bytes per row, and downstream
+    fingerprint operators never replicate the binary column through a
+    shuffle (see :func:`image_dup_pairs` / :func:`video_dup_pairs`)."""
+    import pandas as pd
+
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    if recursive:
+        reader = reader.option("recursiveFileLookup", "true")
+    raw = reader.load(path).select(
+        F.xxhash64(F.col("path")).alias("media_id"),
+        "path",
+        F.col("length").alias("n_bytes"),
+        F.col("content").alias("data"),
+    )
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            metas = [
+                sniff_media(bytes(d) if d is not None else b"")
+                for d in pdf["data"]
+            ]
+            for col in ("media_type", "format", "width", "height", "duration_ms"):
+                pdf[col] = [m.get(col) if m else None for m in metas]
+            yield pdf
+
+    return raw.mapInPandas(batches, MEDIA_DIR_SCHEMA)
+
+
 def _fake_decode(data: bytes, fmt: str) -> dict[str, Any]:
     """Deterministic fake decoder: derives pseudo-dimensions and a fixed-
     length feature vector purely from the bytes, so tests exercise the

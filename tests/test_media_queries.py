@@ -78,6 +78,64 @@ class TestAudioQuery:
         assert len(rows) == 25
 
 
+class TestMediaDirSource:
+    def test_reads_and_sniffs_real_containers(self, spark, tmp_path):
+        import numpy as np
+
+        (tmp_path / "img.png").write_bytes(
+            MM.png_encode(np.zeros((4, 6), dtype=np.uint8))
+        )
+        (tmp_path / "snd.wav").write_bytes(
+            MM.wav_encode(np.zeros(1600), sample_rate=16_000)
+        )
+        (tmp_path / "vid.mp4").write_bytes(
+            MQ._mp4_container(2500, key=1)
+        )
+        (tmp_path / "junk.bin").write_bytes(b"not media at all")
+        rows = {
+            r["path"].rsplit("/", 1)[-1]: r
+            for r in MM.read_media_dir(spark, str(tmp_path)).collect()
+        }
+        img = rows["img.png"]
+        assert (img["media_type"], img["format"]) == ("image", "png")
+        assert (img["width"], img["height"]) == (6, 4)
+        snd = rows["snd.wav"]
+        assert (snd["media_type"], snd["width"], snd["duration_ms"]) == (
+            "audio",
+            16_000,
+            100,
+        )
+        vid = rows["vid.mp4"]
+        assert (vid["media_type"], vid["duration_ms"]) == ("video", 2500)
+        junk = rows["junk.bin"]
+        assert junk["media_type"] is None and junk["n_bytes"] == 16
+        # ids are deterministic path hashes; bytes round-trip intact
+        assert len({r["media_id"] for r in rows.values()}) == 4
+        assert bytes(img["data"]) == (tmp_path / "img.png").read_bytes()
+
+    def test_glob_filter_pushed_to_listing(self, spark, tmp_path):
+        import numpy as np
+
+        (tmp_path / "a.png").write_bytes(
+            MM.png_encode(np.zeros((2, 2), dtype=np.uint8))
+        )
+        (tmp_path / "b.txt").write_bytes(b"nope")
+        got = MM.read_media_dir(spark, str(tmp_path), glob="*.png").collect()
+        assert len(got) == 1 and got[0]["format"] == "png"
+
+    def test_feeds_dup_pipeline(self, spark, tmp_path):
+        import numpy as np
+
+        px = np.arange(256, dtype=np.uint8).reshape(16, 16)
+        (tmp_path / "one.png").write_bytes(MM.png_encode(px))
+        (tmp_path / "two.png").write_bytes(MM.png_encode(px))  # exact dup
+        src = MM.read_media_dir(spark, str(tmp_path), glob="*.png")
+        pairs = MM.image_dup_pairs(
+            src, pixels_fn=lambda data, fmt: MM.png_pixels(data), max_hamming=0
+        ).collect()
+        assert len(pairs) == 1 and pairs[0]["hamming"] == 0
+
+
 class TestVideoQuery:
     def test_container_parses_and_keys_via_payload(self):
         data = MQ._mp4_container(MQ._video_duration_ms(30), key=30)
