@@ -132,3 +132,95 @@ def start_image_dedup_stream(
 def read_pairs(spark: SparkSession, pairs_path: str) -> DataFrame:
     """All pairs emitted so far (union of batch partitions)."""
     return spark.read.parquet(pairs_path).select("id_a", "id_b", "hamming")
+
+
+# ---------------------------------------------------------------------------
+# Continuous AUDIO dedup: decode -> acoustic fingerprint -> the semantic
+# (embedding) streaming recipe under frozen centroids
+# ---------------------------------------------------------------------------
+
+
+def process_audio_batch(
+    spark: SparkSession,
+    batch: DataFrame,
+    epoch_id: int,
+    index_path: str,
+    vecs_path: str,
+    pairs_path: str,
+    centroids: list[list[float]],
+    id_col: str = "media_id",
+    binary_col: str = "data",
+    samples_fn: Callable[[bytes], Any] | None = None,
+    n_frames: int = 16,
+    threshold: float = 0.99,
+) -> None:
+    """One epoch of continuous audio near-dup: REAL WAV decode +
+    acoustic fingerprint for THIS batch only, then the continuous
+    semantic-dedup recipe (:func:`.dedupe.process_semantic_batch`) over
+    the fingerprint vectors — frozen centroids keep the persisted band
+    index meaningful across every epoch, and the bytes never enter any
+    state table (only the 33-dim fingerprints do)."""
+    from ..operators.multimodal import audio_fingerprints
+    from .dedupe import process_semantic_batch
+
+    fp = (
+        audio_fingerprints(batch, id_col, binary_col, samples_fn, n_frames)
+        .filter(F.col("fingerprint").isNotNull())
+        .select(
+            F.col("media_id").alias("vec_id"),
+            F.col("fingerprint").alias("embedding"),
+        )
+    )
+    if not fp.take(1):
+        return  # empty epoch: see process_image_batch
+    process_semantic_batch(
+        spark,
+        fp,
+        epoch_id,
+        index_path,
+        vecs_path,
+        pairs_path,
+        centroids,
+        threshold=threshold,
+    )
+
+
+def start_audio_dedup_stream(
+    media_stream: DataFrame,
+    index_path: str,
+    vecs_path: str,
+    pairs_path: str,
+    checkpoint_path: str,
+    centroids: list[list[float]],
+    id_col: str = "media_id",
+    binary_col: str = "data",
+    samples_fn: Callable[[bytes], Any] | None = None,
+    n_frames: int = 16,
+    threshold: float = 0.99,
+    query_name: str = "continuous_audio_dedup",
+):
+    """Start continuous audio near-dup; returns the StreamingQuery."""
+    spark = media_stream.sparkSession
+
+    def on_batch(batch: DataFrame, epoch_id: int) -> None:
+        process_audio_batch(
+            spark,
+            batch,
+            epoch_id,
+            index_path,
+            vecs_path,
+            pairs_path,
+            centroids,
+            id_col,
+            binary_col,
+            samples_fn,
+            n_frames,
+            threshold,
+        )
+
+    return (
+        media_stream.writeStream.foreachBatch(on_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .queryName(query_name)
+        .start()
+    )

@@ -137,6 +137,48 @@ class TestContinuousImageDedup:
         )
         assert replayed == once
 
+    def test_continuous_audio_dedup(self, spark, tmp_path):
+        """Volume-scaled audio twins arriving in a LATER epoch pair
+        against the persisted fingerprint index at cosine 1.0; replaying
+        the epoch is idempotent; pairs match the single-epoch run."""
+        from knetminer_etl_spark.queries.media import _audio_wave
+        from knetminer_etl_spark.streaming import dedupe as SD
+        from knetminer_etl_spark.streaming import media as SM
+
+        base_ids = [0, 20, 40, 60]
+        originals = [(i, MM.wav_encode(_audio_wave(i))) for i in base_ids]
+        twins = [
+            (i + 10_000_000, MM.wav_encode(_audio_wave(i + 10_000_000)))
+            for i in base_ids[:2]
+        ]
+        centroids = [
+            MM._audio_fp_one(_audio_wave(0)),
+            MM._audio_fp_one(_audio_wave(60)),
+        ]
+        paths = [str(tmp_path / p) for p in ("idx", "vecs", "pairs")]
+
+        def run(prefix, epochs, replay=None):
+            ps = [f"{p}_{prefix}" for p in paths]
+            for e, rows in enumerate(epochs):
+                df = spark.createDataFrame(rows, "media_id long, data binary")
+                SM.process_audio_batch(spark, df, e, *ps, centroids)
+            if replay is not None:
+                e, rows = replay
+                df = spark.createDataFrame(rows, "media_id long, data binary")
+                SM.process_audio_batch(spark, df, e, *ps, centroids)
+            return {
+                (r["id_a"], r["id_b"]): r["cosine"]
+                for r in SD.read_semantic_pairs(spark, ps[2]).collect()
+            }
+
+        got = run("a", [originals, twins])
+        for i in base_ids[:2]:
+            assert got[(i, i + 10_000_000)] == 1.0
+        # equals the one-epoch run over everything
+        assert got == run("b", [originals + twins])
+        # crash-replay of the twin epoch changes nothing
+        assert got == run("c", [originals, twins], replay=(1, twins))
+
     def test_streaming_end_to_end(self, spark, tmp_path, img_rows):
         """A real file-source stream through foreachBatch equals the
         batch run (availableNow drains every file)."""
