@@ -1025,6 +1025,40 @@ def video_frame_hashes(
     )
 
 
+def video_frame_band_rows(
+    frames: DataFrame, max_hamming: int = 5
+) -> DataFrame:
+    """``(media_id, frame_ts_ms, ahash, band, chunk)`` — the pigeonhole
+    band relation of a frame-hash corpus
+    (:func:`video_frame_hashes` output), the PERSISTABLE frame index:
+    frames within Hamming ``max_hamming`` agree exactly on ≥1 of the
+    ``max_hamming+1`` bands, and the hash rides along so verification is
+    index-local. Deterministic bit arithmetic → batch and incremental
+    candidate generation split cleanly (the ``hamming_band_rows``
+    contract at frame granularity)."""
+    nbands = max_hamming + 1
+    width = 64 // nbands
+    full_mask = -1 if width >= 64 else (1 << width) - 1
+    return frames.select(
+        "media_id",
+        "frame_ts_ms",
+        "ahash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned(F.col("ahash"), b * width)
+                        .bitwiseAND(F.lit(full_mask).cast("long"))
+                        .alias("chunk"),
+                    )
+                    for b in range(nbands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("media_id", "frame_ts_ms", "ahash", "bb.band", "bb.chunk")
+
+
 def video_dup_pairs(
     df: DataFrame,
     id_col: str = "media_id",
@@ -1062,27 +1096,7 @@ def video_dup_pairs(
     n_frames = frames.groupBy("media_id").agg(
         F.count("*").alias("n_frames")
     )
-    nbands = max_hamming + 1
-    width = 64 // nbands
-    full_mask = -1 if width >= 64 else (1 << width) - 1
-    banded = frames.select(
-        "media_id",
-        "frame_ts_ms",
-        "ahash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.shiftrightunsigned(F.col("ahash"), b * width)
-                        .bitwiseAND(F.lit(full_mask).cast("long"))
-                        .alias("chunk"),
-                    )
-                    for b in range(nbands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("media_id", "frame_ts_ms", "ahash", "bb.band", "bb.chunk")
+    banded = video_frame_band_rows(frames, max_hamming)
     if max_bucket_size is not None:
         # oversized buckets are tiny in number by definition (> cap rows
         # each), so the anti-join broadcast never grows with the corpus
@@ -1140,6 +1154,132 @@ def video_dup_pairs(
         )
         .join(
             n_frames.select(
+                F.col("media_id").alias("id_b"), F.col("n_frames").alias("_nb")
+            ),
+            on="id_b",
+        )
+        .withColumn("frac_a", F.col("matched_frames") / F.col("_na"))
+        .withColumn("frac_b", F.col("_matched_b") / F.col("_nb"))
+        .filter(
+            F.greatest("frac_a", "frac_b") >= F.lit(min_match_frac)
+        )
+        .select("id_a", "id_b", "matched_frames", "frac_a", "frac_b")
+    )
+
+
+def incremental_video_pairs(
+    new_frames: DataFrame,
+    old_index: DataFrame | None,
+    old_counts: DataFrame | None,
+    max_hamming: int = 5,
+    min_match_frac: float = 0.5,
+) -> DataFrame:
+    """Frame-vote near-dup pairs INVOLVING a new batch of frame hashes
+    (:func:`video_frame_hashes` output), against a previously saved
+    frame band index (:func:`video_frame_band_rows` of every prior
+    batch) and the per-video frame-count table — the incremental twin
+    of :func:`video_dup_pairs`: each refresh bands only its own batch's
+    frames, equi-joins the bounded index (verification is index-local:
+    the index carries the hash AND the frame timestamp the vote needs),
+    and never re-votes old-vs-old pairs. The frame banding is exact and
+    deterministic, so
+
+        prior pairs ∪ incremental pairs == full-corpus video_dup_pairs
+
+    exactly. ``old_counts`` is ``(media_id, n_frames)`` for prior
+    videos (fractions are over a video's FULL frame count whenever it
+    arrived); re-ingested ids use their new frames and count. Output:
+    ``(id_a, id_b, matched_frames, frac_a, frac_b)``.
+    """
+    new_frames = new_frames.filter(
+        F.col("ahash").isNotNull()
+    ).localCheckpoint(eager=True)
+    new_bands = video_frame_band_rows(
+        new_frames, max_hamming
+    ).localCheckpoint(eager=True)
+    new_counts = new_frames.groupBy("media_id").agg(
+        F.count("*").alias("n_frames")
+    )
+    a = new_bands.select(
+        "band",
+        "chunk",
+        F.col("media_id").alias("id_a"),
+        F.col("frame_ts_ms").alias("ts_a"),
+        F.col("ahash").alias("h_a"),
+    )
+    b = new_bands.select(
+        "band",
+        "chunk",
+        F.col("media_id").alias("id_b"),
+        F.col("frame_ts_ms").alias("ts_b"),
+        F.col("ahash").alias("h_b"),
+    )
+    votes = (
+        a.join(b, on=["band", "chunk"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))) <= max_hamming
+        )
+        .select("id_a", "id_b", "ts_a", "ts_b")
+    )
+    counts = new_counts
+    if old_index is not None:
+        new_ids = new_frames.select("media_id").distinct()
+        old = old_index.join(new_ids, on="media_id", how="left_anti")
+        o = old.select(
+            "band",
+            "chunk",
+            F.col("media_id").alias("_oid"),
+            F.col("frame_ts_ms").alias("_ots"),
+            F.col("ahash").alias("_oh"),
+        )
+        n = new_bands.select(
+            "band",
+            "chunk",
+            F.col("media_id").alias("_nid"),
+            F.col("frame_ts_ms").alias("_nts"),
+            F.col("ahash").alias("_nh"),
+        )
+        lesser_new = F.col("_nid") < F.col("_oid")
+        cross = (
+            n.join(o, on=["band", "chunk"])
+            .filter(
+                F.bit_count(F.col("_nh").bitwiseXOR(F.col("_oh")))
+                <= max_hamming
+            )
+            .select(
+                F.least("_nid", "_oid").alias("id_a"),
+                F.greatest("_nid", "_oid").alias("id_b"),
+                # ts_a belongs to the LESSER id's frame, whichever side
+                # it arrived on — the per-side vote contract
+                F.when(lesser_new, F.col("_nts"))
+                .otherwise(F.col("_ots"))
+                .alias("ts_a"),
+                F.when(lesser_new, F.col("_ots"))
+                .otherwise(F.col("_nts"))
+                .alias("ts_b"),
+            )
+        )
+        votes = votes.unionByName(cross)
+        if old_counts is not None:
+            counts = counts.unionByName(
+                old_counts.select("media_id", "n_frames").join(
+                    new_ids, on="media_id", how="left_anti"
+                )
+            )
+    matched = votes.groupBy("id_a", "id_b").agg(
+        F.countDistinct("ts_a").alias("matched_frames"),
+        F.countDistinct("ts_b").alias("_matched_b"),
+    )
+    return (
+        matched.join(
+            counts.select(
+                F.col("media_id").alias("id_a"), F.col("n_frames").alias("_na")
+            ),
+            on="id_a",
+        )
+        .join(
+            counts.select(
                 F.col("media_id").alias("id_b"), F.col("n_frames").alias("_nb")
             ),
             on="id_b",

@@ -480,3 +480,43 @@ WHERE GREATEST(m.matched_frames / ia.nf, m.matched_b / ib.nf) >= 0.5
 
 QUERIES["media_video_dup_pairs"] = media_video_dup_pairs
 ORACLES["media_video_dup_pairs"] = MEDIA_VIDEO_DUP_PAIRS_SQL
+
+
+def media_video_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental video ingestion: the originals are the prior corpus
+    (frame band index + per-video frame counts persisted), the trim
+    twins arrive as the NEW batch — ``incremental_video_pairs`` hashes
+    only the batch's frames, votes against the index (which carries
+    hash + timestamp, so verification is index-local) and must emit
+    exactly the full run's pairs involving the batch. Oracle = the
+    brute-force frame scan restricted to twin-side pairs."""
+    from knetminer_etl_spark.operators.multimodal import (
+        incremental_video_pairs,
+        video_frame_band_rows,
+        video_frame_hashes,
+    )
+
+    corpus = _video_corpus(spark, sf_dir)
+    frames = video_frame_hashes(
+        corpus, frame_pixels_fn=_video_frame_pixels
+    ).filter(F.col("ahash").isNotNull()).localCheckpoint(eager=True)
+    old = frames.filter(F.col("media_id") < _TWIN)
+    new = frames.filter(F.col("media_id") >= _TWIN)
+    return incremental_video_pairs(
+        new,
+        video_frame_band_rows(old, 2),
+        old.groupBy("media_id").agg(F.count("*").alias("n_frames")),
+        max_hamming=2,
+        min_match_frac=0.5,
+    ).select("id_a", "id_b", "matched_frames", "frac_a", "frac_b")
+
+
+MEDIA_VIDEO_INCREMENTAL_SQL = MEDIA_VIDEO_DUP_PAIRS_SQL.replace(
+    "WHERE GREATEST(m.matched_frames / ia.nf, m.matched_b / ib.nf) >= 0.5",
+    "WHERE GREATEST(m.matched_frames / ia.nf, m.matched_b / ib.nf) >= 0.5\n"
+    f"  AND m.id_b >= {_TWIN}",
+)
+assert f"AND m.id_b >= {_TWIN}" in MEDIA_VIDEO_INCREMENTAL_SQL
+
+QUERIES["media_video_incremental"] = media_video_incremental
+ORACLES["media_video_incremental"] = MEDIA_VIDEO_INCREMENTAL_SQL

@@ -135,6 +135,108 @@ def read_pairs(spark: SparkSession, pairs_path: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Continuous VIDEO dedup: frame sampling -> per-frame aHash -> frame-vote
+# pairs vs the persisted frame band index
+# ---------------------------------------------------------------------------
+
+
+def process_video_batch(
+    spark: SparkSession,
+    batch: DataFrame,
+    epoch_id: int,
+    index_path: str,
+    counts_path: str,
+    pairs_path: str,
+    id_col: str = "media_id",
+    binary_col: str = "data",
+    every_ms: int = 1000,
+    frame_pixels_fn: Callable[[bytes, int], Any] | None = None,
+    max_hamming: int = 5,
+    min_match_frac: float = 0.5,
+) -> None:
+    """One epoch of continuous video near-dup: sample + hash THIS
+    batch's frames (real mvhd duration parse drives the grid), vote
+    against the persisted frame band index, emit the pairs this batch's
+    arrival created, extend the index and the per-video frame-count
+    table. Verification is index-local (hash + timestamp ride the
+    index); the video bytes never enter any state table."""
+    from ..operators.multimodal import (
+        incremental_video_pairs,
+        video_frame_band_rows,
+        video_frame_hashes,
+    )
+
+    frames = (
+        video_frame_hashes(batch, id_col, binary_col, every_ms, frame_pixels_fn)
+        .filter(F.col("ahash").isNotNull())
+        .localCheckpoint(eager=True)
+    )
+    if not frames.take(1):
+        return  # empty epoch: see process_image_batch
+    index = _read_or_none(spark, index_path, latest_key="media_id")
+    counts = _read_or_none(spark, counts_path, latest_key="media_id")
+    pairs = incremental_video_pairs(
+        frames,
+        index.select("media_id", "frame_ts_ms", "ahash", "band", "chunk")
+        if index is not None
+        else None,
+        counts.select("media_id", "n_frames") if counts is not None else None,
+        max_hamming=max_hamming,
+        min_match_frac=min_match_frac,
+    )
+    _write_batch_partition(pairs, epoch_id, pairs_path)
+    _write_batch_partition(
+        video_frame_band_rows(frames, max_hamming), epoch_id, index_path
+    )
+    _write_batch_partition(
+        frames.groupBy("media_id").agg(F.count("*").alias("n_frames")),
+        epoch_id,
+        counts_path,
+    )
+
+
+def start_video_dedup_stream(
+    media_stream: DataFrame,
+    index_path: str,
+    counts_path: str,
+    pairs_path: str,
+    checkpoint_path: str,
+    id_col: str = "media_id",
+    binary_col: str = "data",
+    every_ms: int = 1000,
+    frame_pixels_fn: Callable[[bytes, int], Any] | None = None,
+    max_hamming: int = 5,
+    min_match_frac: float = 0.5,
+    query_name: str = "continuous_video_dedup",
+):
+    """Start continuous video near-dup; returns the StreamingQuery."""
+    spark = media_stream.sparkSession
+
+    def on_batch(batch: DataFrame, epoch_id: int) -> None:
+        process_video_batch(
+            spark,
+            batch,
+            epoch_id,
+            index_path,
+            counts_path,
+            pairs_path,
+            id_col,
+            binary_col,
+            every_ms,
+            frame_pixels_fn,
+            max_hamming,
+            min_match_frac,
+        )
+
+    return (
+        media_stream.writeStream.foreachBatch(on_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .queryName(query_name)
+        .start()
+    )
+
+
+# ---------------------------------------------------------------------------
 # Continuous AUDIO dedup: decode -> acoustic fingerprint -> the semantic
 # (embedding) streaming recipe under frozen centroids
 # ---------------------------------------------------------------------------

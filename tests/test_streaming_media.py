@@ -137,6 +137,109 @@ class TestContinuousImageDedup:
         )
         assert replayed == once
 
+    def test_incremental_video_equals_full(self, spark, tmp_path):
+        """prior ∪ incremental == full video_dup_pairs: the trim twin
+        arriving in a later epoch votes against the persisted frame
+        index with the OLD video's full frame count."""
+        from knetminer_etl_spark.operators.multimodal import (
+            incremental_video_pairs,
+            video_frame_band_rows,
+            video_frame_hashes,
+        )
+
+        mp4 = __import__(
+            "tests.test_multimodal", fromlist=["TestMp4Decode"]
+        ).TestMp4Decode._mp4_bytes
+        # decoder keyed on ts only, shared across videos: v3 (3 frames)
+        # is a trim of v1 (10 frames); v2 distinct via its own offset
+        fn = lambda data, ts: MM._fake_pixels(
+            (int(ts) + (len(data) % 7) * 1_000_000).to_bytes(8, "little"), "bin"
+        )
+        shared = lambda data, ts: MM._fake_pixels(
+            int(ts).to_bytes(8, "little"), "bin"
+        )
+        old_rows = [(1, mp4(duration=9500)), (2, mp4(duration=4500))]
+        new_rows = [(3, mp4(duration=2500))]
+        kw = dict(max_hamming=0, min_match_frac=0.5)
+        full = {
+            (r["id_a"], r["id_b"]): (r["matched_frames"], r["frac_a"], r["frac_b"])
+            for r in MM.video_dup_pairs(
+                spark.createDataFrame(
+                    old_rows + new_rows, "media_id long, data binary"
+                ),
+                frame_pixels_fn=shared,
+                **kw,
+            ).collect()
+        }
+        old_frames = video_frame_hashes(
+            spark.createDataFrame(old_rows, "media_id long, data binary"),
+            frame_pixels_fn=shared,
+        ).filter("ahash is not null")
+        prior = {
+            (r["id_a"], r["id_b"]): (r["matched_frames"], r["frac_a"], r["frac_b"])
+            for r in MM.video_dup_pairs(
+                spark.createDataFrame(old_rows, "media_id long, data binary"),
+                frame_pixels_fn=shared,
+                **kw,
+            ).collect()
+        }
+        new_frames = video_frame_hashes(
+            spark.createDataFrame(new_rows, "media_id long, data binary"),
+            frame_pixels_fn=shared,
+        )
+        inc = {
+            (r["id_a"], r["id_b"]): (r["matched_frames"], r["frac_a"], r["frac_b"])
+            for r in incremental_video_pairs(
+                new_frames,
+                video_frame_band_rows(old_frames, 0),
+                old_frames.groupBy("media_id").count().withColumnRenamed(
+                    "count", "n_frames"
+                ),
+                **kw,
+            ).collect()
+        }
+        assert {**prior, **inc} == full
+        assert all(3 in p for p in inc)  # only new-batch pairs re-emitted
+
+    def test_continuous_video_epochs_equal_batch(self, spark, tmp_path):
+        from knetminer_etl_spark.streaming import media as SM
+
+        mp4 = __import__(
+            "tests.test_multimodal", fromlist=["TestMp4Decode"]
+        ).TestMp4Decode._mp4_bytes
+        shared = lambda data, ts: MM._fake_pixels(
+            int(ts).to_bytes(8, "little"), "bin"
+        )
+        rows = [(1, mp4(duration=9500)), (2, mp4(duration=4500)),
+                (3, mp4(duration=2500))]
+        paths = [str(tmp_path / p) for p in ("fidx", "fcnt", "fpairs")]
+        for e, batch in enumerate([rows[:1], rows[1:2], rows[2:]]):
+            SM.process_video_batch(
+                spark,
+                spark.createDataFrame(batch, "media_id long, data binary"),
+                e,
+                *paths,
+                frame_pixels_fn=shared,
+                max_hamming=0,
+                min_match_frac=0.5,
+            )
+        got = {
+            (r["id_a"], r["id_b"]): (r["matched_frames"], r["frac_a"], r["frac_b"])
+            for r in spark.read.parquet(paths[2])
+            .select("id_a", "id_b", "matched_frames", "frac_a", "frac_b")
+            .collect()
+        }
+        want = {
+            (r["id_a"], r["id_b"]): (r["matched_frames"], r["frac_a"], r["frac_b"])
+            for r in MM.video_dup_pairs(
+                spark.createDataFrame(rows, "media_id long, data binary"),
+                frame_pixels_fn=shared,
+                max_hamming=0,
+                min_match_frac=0.5,
+            ).collect()
+        }
+        assert got == want
+
     def test_continuous_audio_dedup(self, spark, tmp_path):
         """Volume-scaled audio twins arriving in a LATER epoch pair
         against the persisted fingerprint index at cosine 1.0; replaying
