@@ -75,6 +75,7 @@ CHECK_QUERIES = [
     "media_audio_dup_pairs",
     "media_video_dup_pairs",
     "media_image_incremental",
+    "media_video_incremental",
     "kg_closure_bounded",
 ]
 
