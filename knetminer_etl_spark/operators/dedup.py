@@ -924,6 +924,17 @@ def hamming_pairs(
     images, boilerplate) — a true pair is lost only when EVERY band
     chunk it agrees on is an oversized bucket. ``metrics_label``
     attaches the candidate-bill probe (:data:`CANDIDATE_METRICS`).
+
+    Corpus-scale boundary (measured, SCALE_CHECK_100): exactness PINS
+    the band count at ``max_hamming+1``, so bucket space per band is
+    2^(nbits/(h+1)) and random-hash candidates grow
+    ∝ bands · n²/2^width once n exceeds the bucket space (h=5 → 10-bit
+    chunks → 890M candidates for 550k fingerprints, still verified
+    cheaply but quadratic). At 100 TB choose a small ``max_hamming``
+    (h=1..3 widens chunks to 32/16 bits — 4.3B/65k buckets) or accept
+    the documented recall trade of ``max_bucket_size``; unlike
+    sign-LSH, the band count cannot be auto-scaled without giving up
+    the no-false-negative guarantee.
     Output: (id_a, id_b, hamming).
     """
     # Pin the tiny (id, fp) table: chunk buckets can be huge on
