@@ -68,6 +68,12 @@ def _small_star(e: DataFrame) -> DataFrame:
     )
 
 
+# most-recent connected_components run: {"edges": n, "rounds": r} —
+# read by scale sweeps to attribute runtime to input volume (same
+# pattern as LAST_CLOSURE_STATS below)
+LAST_COMPONENT_STATS: dict = {}
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
@@ -101,17 +107,21 @@ def connected_components(
     benchmark dedup graph when two rounds shared one checkpoint).
     """
     rounds_per_check = max(1, rounds_per_check)
+    stats = _stats if _stats is not None else LAST_COMPONENT_STATS
+    stats.clear()
     # canonical orientation (u > v) + pin: the (possibly expensive)
     # upstream pair pipeline must not re-execute per round — and ids MUST
-    # derive from the pinned relation, or the upstream runs a second time
-    e = (
-        _sym_edges(edges, src, dst)
-        .select(
+    # derive from the pinned relation, or the upstream runs a second time.
+    # The edge count rides the pin job (observe) — free attribution data
+    # for scale sweeps: a super-linear runtime is explainable only if the
+    # input edge volume is recorded alongside it.
+    e, em = _pin_observe(
+        _sym_edges(edges, src, dst).select(
             F.greatest("src", "dst").alias("u"), F.least("src", "dst").alias("v")
-        )
-        .distinct()
-        .localCheckpoint(eager=True)
+        ).distinct(),
+        F.count(F.lit(1)).alias("n"),
     )
+    stats["edges"] = int(em["n"])
     ids = e.select(F.col("u").alias("id")).unionByName(
         e.select(F.col("v").alias("id"))
     )
@@ -136,8 +146,7 @@ def connected_components(
         if (fp["n"], fp["h"]) == prev_fp:
             break
         prev_fp = (fp["n"], fp["h"])
-    if _stats is not None:
-        _stats["rounds"] = rounds
+    stats["rounds"] = rounds
 
     # at fixpoint e is a star forest: (child, root) with root = component
     # min; nodes absent from e are their own component

@@ -104,6 +104,19 @@ def _maybe_metrics(name: str) -> dict | None:
         from knetminer_etl_spark.operators.graph import LAST_CLOSURE_STATS
 
         return dict(LAST_CLOSURE_STATS) or None
+    if name == "dedup_components":
+        # pair-stage candidate bill + star-contraction stats: a high
+        # ratio decomposes into (candidates grew) vs (rounds grew) vs
+        # (plan defect — neither grew)
+        from knetminer_etl_spark.operators.dedup import read_candidate_metrics
+        from knetminer_etl_spark.operators.graph import LAST_COMPONENT_STATS
+
+        rec = dict(LAST_COMPONENT_STATS)
+        try:
+            rec.update(read_candidate_metrics("minhash_lsh"))
+        except Exception:
+            pass
+        return rec or None
     label = METRIC_LABELS.get(name)
     if label is None:
         return None
