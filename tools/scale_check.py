@@ -77,6 +77,10 @@ CHECK_QUERIES = [
     "media_image_incremental",
     "media_video_incremental",
     "kg_closure_bounded",
+    # the flagship composed pipeline: its ratio summarizes the whole
+    # corpus-prep chain (quality gate -> exact -> near-dup -> split ->
+    # decon) under one number
+    "doc_pipeline_stages",
 ]
 
 # queries whose banded engine publishes candidate-bill observations
