@@ -903,10 +903,22 @@ def doc_pipeline_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
     ck = CK.staging_dir(
         spark, "doc_pipeline_stages", hashlib.md5(sf_dir.encode()).hexdigest()[:12]
     )
-    exact = DD2.drop_exact_dups(quality)
+    # the raw/quality/exact/near survivor counts ride the two staging
+    # writes as `observe` metrics — a separate counting pass would
+    # re-scan documents and re-run the quality gate (regex digit strip +
+    # tokenization over every doc) a second time, and at corpus scale
+    # "count the stage" must never cost another pass over the stage
+    from pyspark.sql import Observation
+
+    obs_raw, obs_q, obs_e = Observation(), Observation(), Observation()
+    _n = F.count(F.lit(1)).alias("n")
+    docs_seen = docs.observe(obs_raw, _n)
+    quality_seen = docs_seen.filter(gate).observe(obs_q, _n)
+    exact = DD2.drop_exact_dups(quality_seen).observe(obs_e, _n)
     CK.save(exact, f"{ck}/exact")
     exact = CK.load(f"{ck}/exact", spark)
-    near = DD2.drop_near_dups(exact, k=3, threshold=0.5)
+    obs_near = Observation()
+    near = DD2.drop_near_dups(exact, k=3, threshold=0.5).observe(obs_near, _n)
     CK.save(near, f"{ck}/near")
     near = CK.load(f"{ck}/near", spark)
     split = SP3.hash_split(near, "doc_id", _SPLIT_WEIGHTS, seed=_SPLIT_SEED)
@@ -914,21 +926,20 @@ def doc_pipeline_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
     test = split.filter(F.col("split") == "test")
     clean = CT2.decontaminate(train, test, "doc_id", "text", n=_DECON_N)
 
-    stages = [
-        (0, "raw", docs),
-        (1, "quality", quality),
-        (2, "exact_dedup", exact),
-        (3, "near_dedup", near),
-        (4, "train_split", train),
-        (5, "decontaminated", clean),
+    observed = [
+        (0, "raw", obs_raw.get["n"]),
+        (1, "quality", obs_q.get["n"]),
+        (2, "exact_dedup", obs_e.get["n"]),
+        (3, "near_dedup", obs_near.get["n"]),
     ]
-    spark_ = docs.sparkSession
-    counts = None
-    for no, name, frame in stages:
+    counts = spark.createDataFrame(
+        observed, "stage_no int, stage string, n_docs long"
+    )
+    for no, name, frame in [(4, "train_split", train), (5, "decontaminated", clean)]:
         c = frame.agg(F.count("*").alias("n_docs")).select(
             F.lit(no).alias("stage_no"), F.lit(name).alias("stage"), "n_docs"
         )
-        counts = c if counts is None else counts.unionByName(c)
+        counts = counts.unionByName(c)
     return counts.orderBy("stage_no")
 
 
