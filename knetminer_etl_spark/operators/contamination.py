@@ -113,6 +113,69 @@ def decontaminate(
     return train.join(flagged.select(id_col), id_col, "left_anti")
 
 
+def decontaminate_bloom(
+    train: DataFrame,
+    test: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    max_hits: int = 0,
+    n_bits: int = 1 << 16,
+    k: int = 4,
+) -> DataFrame:
+    """:func:`decontaminate` with a bloom runtime filter on the gram
+    join — the identical survivor set (the filter never drops a gram
+    that was inserted, and every surviving candidate still passes the
+    exact gram equi-join, so bloom false positives are verified away),
+    at the 100 TB join shape:
+
+    * build: one distributed ``bit_or`` aggregate over the evaluation
+      side's distinct grams — the shuffle carries the ``n_bits/64``-word
+      bit table (KBs), never the gram strings;
+    * prune: a narrow map over the train gram stream (k seeded md5
+      probes into the literal word table) at scan speed, BEFORE any
+      shuffle — the corpus-side gram set (trillions of rows at corpus
+      scale) pays the join exchange only for the ~fpp false-positive
+      tail plus the true hits;
+    * verify: the surviving sliver takes the exact join from
+      :func:`ngram_contamination`'s plan, so the flagged set is
+      bit-identical to the unpruned path (the registry entry runs
+      against the EXACT-path oracle at every scale factor).
+
+    Size ``n_bits`` for ~10 bits per expected test gram (~1% fpp).
+    """
+    from .bloomjoin import bloom_build, might_contain
+    from .util import fan_out
+
+    def _grams(df: DataFrame, *keep: str) -> DataFrame:
+        return (
+            fan_out(df)
+            .select(*keep, tokens(normalize_text(F.col(text_col))).alias("_tok"))
+            .select(*keep, shingles_from_tokens(F.col("_tok"), n).alias("_sh"))
+        )
+
+    eval_grams = (
+        _grams(test)
+        .select(F.explode_outer("_sh").alias("gram"))
+        .filter(F.col("gram").isNotNull())
+        .distinct()
+    )
+    words = bloom_build(eval_grams, "gram", n_bits, k, seed="decon")
+    t_grams = (
+        _grams(train, id_col)
+        .select(F.col(id_col), F.explode_outer("_sh").alias("gram"))
+        .filter(F.col("gram").isNotNull())
+        .filter(might_contain(F.col("gram"), words, n_bits, k, seed="decon"))
+    )
+    flagged = (
+        t_grams.join(eval_grams, "gram")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_hits"))
+        .filter(F.col("n_hits") > max_hits)
+    )
+    return train.join(flagged.select(id_col), id_col, "left_anti")
+
+
 def semantic_contamination(
     train_vecs: DataFrame,
     test_vecs: DataFrame,

@@ -473,6 +473,58 @@ ORDER BY doc_id
 """
 
 
+def doc_decontamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontaminated train split via the bloom runtime filter
+    (operators/contamination.py:decontaminate_bloom): the train gram
+    stream is pruned map-side against a broadcast bit table built from
+    the test split's grams BEFORE paying the join shuffle — the 100 TB
+    shape of benchmark decontamination. Survivor set is bit-identical
+    to the exact path, so the oracle is the UNPRUNED exact SQL: a bloom
+    defect (false negative, mis-seeded probe) would hash-mismatch."""
+    from ..operators import contamination as CT3
+
+    docs = SP.hash_split(
+        _docs(spark, sf_dir), "doc_id", _SPLIT_WEIGHTS, seed=_SPLIT_SEED
+    )
+    train = docs.filter(F.col("split") == "train")
+    test = docs.filter(F.col("split") == "test")
+    return (
+        CT3.decontaminate_bloom(train, test, "doc_id", "text", n=_DECON_N)
+        .select("doc_id", "n_chars")
+        .transform(lambda d: UT.pinned_sort(d, "doc_id"))
+    )
+
+
+DOC_DECONTAMINATION_BLOOM_SQL = f"""
+WITH split AS (
+  SELECT doc_id, text, n_chars,
+         {SP.split_sql("doc_id", _SPLIT_WEIGHTS, _SPLIT_SEED)} AS split
+  FROM documents
+), toks AS (
+  SELECT doc_id, split, n_chars,
+         list_filter(string_split({_NORM_SQL}, ' '), x -> x <> '') AS t
+  FROM split
+), sh AS (
+  SELECT doc_id, split, n_chars,
+         CASE WHEN len(t) < {_DECON_N} THEN
+                (CASE WHEN len(t) > 0 THEN [array_to_string(t, ' ')] ELSE [] END)
+              ELSE list_distinct([array_to_string(t[i:i+{_DECON_N - 1}], ' ')
+                                  for i in generate_series(1, len(t) - {_DECON_N - 1})])
+         END AS sh
+  FROM toks
+), train_ex AS (
+  SELECT doc_id, unnest(sh) AS g FROM sh WHERE split = 'train'
+), test_g AS (
+  SELECT DISTINCT unnest(sh) AS g FROM sh WHERE split = 'test'
+), flagged AS (
+  SELECT DISTINCT train_ex.doc_id FROM train_ex JOIN test_g USING (g)
+)
+SELECT doc_id, n_chars FROM sh
+WHERE split = 'train' AND doc_id NOT IN (SELECT doc_id FROM flagged)
+ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # TF-IDF top terms
 # ---------------------------------------------------------------------------
@@ -693,6 +745,7 @@ QUERIES = {
     "doc_context_windows": doc_context_windows,
     "doc_repetition_stats": doc_repetition_stats,
     "doc_decontamination": doc_decontamination,
+    "doc_decontamination_bloom": doc_decontamination_bloom,
     "doc_tfidf_terms": doc_tfidf_terms,
 }
 
@@ -708,6 +761,7 @@ ORACLES = {
     "doc_context_windows": DOC_CONTEXT_WINDOWS_SQL,
     "doc_repetition_stats": DOC_REPETITION_STATS_SQL,
     "doc_decontamination": DOC_DECONTAMINATION_SQL,
+    "doc_decontamination_bloom": DOC_DECONTAMINATION_BLOOM_SQL,
     "doc_tfidf_terms": DOC_TFIDF_TERMS_SQL,
 }
 

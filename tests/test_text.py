@@ -263,6 +263,59 @@ class TestContamination:
         out = CT.ngram_contamination(train, test, n=8).collect()
         assert len(out) == 1 and out[0]["n_hits"] == 1
 
+    def test_decontaminate_bloom_matches_exact(self, spark):
+        from knetminer_etl_spark.operators import contamination as CT
+
+        # 40 train docs with distinct vocab, 3 of them leaking a test
+        # 4-gram; survivors must equal the exact path's survivors
+        train = spark.createDataFrame(
+            [
+                (i, f"w{i}a w{i}b w{i}c w{i}d w{i}e w{i}f")
+                for i in range(40)
+            ]
+            + [
+                (100, "leak one two three tail x"),
+                (101, "pre leak one two three y"),
+                (102, "zz leak one two three"),
+            ],
+            "doc_id long, text string",
+        )
+        test = spark.createDataFrame(
+            [(9, "header leak one two three footer")], "doc_id long, text string"
+        )
+        exact = sorted(
+            r["doc_id"] for r in CT.decontaminate(train, test, n=4).collect()
+        )
+        bloom = sorted(
+            r["doc_id"]
+            for r in CT.decontaminate_bloom(train, test, n=4).collect()
+        )
+        assert bloom == exact
+        assert set(exact).isdisjoint({100, 101, 102})
+
+    def test_decontaminate_bloom_tiny_filter_still_exact(self, spark):
+        # undersized filter (64 bits for many grams) → heavy false
+        # positives; the exact verification join must still produce the
+        # identical survivor set (false positives cost work, never rows)
+        from knetminer_etl_spark.operators import contamination as CT
+
+        train = spark.createDataFrame(
+            [(i, f"t{i}a t{i}b t{i}c t{i}d t{i}e") for i in range(30)]
+            + [(200, "shared gram body here plus t")],
+            "doc_id long, text string",
+        )
+        test = spark.createDataFrame(
+            [(9, "pre shared gram body here post")], "doc_id long, text string"
+        )
+        exact = sorted(
+            r["doc_id"] for r in CT.decontaminate(train, test, n=4).collect()
+        )
+        bloom = sorted(
+            r["doc_id"]
+            for r in CT.decontaminate_bloom(train, test, n=4, n_bits=64).collect()
+        )
+        assert bloom == exact
+
     def test_semantic_contamination_catches_paraphrase_leak(self, spark):
         """An eval item that shares NO n-gram with a train item but sits
         at cosine ≈ 1 must be flagged by the semantic pass and missed by
