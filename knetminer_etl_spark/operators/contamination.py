@@ -144,28 +144,57 @@ def decontaminate_bloom(
 
     Size ``n_bits`` for ~10 bits per expected test gram (~1% fpp).
     """
-    from .bloomjoin import bloom_build, might_contain
+    from .bloomjoin import bloom_build
+
+    eval_grams = distinct_grams(test, text_col, n)
+    words = bloom_build(eval_grams, "gram", n_bits, k, seed="decon")
+    return bloom_decontaminate_against(
+        train, eval_grams, words, id_col, text_col, n, max_hits, n_bits, k
+    )
+
+
+def gram_rows(df: DataFrame, text_col: str, n: int, *keep: str) -> DataFrame:
+    """``(*keep, gram)`` — every distinct word n-gram of every row,
+    exploded. Staged projections (normalize → tokens → shingles) so the
+    regex normalization runs once per row, not once per array reference
+    (see :func:`ngram_contamination`); ``fan_out`` keeps the CPU-bound
+    shingling parallel on few-file inputs."""
     from .util import fan_out
 
-    def _grams(df: DataFrame, *keep: str) -> DataFrame:
-        return (
-            fan_out(df)
-            .select(*keep, tokens(normalize_text(F.col(text_col))).alias("_tok"))
-            .select(*keep, shingles_from_tokens(F.col("_tok"), n).alias("_sh"))
-        )
-
-    eval_grams = (
-        _grams(test)
-        .select(F.explode_outer("_sh").alias("gram"))
+    return (
+        fan_out(df)
+        .select(*keep, tokens(normalize_text(F.col(text_col))).alias("_tok"))
+        .select(*keep, shingles_from_tokens(F.col("_tok"), n).alias("_sh"))
+        .select(*keep, F.explode_outer("_sh").alias("gram"))
         .filter(F.col("gram").isNotNull())
-        .distinct()
     )
-    words = bloom_build(eval_grams, "gram", n_bits, k, seed="decon")
-    t_grams = (
-        _grams(train, id_col)
-        .select(F.col(id_col), F.explode_outer("_sh").alias("gram"))
-        .filter(F.col("gram").isNotNull())
-        .filter(might_contain(F.col("gram"), words, n_bits, k, seed="decon"))
+
+
+def distinct_grams(df: DataFrame, text_col: str, n: int) -> DataFrame:
+    """The distinct gram set of a (small, evaluation-side) relation."""
+    return gram_rows(df, text_col, n).distinct()
+
+
+def bloom_decontaminate_against(
+    train: DataFrame,
+    eval_grams: DataFrame,
+    words: list[int],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    max_hits: int = 0,
+    n_bits: int = 1 << 16,
+    k: int = 4,
+) -> DataFrame:
+    """The prune+verify half of :func:`decontaminate_bloom`, against a
+    PRE-BUILT filter and gram set — the streaming entry point: a
+    continuous ingest filters every micro-batch against the same fixed
+    evaluation suite, so the bit table and the gram relation are built
+    once per stream, not once per epoch."""
+    from .bloomjoin import might_contain
+
+    t_grams = gram_rows(train, text_col, n, id_col).filter(
+        might_contain(F.col("gram"), words, n_bits, k, seed="decon")
     )
     flagged = (
         t_grams.join(eval_grams, "gram")

@@ -408,6 +408,79 @@ def start_semantic_decon_stream(
     )
 
 
+def process_lexical_decon_batch(
+    batch: DataFrame,
+    epoch_id: int,
+    eval_grams: DataFrame,
+    words: list[int],
+    clean_path: str,
+    n: int = 8,
+    max_hits: int = 0,
+    n_bits: int = 1 << 16,
+    k: int = 4,
+) -> None:
+    """One epoch of lexical (word n-gram) decontamination: keep only the
+    batch documents sharing no n-gram with the FIXED evaluation suite
+    and write them as this epoch's partition. The bloom word table and
+    the eval gram relation are loop-invariant (built once per stream);
+    the batch gram stream is pruned map-side against the literal table
+    before the exact verification join — the streaming face of
+    ``operators.contamination.decontaminate_bloom``. Stateless across
+    epochs, so idempotent partition overwrite alone is exactly-once."""
+    from ..operators.contamination import bloom_decontaminate_against
+
+    batch = batch.select("doc_id", "text").localCheckpoint(eager=True)
+    kept = bloom_decontaminate_against(
+        batch, eval_grams, words, "doc_id", "text", n, max_hits, n_bits, k
+    )
+    _write_batch_partition(kept, epoch_id, clean_path)
+
+
+def start_lexical_decon_stream(
+    doc_stream: DataFrame,
+    test_docs: DataFrame,
+    clean_path: str,
+    checkpoint_path: str,
+    n: int = 8,
+    max_hits: int = 0,
+    n_bits: int = 1 << 16,
+    k: int = 4,
+    query_name: str = "continuous_lexical_decon",
+):
+    """Continuous ingest-time lexical decontamination: every arriving
+    micro-batch of documents is n-gram-filtered against the evaluation
+    suite BEFORE it lands in the training store (benchmark leaks never
+    enter the corpus). The suite's distinct grams are pinned and its
+    bloom bit table built ONCE per stream — each epoch pays only the
+    batch-side gram scan, the map-side bloom prune, and the exact
+    verification join over the pruned sliver. Returns the
+    StreamingQuery."""
+    from ..operators.bloomjoin import bloom_build
+    from ..operators.contamination import distinct_grams
+
+    eval_grams = distinct_grams(test_docs, "text", n).localCheckpoint(eager=True)
+    words = bloom_build(eval_grams, "gram", n_bits, k, seed="decon")
+
+    def on_batch(batch: DataFrame, epoch_id: int) -> None:
+        process_lexical_decon_batch(
+            batch, epoch_id, eval_grams, words, clean_path, n, max_hits, n_bits, k
+        )
+
+    return (
+        doc_stream.writeStream.foreachBatch(on_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .queryName(query_name)
+        .start()
+    )
+
+
+def read_clean_docs(spark: SparkSession, clean_path: str) -> DataFrame:
+    """All decontaminated documents ingested so far (union of batch
+    partitions); equals batch-mode ``decontaminate_bloom`` over the
+    same corpus (pinned in tests/test_streaming_semantic.py)."""
+    return spark.read.parquet(clean_path).select("doc_id", "text")
+
+
 def read_clean_vectors(spark: SparkSession, clean_path: str) -> DataFrame:
     """All decontaminated vectors ingested so far (union of batch
     partitions); equals batch-mode ``semantic_decontaminate_banded``

@@ -248,3 +248,85 @@ def test_decon_epoch_replay_is_idempotent(spark, decon_paths):
         map(tuple, SD.read_clean_vectors(spark, decon_paths["clean"]).collect())
     )
     assert before == after
+
+
+# ---------------------------------------------------------------------------
+# Continuous LEXICAL decontamination (ingest-time n-gram filtering via the
+# loop-invariant bloom table)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def lex_paths(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("lexdecon")
+    # distinct-vocab docs plus one leak in batch 1 (doc 3) and one in
+    # batch 2 (doc 15): each shares a 4-gram with the eval suite
+    rows = [(i, f"d{i}a d{i}b d{i}c d{i}d d{i}e d{i}f") for i in range(20)]
+    rows[3] = (3, "prefix secret eval phrase here tail3")
+    rows[15] = (15, "head15 secret eval phrase here suffix")
+    test_rows = [
+        (900, "intro secret eval phrase here outro"),
+        (901, "completely unrelated benchmark item text"),
+    ]
+    schema = "doc_id long, text string"
+    src_dir = d / "docs"
+    spark.createDataFrame(
+        [r for r in rows if r[0] < 10], schema
+    ).coalesce(1).write.mode("append").parquet(str(src_dir))
+    spark.createDataFrame(
+        [r for r in rows if r[0] >= 10], schema
+    ).coalesce(1).write.mode("append").parquet(str(src_dir))
+    return {
+        "src": str(src_dir),
+        "clean": str(d / "clean"),
+        "ckpt": str(d / "ckpt"),
+        "full": spark.createDataFrame(rows, schema),
+        "test": spark.createDataFrame(test_rows, schema),
+    }
+
+
+def test_lexical_decon_stream_equals_batch_mode(spark, lex_paths):
+    from knetminer_etl_spark.operators.contamination import decontaminate_bloom
+
+    stream = SD.read_document_stream(spark, lex_paths["src"])
+    q = SD.start_lexical_decon_stream(
+        stream, lex_paths["test"], lex_paths["clean"], lex_paths["ckpt"], n=4
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    streamed = sorted(
+        r["doc_id"]
+        for r in SD.read_clean_docs(spark, lex_paths["clean"]).collect()
+    )
+    batch_mode = sorted(
+        r["doc_id"]
+        for r in decontaminate_bloom(
+            lex_paths["full"], lex_paths["test"], n=4
+        ).collect()
+    )
+    assert streamed == batch_mode
+    assert 3 not in streamed and 15 not in streamed  # leaks filtered
+    assert len(streamed) == 18
+
+
+def test_lexical_decon_replay_is_idempotent(spark, lex_paths):
+    from knetminer_etl_spark.operators.bloomjoin import bloom_build
+    from knetminer_etl_spark.operators.contamination import distinct_grams
+
+    before = sorted(
+        map(tuple, SD.read_clean_docs(spark, lex_paths["clean"]).collect())
+    )
+    eval_grams = distinct_grams(lex_paths["test"], "text", 4).localCheckpoint(
+        eager=True
+    )
+    words = bloom_build(eval_grams, "gram", seed="decon")
+    batch2 = spark.read.parquet(lex_paths["src"]).filter(F.col("doc_id") >= 10)
+    SD.process_lexical_decon_batch(
+        batch2, 1, eval_grams, words, lex_paths["clean"], n=4
+    )
+    after = sorted(
+        map(tuple, SD.read_clean_docs(spark, lex_paths["clean"]).collect())
+    )
+    assert before == after
