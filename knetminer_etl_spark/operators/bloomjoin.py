@@ -38,13 +38,32 @@ N_BITS_DEFAULT = 1 << 16
 K_DEFAULT = 4
 
 
-def _positions(key: Column, n_bits: int, k: int, seed: str) -> list[Column]:
-    return [
-        md5_hash60(
-            F.concat(F.lit(f"{seed}:{j}:"), key.cast("string"))
-        ).bitwiseAND(F.lit(n_bits - 1))
-        for j in range(k)
-    ]
+def _positions(
+    key: Column, n_bits: int, k: int, seed: str, hash: str = "md5"
+) -> list[Column]:
+    """``hash="md5"``: k independent seeded md5 probes — SQL-reproducible
+    (the oracle can rebuild the identical filter), the default.
+    ``hash="xx"``: Kirsch-Mitzenmacher double hashing over two xxhash64
+    passes (h1 + j·h2, h2 forced odd) — ~one native JVM hash per probe
+    set instead of k md5s over concatenated strings; for filters whose
+    correctness is verified downstream (an exact join on survivors)
+    rather than replicated by the oracle."""
+    if hash == "md5":
+        return [
+            md5_hash60(
+                F.concat(F.lit(f"{seed}:{j}:"), key.cast("string"))
+            ).bitwiseAND(F.lit(n_bits - 1))
+            for j in range(k)
+        ]
+    if hash != "xx":
+        raise ValueError(f"unknown bloom hash: {hash!r}")
+    # reduce mod n_bits BEFORE the j-scaling: (h1 + j·h2) mod m is
+    # unchanged (m is a power of two, mod distributes over + and ×) and
+    # the intermediate stays ≤ k·m — no long overflow under ANSI mode
+    mask = F.lit(n_bits - 1)
+    h1 = F.xxhash64(F.lit(seed), key).bitwiseAND(mask)
+    h2 = F.xxhash64(key, F.lit(seed)).bitwiseOR(F.lit(1)).bitwiseAND(mask)
+    return [(h1 + F.lit(j) * h2).bitwiseAND(mask) for j in range(k)]
 
 
 def bloom_build(
@@ -53,6 +72,7 @@ def bloom_build(
     n_bits: int = N_BITS_DEFAULT,
     k: int = K_DEFAULT,
     seed: str = "bloom",
+    hash: str = "md5",
 ) -> list[int]:
     """The filter as ``n_bits/64`` Python ints (one distributed
     ``bit_or`` aggregate, then a bounded collect). ``n_bits`` must be a
@@ -61,7 +81,7 @@ def bloom_build(
     if n_bits & (n_bits - 1):
         raise ValueError("n_bits must be a power of two")
     pos = F.explode(
-        F.array(*_positions(F.col(key_col), n_bits, k, seed))
+        F.array(*_positions(F.col(key_col), n_bits, k, seed, hash))
     ).alias("_pos")
     words = (
         keys.select(pos)
@@ -93,6 +113,7 @@ def might_contain(
     n_bits: int = N_BITS_DEFAULT,
     k: int = K_DEFAULT,
     seed: str = "bloom",
+    hash: str = "md5",
 ) -> Column:
     """Membership test as a pure Column expression over the literal word
     table — evaluates at scan speed, pushes below any downstream
@@ -104,7 +125,7 @@ def might_contain(
     lut = F.lit([int(w) for w in words])
     masks = F.lit(list(_BIT_MASKS))
     cond: Column | None = None
-    for p in _positions(key, n_bits, k, seed):
+    for p in _positions(key, n_bits, k, seed, hash):
         word = F.element_at(lut, F.shiftright(p, 6).cast("int") + 1)
         mask = F.element_at(masks, p.bitwiseAND(F.lit(63)).cast("int") + 1)
         test = word.bitwiseAND(mask) != 0

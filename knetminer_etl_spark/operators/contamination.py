@@ -122,6 +122,7 @@ def decontaminate_bloom(
     max_hits: int = 0,
     n_bits: int = 1 << 16,
     k: int = 4,
+    hash: str = "xx",
 ) -> DataFrame:
     """:func:`decontaminate` with a bloom runtime filter on the gram
     join — the identical survivor set (the filter never drops a gram
@@ -132,11 +133,14 @@ def decontaminate_bloom(
     * build: one distributed ``bit_or`` aggregate over the evaluation
       side's distinct grams — the shuffle carries the ``n_bits/64``-word
       bit table (KBs), never the gram strings;
-    * prune: a narrow map over the train gram stream (k seeded md5
-      probes into the literal word table) at scan speed, BEFORE any
-      shuffle — the corpus-side gram set (trillions of rows at corpus
-      scale) pays the join exchange only for the ~fpp false-positive
-      tail plus the true hits;
+    * prune: a narrow map over the train gram stream (k double-hashed
+      xxhash64 probes — native JVM hashes, not md5 string digests: the
+      filter's correctness is established by the verification join, so
+      the probes don't need the oracle-reproducible md5 form) into the
+      literal word table at scan speed, BEFORE any shuffle — the
+      corpus-side gram set (trillions of rows at corpus scale) pays the
+      join exchange only for the ~fpp false-positive tail plus the true
+      hits;
     * verify: the surviving sliver takes the exact join from
       :func:`ngram_contamination`'s plan, so the flagged set is
       bit-identical to the unpruned path (the registry entry runs
@@ -147,9 +151,9 @@ def decontaminate_bloom(
     from .bloomjoin import bloom_build
 
     eval_grams = distinct_grams(test, text_col, n)
-    words = bloom_build(eval_grams, "gram", n_bits, k, seed="decon")
+    words = bloom_build(eval_grams, "gram", n_bits, k, seed="decon", hash=hash)
     return bloom_decontaminate_against(
-        train, eval_grams, words, id_col, text_col, n, max_hits, n_bits, k
+        train, eval_grams, words, id_col, text_col, n, max_hits, n_bits, k, hash
     )
 
 
@@ -185,6 +189,7 @@ def bloom_decontaminate_against(
     max_hits: int = 0,
     n_bits: int = 1 << 16,
     k: int = 4,
+    hash: str = "xx",
 ) -> DataFrame:
     """The prune+verify half of :func:`decontaminate_bloom`, against a
     PRE-BUILT filter and gram set — the streaming entry point: a
@@ -194,7 +199,7 @@ def bloom_decontaminate_against(
     from .bloomjoin import might_contain
 
     t_grams = gram_rows(train, text_col, n, id_col).filter(
-        might_contain(F.col("gram"), words, n_bits, k, seed="decon")
+        might_contain(F.col("gram"), words, n_bits, k, seed="decon", hash=hash)
     )
     flagged = (
         t_grams.join(eval_grams, "gram")

@@ -459,7 +459,7 @@ def start_lexical_decon_stream(
     from ..operators.contamination import distinct_grams
 
     eval_grams = distinct_grams(test_docs, "text", n).localCheckpoint(eager=True)
-    words = bloom_build(eval_grams, "gram", n_bits, k, seed="decon")
+    words = bloom_build(eval_grams, "gram", n_bits, k, seed="decon", hash="xx")
 
     def on_batch(batch: DataFrame, epoch_id: int) -> None:
         process_lexical_decon_batch(

@@ -321,7 +321,7 @@ def test_lexical_decon_replay_is_idempotent(spark, lex_paths):
     eval_grams = distinct_grams(lex_paths["test"], "text", 4).localCheckpoint(
         eager=True
     )
-    words = bloom_build(eval_grams, "gram", seed="decon")
+    words = bloom_build(eval_grams, "gram", seed="decon", hash="xx")
     batch2 = spark.read.parquet(lex_paths["src"]).filter(F.col("doc_id") >= 10)
     SD.process_lexical_decon_batch(
         batch2, 1, eval_grams, words, lex_paths["clean"], n=4
