@@ -29,6 +29,8 @@ a north-star scale extension.
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -151,6 +153,48 @@ def mask_sql(bit_expr: str) -> str:
     return (
         f"(CASE WHEN ({bit_expr}) = 63 THEN -9223372036854775807 - 1 "
         f"ELSE (1::BIGINT << CAST({bit_expr} AS INT)) END)"
+    )
+
+
+class BloomSpec(NamedTuple):
+    """A built filter bundled with EVERY parameter that shaped it —
+    probing derives all hashing choices from the spec, so a build/probe
+    parameter mismatch (which fails in the dangerous direction: false
+    negatives, i.e. true hits silently passing the filter) cannot be
+    expressed."""
+
+    words: tuple[int, ...]
+    n_bits: int
+    k: int
+    seed: str
+    hash: str
+
+
+def build_spec(
+    keys: DataFrame,
+    key_col: str,
+    n_bits: int = N_BITS_DEFAULT,
+    k: int = K_DEFAULT,
+    seed: str = "bloom",
+    hash: str = "md5",
+) -> BloomSpec:
+    """:func:`bloom_build` returning a :class:`BloomSpec` — the
+    mismatch-proof form; prefer this for any filter probed elsewhere
+    than the line that built it."""
+    return BloomSpec(
+        tuple(bloom_build(keys, key_col, n_bits, k, seed, hash)),
+        n_bits,
+        k,
+        seed,
+        hash,
+    )
+
+
+def spec_contains(key: Column, spec: BloomSpec) -> Column:
+    """Membership test against a :class:`BloomSpec` (see
+    :func:`might_contain`)."""
+    return might_contain(
+        key, list(spec.words), spec.n_bits, spec.k, spec.seed, spec.hash
     )
 
 

@@ -148,12 +148,15 @@ def decontaminate_bloom(
 
     Size ``n_bits`` for ~10 bits per expected test gram (~1% fpp).
     """
-    from .bloomjoin import bloom_build
+    from .bloomjoin import build_spec
 
-    eval_grams = distinct_grams(test, text_col, n)
-    words = bloom_build(eval_grams, "gram", n_bits, k, seed="decon", hash=hash)
+    # pin the eval gram relation: it feeds BOTH the filter build (an
+    # action) and the verification join — unpinned, the test-side
+    # normalize/tokenize/shingle/distinct pipeline would execute twice
+    eval_grams = distinct_grams(test, text_col, n).localCheckpoint(eager=True)
+    spec = build_spec(eval_grams, "gram", n_bits, k, seed="decon", hash=hash)
     return bloom_decontaminate_against(
-        train, eval_grams, words, id_col, text_col, n, max_hits, n_bits, k, hash
+        train, eval_grams, spec, id_col, text_col, n, max_hits
     )
 
 
@@ -182,24 +185,25 @@ def distinct_grams(df: DataFrame, text_col: str, n: int) -> DataFrame:
 def bloom_decontaminate_against(
     train: DataFrame,
     eval_grams: DataFrame,
-    words: list[int],
+    spec,
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 8,
     max_hits: int = 0,
-    n_bits: int = 1 << 16,
-    k: int = 4,
-    hash: str = "xx",
 ) -> DataFrame:
     """The prune+verify half of :func:`decontaminate_bloom`, against a
     PRE-BUILT filter and gram set — the streaming entry point: a
     continuous ingest filters every micro-batch against the same fixed
     evaluation suite, so the bit table and the gram relation are built
-    once per stream, not once per epoch."""
-    from .bloomjoin import might_contain
+    once per stream, not once per epoch. ``spec`` is a
+    :class:`..bloomjoin.BloomSpec` — the filter travels WITH the
+    parameters that built it, so probe-side hashing can never diverge
+    from the build (a mismatch would fail as silent false negatives:
+    contaminated documents passing the filter undetected)."""
+    from .bloomjoin import spec_contains
 
     t_grams = gram_rows(train, text_col, n, id_col).filter(
-        might_contain(F.col("gram"), words, n_bits, k, seed="decon", hash=hash)
+        spec_contains(F.col("gram"), spec)
     )
     flagged = (
         t_grams.join(eval_grams, "gram")

@@ -107,8 +107,16 @@ def connected_components(
     benchmark dedup graph when two rounds shared one checkpoint).
     """
     rounds_per_check = max(1, rounds_per_check)
-    stats = _stats if _stats is not None else LAST_COMPONENT_STATS
-    stats.clear()
+    # the module-global record is ALWAYS this run's (so readers like
+    # tools/scale_check.py never see a previous run's numbers); a
+    # caller-supplied _stats dict gets the same keys set, nothing cleared
+    LAST_COMPONENT_STATS.clear()
+    sinks = [LAST_COMPONENT_STATS] + ([_stats] if _stats is not None else [])
+
+    def _record(key: str, value: int) -> None:
+        for d in sinks:
+            d[key] = value
+
     # canonical orientation (u > v) + pin: the (possibly expensive)
     # upstream pair pipeline must not re-execute per round — and ids MUST
     # derive from the pinned relation, or the upstream runs a second time.
@@ -121,7 +129,7 @@ def connected_components(
         ).distinct(),
         F.count(F.lit(1)).alias("n"),
     )
-    stats["edges"] = int(em["n"])
+    _record("edges", int(em["n"]))
     ids = e.select(F.col("u").alias("id")).unionByName(
         e.select(F.col("v").alias("id"))
     )
@@ -146,7 +154,7 @@ def connected_components(
         if (fp["n"], fp["h"]) == prev_fp:
             break
         prev_fp = (fp["n"], fp["h"])
-    stats["rounds"] = rounds
+    _record("rounds", rounds)
 
     # at fixpoint e is a star forest: (child, root) with root = component
     # min; nodes absent from e are their own component

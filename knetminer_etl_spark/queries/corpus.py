@@ -943,7 +943,6 @@ def doc_pipeline_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
     gate = (token_count(F.col("text")) >= 20) & (
         digits / F.greatest(F.length("text"), F.lit(1)) <= 0.2
     )
-    quality = docs.filter(gate)
     # checkpoint the two expensive survivor sets to Parquet: each feeds
     # several later stages AND its own count. Unstaged, the near-dup pair
     # pipeline re-executes once per downstream stage; .cache() avoids that

@@ -412,12 +412,10 @@ def process_lexical_decon_batch(
     batch: DataFrame,
     epoch_id: int,
     eval_grams: DataFrame,
-    words: list[int],
+    spec,
     clean_path: str,
     n: int = 8,
     max_hits: int = 0,
-    n_bits: int = 1 << 16,
-    k: int = 4,
 ) -> None:
     """One epoch of lexical (word n-gram) decontamination: keep only the
     batch documents sharing no n-gram with the FIXED evaluation suite
@@ -431,7 +429,7 @@ def process_lexical_decon_batch(
 
     batch = batch.select("doc_id", "text").localCheckpoint(eager=True)
     kept = bloom_decontaminate_against(
-        batch, eval_grams, words, "doc_id", "text", n, max_hits, n_bits, k
+        batch, eval_grams, spec, "doc_id", "text", n, max_hits
     )
     _write_batch_partition(kept, epoch_id, clean_path)
 
@@ -455,15 +453,15 @@ def start_lexical_decon_stream(
     batch-side gram scan, the map-side bloom prune, and the exact
     verification join over the pruned sliver. Returns the
     StreamingQuery."""
-    from ..operators.bloomjoin import bloom_build
+    from ..operators.bloomjoin import build_spec
     from ..operators.contamination import distinct_grams
 
     eval_grams = distinct_grams(test_docs, "text", n).localCheckpoint(eager=True)
-    words = bloom_build(eval_grams, "gram", n_bits, k, seed="decon", hash="xx")
+    spec = build_spec(eval_grams, "gram", n_bits, k, seed="decon", hash="xx")
 
     def on_batch(batch: DataFrame, epoch_id: int) -> None:
         process_lexical_decon_batch(
-            batch, epoch_id, eval_grams, words, clean_path, n, max_hits, n_bits, k
+            batch, epoch_id, eval_grams, spec, clean_path, n, max_hits
         )
 
     return (

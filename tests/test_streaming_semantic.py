@@ -312,7 +312,7 @@ def test_lexical_decon_stream_equals_batch_mode(spark, lex_paths):
 
 
 def test_lexical_decon_replay_is_idempotent(spark, lex_paths):
-    from knetminer_etl_spark.operators.bloomjoin import bloom_build
+    from knetminer_etl_spark.operators.bloomjoin import build_spec
     from knetminer_etl_spark.operators.contamination import distinct_grams
 
     before = sorted(
@@ -321,10 +321,10 @@ def test_lexical_decon_replay_is_idempotent(spark, lex_paths):
     eval_grams = distinct_grams(lex_paths["test"], "text", 4).localCheckpoint(
         eager=True
     )
-    words = bloom_build(eval_grams, "gram", seed="decon", hash="xx")
+    spec = build_spec(eval_grams, "gram", seed="decon", hash="xx")
     batch2 = spark.read.parquet(lex_paths["src"]).filter(F.col("doc_id") >= 10)
     SD.process_lexical_decon_batch(
-        batch2, 1, eval_grams, words, lex_paths["clean"], n=4
+        batch2, 1, eval_grams, spec, lex_paths["clean"], n=4
     )
     after = sorted(
         map(tuple, SD.read_clean_docs(spark, lex_paths["clean"]).collect())
