@@ -40,10 +40,45 @@ class TestConnectedComponents:
         stats: dict = {}
         got = {
             r["id"]: r["component"]
-            for r in G.connected_components(e, _stats=stats).collect()
+            for r in G.connected_components(
+                e, small_graph_threshold=0, _stats=stats
+            ).collect()
         }
         assert got == {i: 0 for i in range(n)}
-        assert stats["rounds"] <= 12, f"took {stats['rounds']} rounds"
+        assert 0 < stats["rounds"] <= 12, f"took {stats['rounds']} rounds"
+
+    def test_small_graph_fast_path_matches_distributed(self, spark):
+        """The bounded driver union-find (default dispatch under
+        small_graph_threshold) must produce the identical min-id labels
+        as the forced star-contraction path — chains, a cycle, a star,
+        isolated nodes from the nodes relation."""
+        e = spark.createDataFrame(
+            [(7, 3), (3, 9), (9, 7),            # cycle  -> min 3
+             (20, 21), (21, 22), (22, 23),      # chain  -> min 20
+             (50, 40), (50, 41), (50, 42)],     # star   -> min 40
+            "src long, dst long",
+        )
+        nodes = spark.createDataFrame(
+            [(i,) for i in (3, 7, 9, 20, 21, 22, 23, 40, 41, 42, 50, 99)],
+            "id long",
+        )
+        stats_fast: dict = {}
+        fast = {
+            r["id"]: r["component"]
+            for r in G.connected_components(
+                e, nodes=nodes, _stats=stats_fast
+            ).collect()
+        }
+        dist = {
+            r["id"]: r["component"]
+            for r in G.connected_components(
+                e, nodes=nodes, small_graph_threshold=0
+            ).collect()
+        }
+        assert fast == dist
+        assert fast[99] == 99  # isolated node is its own component
+        assert stats_fast["rounds"] == 0  # the fast path actually ran
+        assert stats_fast["edges"] == 9
 
     def test_label_propagation_variant_agrees(self, spark, edges, nodes):
         star = {
