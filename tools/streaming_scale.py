@@ -213,15 +213,79 @@ def dedup_run(spark, epochs: int) -> dict:
     }
 
 
+def decon_run(spark, epochs: int) -> dict:
+    """Continuous LEXICAL decontamination: stateless per epoch (the eval
+    suite is loop-invariant), so the claim to verify is that per-epoch
+    wall stays FLAT however much was already ingested — the bit table
+    and eval gram relation are built once, outside the loop."""
+    from pyspark.sql import functions as F
+
+    from knetminer_etl_spark.operators.bloomjoin import build_spec
+    from knetminer_etl_spark.operators.contamination import distinct_grams
+    from knetminer_etl_spark.streaming.dedupe import (
+        process_lexical_decon_batch,
+    )
+
+    base = f"{WORK}/lexdecon"
+    shutil.rmtree(base, ignore_errors=True)
+    clean_path = f"{base}/clean"
+    docs = spark.read.parquet(f"{SRC}/documents.parquet")
+    # eval suite: a fixed 2% slice of the corpus (guaranteed gram hits)
+    test_docs = docs.filter(F.col("doc_id") % 50 == 0).select(
+        "doc_id", "text"
+    )
+    stream_docs = docs.filter(F.col("doc_id") % 50 != 0)
+
+    t0 = time.perf_counter()
+    eval_grams = distinct_grams(test_docs, "text", 8).localCheckpoint(
+        eager=True
+    )
+    spec = build_spec(eval_grams, "gram", seed="decon", hash="xx")
+    setup_sec = round(time.perf_counter() - t0, 3)
+
+    rows = []
+    for e in range(epochs):
+        batch = stream_docs.filter(F.col("doc_id") % epochs == e).select(
+            "doc_id", "text"
+        )
+        mark = time.time()
+        t0 = time.perf_counter()
+        process_lexical_decon_batch(batch, e, eval_grams, spec, clean_path)
+        wall = round(time.perf_counter() - t0, 3)
+        rows.append(
+            {
+                "epoch": e,
+                "wall_sec": wall,
+                "bytes_written": _tree_bytes(base, since=mark),
+            }
+        )
+        print(json.dumps(rows[-1]), file=sys.stderr)
+
+    clean_rows = spark.read.parquet(clean_path).count()
+    first5 = sum(r["wall_sec"] for r in rows[:5]) / 5
+    last5 = sum(r["wall_sec"] for r in rows[-5:]) / 5
+    return {
+        "epochs": epochs,
+        "setup_sec": setup_sec,
+        "clean_rows_end": clean_rows,
+        "wall_first5_avg": round(first5, 3),
+        "wall_last5_avg": round(last5, 3),
+        "wall_growth_factor": round(last5 / first5, 2),
+        "epochs_detail": rows,
+    }
+
+
 def main() -> None:
     kg_epochs = int(sys.argv[1]) if len(sys.argv) > 1 else 100
     dd_epochs = int(sys.argv[2]) if len(sys.argv) > 2 else 50
+    decon_epochs = int(sys.argv[3]) if len(sys.argv) > 3 else 50
     os.makedirs(WORK, exist_ok=True)
     spark = _session()
     out = {
         "sf_dir": SRC,
         "kg": kg_run(spark, kg_epochs),
         "dedup": dedup_run(spark, dd_epochs),
+        "lexical_decon": decon_run(spark, decon_epochs),
     }
     with open(OUT, "w") as fh:
         json.dump(out, fh, indent=1)
@@ -232,6 +296,9 @@ def main() -> None:
         ],
         "kg_compactions": out["kg"]["compactions"],
         "dedup_wall_growth_factor": out["dedup"]["wall_growth_factor"],
+        "lexical_decon_wall_growth_factor": out["lexical_decon"][
+            "wall_growth_factor"
+        ],
     }
     print(json.dumps(summary))
 
