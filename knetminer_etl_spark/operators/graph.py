@@ -190,12 +190,11 @@ def connected_components(
     )
 
 
-def _driver_union_find(e: DataFrame) -> DataFrame:
-    """(id, component) for every node appearing in the (bounded,
-    already-pinned) edge relation ``e`` — path-compressed union-find on
-    the driver, component = min member id, bit-identical to the star
-    contraction's fixpoint labels. The collect is bounded by the
-    caller's ``small_graph_threshold``."""
+def _union_find_min_labels(pairs) -> dict:
+    """Pure path-compressed union-find over an iterable of (u, v) edges:
+    {node: min id of its component} for every node that appears.
+    Property-tested against a BFS reference on arbitrary graphs
+    (tests/test_properties_round7.py)."""
     parent: dict = {}
 
     def find(x):
@@ -206,9 +205,7 @@ def _driver_union_find(e: DataFrame) -> DataFrame:
             parent[x], x = root, parent[x]
         return root
 
-    rows = e.collect()
-    for r in rows:
-        u, v = r["u"], r["v"]
+    for u, v in pairs:
         parent.setdefault(u, u)
         parent.setdefault(v, v)
         ru, rv = find(u), find(v)
@@ -220,14 +217,25 @@ def _driver_union_find(e: DataFrame) -> DataFrame:
         m = comp_min.get(r)
         if m is None or x < m:
             comp_min[r] = x
-    mapping = [(x, comp_min[find(x)]) for x in parent]
+    return {x: comp_min[find(x)] for x in parent}
+
+
+def _driver_union_find(e: DataFrame) -> DataFrame:
+    """(id, component) for every node appearing in the (bounded,
+    already-pinned) edge relation ``e`` — union-find on the driver,
+    component = min member id, bit-identical to the star contraction's
+    fixpoint labels. The collect is bounded by the caller's
+    ``small_graph_threshold``."""
+    labels = _union_find_min_labels(
+        (r["u"], r["v"]) for r in e.collect()
+    )
     schema = T.StructType(
         [
             T.StructField("id", e.schema["u"].dataType),
             T.StructField("component", e.schema["v"].dataType),
         ]
     )
-    return e.sparkSession.createDataFrame(mapping, schema)
+    return e.sparkSession.createDataFrame(sorted(labels.items()), schema)
 
 
 def connected_components_label(

@@ -114,3 +114,62 @@ class TestFixtureMp4:
         assert parsed is not None and parsed[2] == dur
         assert int.from_bytes(data[-8:], "big") == key
         assert len(data) == len(_mp4_container(1, key=0))
+
+
+class TestUnionFindMinLabels:
+    """The bounded-graph dispatch path of connected_components rests on
+    this pure function matching min-reachable-id semantics exactly."""
+
+    @given(
+        edges=st.lists(
+            st.tuples(st.integers(0, 60), st.integers(0, 60)),
+            min_size=0,
+            max_size=120,
+        )
+    )
+    @settings(**_SETTINGS)
+    def test_matches_bfs_reference(self, edges):
+        from knetminer_etl_spark.operators.graph import _union_find_min_labels
+
+        got = _union_find_min_labels(edges)
+        # BFS reference: min reachable id over the undirected graph
+        adj: dict = {}
+        for u, v in edges:
+            adj.setdefault(u, set()).add(v)
+            adj.setdefault(v, set()).add(u)
+        want = {}
+        seen: set = set()
+        for start in adj:
+            if start in seen:
+                continue
+            comp, frontier = [], [start]
+            seen.add(start)
+            while frontier:
+                x = frontier.pop()
+                comp.append(x)
+                for y in adj[x]:
+                    if y not in seen:
+                        seen.add(y)
+                        frontier.append(y)
+            m = min(comp)
+            for x in comp:
+                want[x] = m
+        assert got == want
+
+    @given(
+        edges=st.lists(
+            st.tuples(st.integers(0, 40), st.integers(0, 40)),
+            min_size=1,
+            max_size=80,
+        )
+    )
+    @settings(**_SETTINGS)
+    def test_labels_are_fixpoints(self, edges):
+        # every label is the label of its own label (canonical), and a
+        # component's label is one of its members
+        from knetminer_etl_spark.operators.graph import _union_find_min_labels
+
+        got = _union_find_min_labels(edges)
+        for x, c in got.items():
+            assert got[c] == c
+            assert c <= x
