@@ -113,6 +113,50 @@ def decontaminate(
     return train.join(flagged.select(id_col), id_col, "left_anti")
 
 
+#: eval-gram count above which the exact join stops broadcasting the
+#: test side and the train gram stream would pay a full shuffle — the
+#: crossover where the bloom prune starts winning. ~64-byte grams ×
+#: 5M ≈ 320 MB, past any sane autoBroadcastJoinThreshold.
+BLOOM_DISPATCH_GRAMS = 5_000_000
+
+
+def decontaminate_auto(
+    train: DataFrame,
+    test: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    max_hits: int = 0,
+    dispatch_grams: int = BLOOM_DISPATCH_GRAMS,
+) -> DataFrame:
+    """Size-probed dispatch between the exact gram join and the
+    bloom-pruned plan — the :func:`semantic_decontaminate` ``auto``
+    pattern applied to the lexical pass. Both paths provably emit the
+    same survivor set (tests pin the equality; the bloom registry entry
+    hash-matches the exact oracle at every scale factor), so the probe
+    is purely a physical-plan decision:
+
+    * eval gram set small enough to broadcast → the exact join is
+      cheapest (the bloom's per-gram probes would be pure overhead —
+      measured 2.0 vs 3.3 s on the 10× corpus, SCALE.md);
+    * past ``dispatch_grams`` the exact plan must shuffle the ENTIRE
+      train gram stream; the bloom prunes it map-side first.
+
+    The probe counts the eval side's distinct grams — the small
+    relation by contract (the count rides one bounded job; the gram
+    relation is pinned so the bloom path reuses it without recompute).
+    """
+    eval_grams = distinct_grams(test, text_col, n).localCheckpoint(eager=True)
+    if eval_grams.count() <= dispatch_grams:
+        return decontaminate(train, test, id_col, text_col, n, max_hits)
+    from .bloomjoin import build_spec
+
+    spec = build_spec(eval_grams, "gram", seed="decon", hash="xx")
+    return bloom_decontaminate_against(
+        train, eval_grams, spec, id_col, text_col, n, max_hits
+    )
+
+
 def decontaminate_bloom(
     train: DataFrame,
     test: DataFrame,

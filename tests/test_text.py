@@ -293,6 +293,35 @@ class TestContamination:
         assert bloom == exact
         assert set(exact).isdisjoint({100, 101, 102})
 
+    def test_decontaminate_auto_dispatches_both_ways(self, spark):
+        from knetminer_etl_spark.operators import contamination as CT
+
+        train = spark.createDataFrame(
+            [(i, f"u{i}a u{i}b u{i}c u{i}d u{i}e") for i in range(20)]
+            + [(300, "planted leak gram four five")],
+            "doc_id long, text string",
+        )
+        test = spark.createDataFrame(
+            [(9, "xx planted leak gram four yy")], "doc_id long, text string"
+        )
+        exact = sorted(
+            r["doc_id"] for r in CT.decontaminate(train, test, n=4).collect()
+        )
+        # default threshold: eval grams are few -> exact path
+        auto_exact = sorted(
+            r["doc_id"]
+            for r in CT.decontaminate_auto(train, test, n=4).collect()
+        )
+        # forced tiny threshold -> bloom path; survivors identical
+        auto_bloom = sorted(
+            r["doc_id"]
+            for r in CT.decontaminate_auto(
+                train, test, n=4, dispatch_grams=0
+            ).collect()
+        )
+        assert auto_exact == exact and auto_bloom == exact
+        assert 300 not in exact
+
     def test_decontaminate_bloom_tiny_filter_still_exact(self, spark):
         # undersized filter (64 bits for many grams) → heavy false
         # positives; the exact verification join must still produce the
