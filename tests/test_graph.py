@@ -47,6 +47,14 @@ class TestConnectedComponents:
         assert got == {i: 0 for i in range(n)}
         assert 0 < stats["rounds"] <= 12, f"took {stats['rounds']} rounds"
 
+    def test_empty_edges_all_self_components(self, spark, nodes):
+        e = spark.createDataFrame([], "src long, dst long")
+        got = {
+            r["id"]: r["component"]
+            for r in G.connected_components(e, nodes=nodes).collect()
+        }
+        assert got == {i: i for i in [1, 2, 3, 4, 10, 11, 20]}
+
     def test_small_graph_fast_path_matches_distributed(self, spark):
         """The bounded driver union-find (default dispatch under
         small_graph_threshold) must produce the identical min-id labels
