@@ -77,7 +77,14 @@ def build() -> str:
     with zipfile.ZipFile(out_path, "w", zipfile.ZIP_DEFLATED) as zf:
 
         def add(arcname: str, data: bytes) -> None:
-            zf.writestr(arcname, data)
+            # Fixed timestamp so identical sources produce identical wheel
+            # bytes (zipfile stamps wall-clock time otherwise, which makes
+            # every rebuild — e.g. tests/test_packaging.py under pytest —
+            # dirty the committed artifact).
+            info = zipfile.ZipInfo(arcname, date_time=(1980, 1, 1, 0, 0, 0))
+            info.compress_type = zipfile.ZIP_DEFLATED
+            info.external_attr = 0o644 << 16
+            zf.writestr(info, data)
             record.append((arcname, _record_hash(data), len(data)))
 
         pkg_root = os.path.join(ROOT, PACKAGE)
@@ -107,7 +114,12 @@ def build() -> str:
 
         record_lines = [f"{p},{h},{n}" for p, h, n in record]
         record_lines.append(f"{dist_info}/RECORD,,")
-        zf.writestr(f"{dist_info}/RECORD", "\n".join(record_lines) + "\n")
+        rec_info = zipfile.ZipInfo(
+            f"{dist_info}/RECORD", date_time=(1980, 1, 1, 0, 0, 0)
+        )
+        rec_info.compress_type = zipfile.ZIP_DEFLATED
+        rec_info.external_attr = 0o644 << 16
+        zf.writestr(rec_info, "\n".join(record_lines) + "\n")
 
     return out_path
 
