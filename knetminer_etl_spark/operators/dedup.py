@@ -281,17 +281,49 @@ def segment_dedup(
     )
 
 
+def exact_drop_ids(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Ids of the NON-canonical members of each exact-duplicate group —
+    the complement of :func:`exact_dedup`'s keep set.
+
+    Scale shape: the keep set is corpus-sized (one id per distinct
+    content), so filtering via a semi-join on it re-shuffles the whole
+    corpus. The drop set is only the duplicate members — metadata-sized
+    on real corpora — so the caller's anti-join broadcast-prunes (AQE)
+    instead of sort-merging full text rows. One hash-agg shuffle over
+    (id, content-hash) pairs; ``collect_list`` state is bounded by the
+    largest clone family, the same bound the count aggregate needs.
+    """
+    return (
+        df.select(F.col(id_col), F.md5(F.col(text_col)).alias("_h"))
+        .groupBy("_h")
+        .agg(
+            F.min(id_col).alias("_keep"),
+            F.collect_list(id_col).alias("_all"),
+        )
+        .select(F.explode("_all").alias(id_col), "_keep")
+        .filter(F.col(id_col) != F.col("_keep"))
+        .select(id_col)
+    )
+
+
 def drop_exact_dups(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """The filtered corpus: only canonical representatives survive."""
-    keep = exact_dedup(df, id_col, text_col).select(
-        F.col("keep_id").alias(id_col)
+    """The filtered corpus: only canonical representatives survive.
+
+    Anti-join against the (small) drop set rather than semi-join
+    against the (corpus-sized) keep set — see :func:`exact_drop_ids`.
+    """
+    return df.join(
+        exact_drop_ids(df, id_col, text_col), on=id_col, how="left_anti"
     )
-    return df.join(keep, on=id_col, how="left_semi")
 
 
-def _default_pairs_fn(df, id_col, text_col, k, threshold, direct_max=5_000):
+def _default_pairs_fn(
+    df, id_col, text_col, k, threshold, direct_max=5_000, n_docs=None
+):
     """Size-adaptive candidate generation for the clustering operators:
 
     * corpora of ≤ ``direct_max`` docs → exact shingle-bucket Jaccard
@@ -314,7 +346,12 @@ def _default_pairs_fn(df, id_col, text_col, k, threshold, direct_max=5_000):
     does not scan past ``direct_max + 1`` rows, but it IS an extra job
     on the unpinned input at call time.
     """
-    if df.limit(direct_max + 1).count() <= direct_max:
+    # ``n_docs``: a caller that already knows the corpus size (e.g. a
+    # count riding the previous stage's write as an observe metric)
+    # passes it to skip the probe job entirely.
+    if n_docs is None:
+        n_docs = df.limit(direct_max + 1).count()
+    if n_docs <= direct_max:
         return lambda d: ngram_jaccard_pairs(d, id_col, text_col, k, threshold)
     return lambda d: minhash_lsh_pairs(
         d, id_col, text_col, num_perm=64, bands=32, k=k,
@@ -412,12 +449,30 @@ def drop_near_dups(
     k: int = 3,
     threshold: float = 0.5,
     pairs_fn=None,
+    n_docs: int | None = None,
 ) -> DataFrame:
-    """The near-dup-filtered corpus: one representative per cluster."""
-    keep = near_dup_clusters(df, id_col, text_col, k, threshold, pairs_fn).select(
-        F.col("keep_id").alias(id_col)
+    """The near-dup-filtered corpus: one representative per cluster.
+
+    Filters by ANTI-joining the non-representative members (id ≠ its
+    component min) instead of semi-joining :func:`near_dup_clusters`'s
+    corpus-sized keep set. Because singletons can never be dropped,
+    components only need the nodes that actually appear in a near-dup
+    pair — no full-corpus id union — and the anti-join's build side is
+    just the dropped members (broadcast-pruned by AQE on real corpora,
+    where duplicates are a small fraction). Output rows are identical
+    to the keep-set formulation. ``n_docs``, when the caller already
+    holds the corpus count, skips the size-dispatch probe job.
+    """
+    from .graph import connected_components  # local: avoid cycle at import
+
+    gen = pairs_fn or _default_pairs_fn(
+        df, id_col, text_col, k, threshold, n_docs=n_docs
     )
-    return df.join(keep, on=id_col, how="left_semi")
+    comp = connected_components(gen(df), "id_a", "id_b")
+    drop = comp.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(drop, on=id_col, how="left_anti")
 
 
 # ---------------------------------------------------------------------------

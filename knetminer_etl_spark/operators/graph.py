@@ -150,7 +150,11 @@ def connected_components(
     )
     if nodes is not None:
         ids = ids.unionByName(nodes.select(F.col(node_id).alias("id")))
-    ids = ids.distinct().localCheckpoint(eager=True)
+    # lazy: ids is referenced exactly once (the final label join) in
+    # both branches, and it derives from the PINNED edge relation plus
+    # the caller's node scan — an eager pin here was one extra job +
+    # block write per call with nothing to protect from recompute
+    ids = ids.distinct()
 
     if small_graph_threshold and n_edges <= small_graph_threshold:
         child = _driver_union_find(e)

@@ -965,13 +965,28 @@ def doc_pipeline_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     obs_raw, obs_q, obs_e = Observation(), Observation(), Observation()
     _n = F.count(F.lit(1)).alias("n")
-    docs_seen = docs.observe(obs_raw, _n)
-    quality_seen = docs_seen.filter(gate).observe(obs_q, _n)
-    exact = DD2.drop_exact_dups(quality_seen).observe(obs_e, _n)
+    # the drop-set side is built from the RAW docs, not the gated ones:
+    # the gate is a pure function of text, so every member of an exact-
+    # content group passes or fails together — the drop ids restricted
+    # to quality survivors are identical either way, and skipping the
+    # gate here removes a second full-corpus regex pass from the write
+    # job. Keeping the drop side metric-free also means each
+    # CollectMetrics appears exactly once in the executed plan (a
+    # duplicated observed subtree rests on unspecified duplicate-
+    # observation semantics if a future plan executes only one copy).
+    drop = DD2.exact_drop_ids(docs)
+    quality_seen = docs.observe(obs_raw, _n).filter(gate).observe(obs_q, _n)
+    exact = quality_seen.join(drop, on="doc_id", how="left_anti").observe(
+        obs_e, _n
+    )
     CK.save(exact, f"{ck}/exact")
     exact = CK.load(f"{ck}/exact", spark)
     obs_near = Observation()
-    near = DD2.drop_near_dups(exact, k=3, threshold=0.5).observe(obs_near, _n)
+    # the exact-survivor count rides the staging write just done — hand
+    # it to the size dispatcher so it never runs its own probe job
+    near = DD2.drop_near_dups(
+        exact, k=3, threshold=0.5, n_docs=int(obs_e.get["n"])
+    ).observe(obs_near, _n)
     CK.save(near, f"{ck}/near")
     near = CK.load(f"{ck}/near", spark)
     split = SP3.hash_split(near, "doc_id", _SPLIT_WEIGHTS, seed=_SPLIT_SEED)
