@@ -1296,6 +1296,7 @@ def semantic_dedup(
     seed: int = 0x5EED,
     direct_max: int = 5_000,
     centroids: list[list[float]] | None = None,
+    n_docs: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication over an embedding column
     (Abbas et al. 2023, "SemDeDup: Data-efficient learning at web-scale
@@ -1341,7 +1342,12 @@ def semantic_dedup(
     skip the draw entirely — the frozen-model-state form the
     incremental index (:func:`semantic_band_rows` /
     :func:`incremental_semantic_pairs`) shares so batch and streaming
-    agree. Output: ``(id, cluster, keep)``, one row per input.
+    agree. ``n_docs`` (a count the caller already holds — memoized over
+    an immutable input, or observed on an upstream write) lets the
+    direct/banded dispatch skip its size probe; with ``centroids`` AND
+    ``n_docs`` supplied, a bounded corpus runs as ONE Spark action
+    (see :func:`_direct_semantic_keep`). Output: ``(id, cluster,
+    keep)``, one row per input.
     """
     import math
 
@@ -1351,7 +1357,9 @@ def semantic_dedup(
     )
     if centroids is None:
         if n_clusters == "auto":
-            n_clusters = max(8, int(math.isqrt(vecs.count())))
+            # the auto-k count doubles as the dispatch size — one job
+            n_docs = vecs.count() if n_docs is None else n_docs
+            n_clusters = max(8, int(math.isqrt(n_docs)))
         cent_rows = (
             vecs.orderBy(F.md5(F.col("_id").cast("string")), "_id")
             .limit(n_clusters)
@@ -1366,6 +1374,7 @@ def semantic_dedup(
         n_bands,
         seed,
         direct_max,
+        n_vecs=n_docs,
     )
 
 
@@ -1645,6 +1654,7 @@ def semantic_dedup_kmeans(
     n_bands: int = 32,
     seed: int = 0x5EED,
     direct_max: int = 5_000,
+    n_docs: int | None = None,
 ) -> DataFrame:
     """:func:`semantic_dedup` with TRUE k-means clusters — the paper's
     actual recipe: deterministic Lloyd fit (md5-ordered seeds, fixed
@@ -1665,7 +1675,8 @@ def semantic_dedup_kmeans(
     )
 
     if n_clusters == "auto":
-        n_clusters = max(8, int(math.isqrt(df.count())))
+        n_docs = df.count() if n_docs is None else n_docs
+        n_clusters = max(8, int(math.isqrt(n_docs)))
     cents = kmeans_fit(df, n_clusters, iterations, id_col, vec_col)
     vecs = df.select(
         F.col(id_col).alias("_id"),
@@ -1697,7 +1708,8 @@ def semantic_dedup_kmeans(
             on="_id",
         ).select("_id", "_v", "_n", "cluster")
     return _semantic_keep(
-        staged, id_col, threshold, n_planes, n_bands, seed, direct_max
+        staged, id_col, threshold, n_planes, n_bands, seed, direct_max,
+        n_vecs=n_docs,
     )
 
 
@@ -1741,6 +1753,82 @@ def _verified_drops(
     )
 
 
+def _direct_semantic_keep(
+    staged: DataFrame, id_col: str, threshold: float
+) -> DataFrame:
+    """ONE-ACTION SemDeDup keep rule for bounded corpora: the whole
+    within-cluster verification runs inside a single
+    ``applyInPandas`` pass grouped by cluster — no candidate
+    relation, no pair-to-vector joins, no intermediate pins, no size
+    probes. The plan is scan → narrow assignment → one cluster
+    exchange → Arrow batch per cluster; per-group memory is chunked
+    to O(chunk × |cluster|) doubles, and |cluster| is bounded by the
+    caller's ``direct_max`` dispatch.
+
+    Exactness vs the pair-verified path:
+
+    * dots and norms use the same SEQUENTIAL per-dimension fold as
+      :func:`_pair_dots` / ``_norm`` (bit-identical to the in-plan
+      ``aggregate`` fold — a BLAS matmul would pairwise-sum and
+      drift in the last ulp);
+    * the 6-dp HALF_UP threshold test needs no per-pair rounding:
+      shortest-repr decimal rounding is monotonic, so
+      ``round(cos, 6) >= t  <=>  cos >= t - 5e-7`` exactly (the grid
+      point ``t - 0.0000005`` is the smallest double whose rounded
+      value reaches ``t``);
+    * NULL/ragged contract matches ``zip_with``'s NULL padding: only
+      same-dimension pairs score (cross-dimension cosine is NULL →
+      never a witness), and NaN elements poison their row's scores
+      into never-dropping, exactly like the expression fold;
+    * the witness order is ascending id within (cluster, dim class) —
+      dropped members remain witnesses, as in the banded two-phase
+      scheme and the all-pairs oracle.
+    """
+    from decimal import Decimal
+
+    boundary = float(Decimal(str(threshold)) - Decimal("0.0000005"))
+    id_type = staged.schema["_id"].dataType.simpleString()
+
+    def _keep_rule(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("_id", kind="mergesort").reset_index(drop=True)
+        n = len(pdf)
+        keep = np.ones(n, dtype=bool)
+        vs = pdf["_v"].to_numpy()
+        norms = pdf["_n"].to_numpy(dtype="float64", na_value=np.nan)
+        dims = np.fromiter(
+            (len(v) if v is not None else -1 for v in vs), np.int64, count=n
+        )
+        for d in np.unique(dims[dims >= 0]):
+            idx = np.flatnonzero(dims == d)
+            m = len(idx)
+            if m < 2 or d == 0:
+                continue
+            X = np.stack(vs[idx]).astype(np.float64)
+            N = norms[idx]
+            gpos = np.arange(m)
+            chunk = max(1, (64 << 20) // (8 * m))  # ≤64 MB per dot block
+            for s in range(1, m, chunk):
+                e = min(s + chunk, m)
+                acc = np.zeros((e - s, m))
+                for k in range(d):
+                    acc += X[s:e, k, None] * X[None, :, k]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos = acc / (N[s:e, None] * N[None, :])
+                with np.errstate(invalid="ignore"):
+                    hit = cos >= boundary
+                smaller = gpos[None, :] < gpos[s:e, None]
+                keep[idx[s:e]] &= ~(hit & smaller).any(axis=1)
+        return pd.DataFrame(
+            {"_id": pdf["_id"], "cluster": pdf["cluster"], "keep": keep}
+        )
+
+    return (
+        staged.groupBy("cluster")
+        .applyInPandas(_keep_rule, f"_id {id_type}, cluster int, keep boolean")
+        .select(F.col("_id").alias(id_col), "cluster", "keep")
+    )
+
+
 def _semantic_keep(
     staged: DataFrame,
     id_col: str,
@@ -1749,6 +1837,7 @@ def _semantic_keep(
     n_bands: int,
     seed: int,
     direct_max: int = 5_000,
+    n_vecs: int | None = None,
 ) -> DataFrame:
     """Shared SemDeDup keep rule over a ``(_id, _v, _n, cluster)``
     relation: x survives iff no y < x in its cluster has cos ≥
@@ -1785,6 +1874,13 @@ def _semantic_keep(
     2,200-row relation), producing 4,096-task shuffles of pure
     scheduler overhead.
     """
+    # a caller that already knows the corpus size (immutable input +
+    # memoized count, or a count riding an upstream write) dispatches
+    # with ZERO driver-synchronized jobs before the final action: the
+    # direct branch is single-action and needs no pin at all
+    if n_vecs is not None and n_vecs <= direct_max:
+        return _direct_semantic_keep(staged, id_col, threshold)
+
     # pin: referenced by the pair generator, both verify join sides, and
     # the final output — unpinned, Catalyst re-derives the assignment
     # (and re-scans the corpus) once per reference (audited: 8 scans → 1);
@@ -1814,80 +1910,75 @@ def _semantic_keep(
     #    above.
     n_vecs = int(_am["n"])  # observed during the pin job — no extra action
     if n_vecs <= direct_max:
-        cands = candidate_pairs_from_buckets(
-            assigned.select(F.col("_id").alias("doc_id"), "cluster"),
-            ["cluster"],
-            num_partitions=_parts(n_vecs, 32),
+        # the one-action in-group keep rule, reading the pinned blocks
+        return _direct_semantic_keep(assigned, id_col, threshold)
+    banded = (
+        assigned.select(
+            F.col("_id").alias("doc_id"),
+            "cluster",
+            F.posexplode_outer(
+                sign_lsh_band_buckets("_v", n_planes, n_bands, seed)
+            ).alias("band", "bucket"),
         )
-        dropped_ids = _verified_drops(assigned, cands, threshold)
-    else:
-        banded = (
-            assigned.select(
-                F.col("_id").alias("doc_id"),
-                "cluster",
-                F.posexplode_outer(
-                    sign_lsh_band_buckets("_v", n_planes, n_bands, seed)
-                ).alias("band", "bucket"),
-            )
-            .filter(F.col("bucket").isNotNull())
-        )
-        # Group mins via a codegen'd hash aggregation + co-partitioned
-        # join back — NO object-holding collect buffers anywhere on the
-        # banded path. (The previous collect_set/collect_list member
-        # arrays were the 100x GC hazard: per-group object state scales
-        # with group size and cannot spill, concentrating boxed ids in
-        # one JVM heap — measured bimodal 6x/53x walls at 100x data.
-        # min/count aggregation and sort-merge joins stay on spillable
-        # UnsafeRow state end-to-end, so wall time is reproducible.)
-        keys = ["cluster", "band", "bucket"]
-        banded = banded.repartition(_parts(n_vecs * n_bands, 48), *keys)
-        mins = (
-            banded.groupBy(*keys)
-            .agg(F.min("doc_id").alias("_min"), F.count(F.lit(1)).alias("_k"))
-            .filter(F.col("_k") >= 2)  # singleton buckets pair nothing
-            .drop("_k")
-        )
-        # one row per (bucket, non-min member); both children of the
-        # join are hash-partitioned on the bucket keys by the single
-        # repartition above, so no further exchange. NOT pinned:
-        # localCheckpoint stores deserialized row objects (millions of
-        # on-heap objects at 100x — the GC tail this path exists to
-        # avoid); the banded exchange is instead deduplicated by
-        # ReusedExchange within each action, and shuffle files are
-        # serialized + spillable. Phase 1 and both phase-2 sides share
-        # the one exchange per action.
-        nonmin = banded.join(mins, on=keys).filter(
-            F.col("doc_id") > F.col("_min")
-        )
-        # phase 1: (group min, member) — Σ|group| candidate pairs
-        p1 = nonmin.select(
-            F.col("_min").alias("id_a"), F.col("doc_id").alias("id_b")
-        ).dropDuplicates(["id_a", "id_b"])
-        dropped1 = (
-            _verified_drops(assigned, p1, threshold)
-            .distinct()
-            .localCheckpoint(eager=True)  # joined below AND unioned into output
-        )
-        # phase 2: survivors vs their remaining smaller group members —
-        # Σ|group|·|group survivors| streamed join rows, never
-        # materialized per group. Dropped members stay on the witness
-        # side (they remain valid *witnesses*); the min is excluded from
-        # both sides (phase 1 checked it against everyone).
-        subjects = nonmin.join(
-            dropped1.select(F.col("_id").alias("doc_id")),
-            on="doc_id",
-            how="left_anti",
-        ).select(*keys, F.col("doc_id").alias("id_b"))
-        witnesses = nonmin.select(*keys, F.col("doc_id").alias("id_a"))
-        p2 = (
-            subjects.join(witnesses, on=keys)
-            .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b")
-            .dropDuplicates(["id_a", "id_b"])
-        )
-        dropped_ids = dropped1.unionByName(
-            _verified_drops(assigned, p2, threshold)
-        )
+        .filter(F.col("bucket").isNotNull())
+    )
+    # Group mins via a codegen'd hash aggregation + co-partitioned
+    # join back — NO object-holding collect buffers anywhere on the
+    # banded path. (The previous collect_set/collect_list member
+    # arrays were the 100x GC hazard: per-group object state scales
+    # with group size and cannot spill, concentrating boxed ids in
+    # one JVM heap — measured bimodal 6x/53x walls at 100x data.
+    # min/count aggregation and sort-merge joins stay on spillable
+    # UnsafeRow state end-to-end, so wall time is reproducible.)
+    keys = ["cluster", "band", "bucket"]
+    banded = banded.repartition(_parts(n_vecs * n_bands, 48), *keys)
+    mins = (
+        banded.groupBy(*keys)
+        .agg(F.min("doc_id").alias("_min"), F.count(F.lit(1)).alias("_k"))
+        .filter(F.col("_k") >= 2)  # singleton buckets pair nothing
+        .drop("_k")
+    )
+    # one row per (bucket, non-min member); both children of the
+    # join are hash-partitioned on the bucket keys by the single
+    # repartition above, so no further exchange. NOT pinned:
+    # localCheckpoint stores deserialized row objects (millions of
+    # on-heap objects at 100x — the GC tail this path exists to
+    # avoid); the banded exchange is instead deduplicated by
+    # ReusedExchange within each action, and shuffle files are
+    # serialized + spillable. Phase 1 and both phase-2 sides share
+    # the one exchange per action.
+    nonmin = banded.join(mins, on=keys).filter(
+        F.col("doc_id") > F.col("_min")
+    )
+    # phase 1: (group min, member) — Σ|group| candidate pairs
+    p1 = nonmin.select(
+        F.col("_min").alias("id_a"), F.col("doc_id").alias("id_b")
+    ).dropDuplicates(["id_a", "id_b"])
+    dropped1 = (
+        _verified_drops(assigned, p1, threshold)
+        .distinct()
+        .localCheckpoint(eager=True)  # joined below AND unioned into output
+    )
+    # phase 2: survivors vs their remaining smaller group members —
+    # Σ|group|·|group survivors| streamed join rows, never
+    # materialized per group. Dropped members stay on the witness
+    # side (they remain valid *witnesses*); the min is excluded from
+    # both sides (phase 1 checked it against everyone).
+    subjects = nonmin.join(
+        dropped1.select(F.col("_id").alias("doc_id")),
+        on="doc_id",
+        how="left_anti",
+    ).select(*keys, F.col("doc_id").alias("id_b"))
+    witnesses = nonmin.select(*keys, F.col("doc_id").alias("id_a"))
+    p2 = (
+        subjects.join(witnesses, on=keys)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    dropped_ids = dropped1.unionByName(
+        _verified_drops(assigned, p2, threshold)
+    )
     dropped = dropped_ids.distinct().withColumn("_dropped", F.lit(True))
     return (
         assigned.join(dropped, on="_id", how="left")

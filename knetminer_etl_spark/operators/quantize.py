@@ -316,6 +316,7 @@ def pq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str | None = None,
+    books: list[list[tuple[int, list[float]]]] | None = None,
 ) -> DataFrame:
     """Exact-cosine top-k against the PQ-**reconstructed** corpus
     (queries full-precision — asymmetric distance). Same output
@@ -327,10 +328,16 @@ def pq_topk(
     PQ exists for); a production ADC variant would replace decode+dot
     with per-query lookup tables, an Arrow-batch micro-optimization the
     decode form's codegen already approximates locally.
+
+    Pass pre-trained ``books`` (e.g. via ``runtime.modelcache``) to
+    skip the driver-synchronized Lloyd training jobs — training is
+    deterministic, so a memoized codebook is bit-identical to a fresh
+    one over the same corpus and hyperparameters.
     """
     from .util import fan_out
 
-    books = pq_train(corpus, m, ksub, iterations, id_col, vec_col)
+    if books is None:
+        books = pq_train(corpus, m, ksub, iterations, id_col, vec_col)
     # fan_out BELOW the decode projection: cosine_topk repartitions its
     # input, and a repartition above the (interpreted-HOF) encode/decode
     # map would leave that work on the raw input's partitioning — one
