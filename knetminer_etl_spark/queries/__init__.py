@@ -137,7 +137,7 @@ _PRIORITY = [
     # Round 7 displaced doc_span_scrub_hashed, embedding_lsh_topk and
     # doc_tfidf_terms (same-family peers stay in the prefix) to make
     # room for the three new multimodal entries.
-    "doc_span_scrub_hashed", "embedding_lsh_topk", "doc_tfidf_terms",
+    "doc_span_scrub_parity", "embedding_lsh_topk", "doc_tfidf_terms",
     "q1_pricing_summary", "q13_customer_distribution", "kg_pagerank",
     "minhash_lsh_pairs", "events_tumbling_5m", "doc_split_counts",
     "embedding_semantic_decontamination_banded",

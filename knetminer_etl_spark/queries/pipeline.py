@@ -1386,7 +1386,7 @@ def embedding_semantic_decontamination_banded(
     sign-LSH candidate-blocked operator
     (operators/contamination.semantic_decontaminate_banded) — the scale
     path for when the evaluation suite outgrows per-row brute force.
-    Runs against the BRUTE-FORCE oracle (the doc_span_scrub_hashed
+    Runs against the BRUTE-FORCE oracle (the doc_span_scrub
     evidence pattern): the hash-match is the proof the blocking lost no
     flag (per-pair miss ≤ 2e-8 at cos ≥ 0.95 with 6 planes × 24 bands;
     false flags impossible — candidates verify with the exact cosine)."""
@@ -1653,12 +1653,15 @@ def doc_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     more than once in the corpus is removed except its globally-first
     occurrence. Output is the compact audit (token counts + md5 of the
     scrubbed text); the oracle replays the identical window ranking and
-    span coverage in SQL. ``hash_windows=False`` = oracle-parity mode
-    (text-keyed ranking, bit-certain); the operator's default hashes
-    the window key (8 bytes/window through the shuffle instead of the
-    k-token text — the 100 TB shape), covered by
-    ``doc_span_scrub_hashed`` below against the SAME oracle."""
-    out = DD.repeated_span_scrub(_docs(spark, sf_dir), k=10, hash_windows=False)
+    span coverage in SQL. Runs the operator's DEFAULT hashed-window
+    mode — the ranking shuffle is keyed by ``xxhash64(window)``
+    (constant 8 bytes per window, the 100 TB shape) instead of the
+    k-token window text. Output is identical to the text-keyed parity
+    mode barring a ~n²/2⁶⁵ hash collision, so it runs against the same
+    text-keyed DuckDB oracle — the hash-match IS the evidence the cheap
+    shuffle key loses nothing. ``doc_span_scrub_parity`` keeps the
+    bit-certain text-keyed mode in the oracle sweep."""
+    out = DD.repeated_span_scrub(_docs(spark, sf_dir), k=10, hash_windows=True)
     return out.select(
         "doc_id",
         "n_tokens",
@@ -1667,14 +1670,13 @@ def doc_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).transform(lambda d: UT.pinned_sort(d, "doc_id"))
 
 
-def doc_span_scrub_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """:func:`doc_span_scrub` in the operator's DEFAULT hashed-window
-    mode: shuffle 1 keyed by ``xxhash64(window)`` (constant 8 bytes per
-    window) instead of the k-token window text. Output is identical to
-    parity mode barring a ~n²/2⁶⁵ hash collision, so it runs against
-    the same text-keyed DuckDB oracle — the hash-match IS the evidence
-    the cheap shuffle key loses nothing."""
-    out = DD.repeated_span_scrub(_docs(spark, sf_dir), k=10, hash_windows=True)
+def doc_span_scrub_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """:func:`doc_span_scrub` in the text-keyed ORACLE-PARITY mode
+    (``hash_windows=False``): the window text itself is the ranking
+    key, so equality with the SQL twin is bit-certain rather than
+    collision-bounded. Sweep-only — the headline benches the hashed
+    production mode."""
+    out = DD.repeated_span_scrub(_docs(spark, sf_dir), k=10, hash_windows=False)
     return out.select(
         "doc_id",
         "n_tokens",
@@ -1728,13 +1730,13 @@ ORDER BY t.doc_id
 QUERIES.update(
     {
         "doc_span_scrub": doc_span_scrub,
-        "doc_span_scrub_hashed": doc_span_scrub_hashed,
+        "doc_span_scrub_parity": doc_span_scrub_parity,
     }
 )
 ORACLES.update(
     {
         "doc_span_scrub": DOC_SPAN_SCRUB_SQL,
-        "doc_span_scrub_hashed": DOC_SPAN_SCRUB_SQL,
+        "doc_span_scrub_parity": DOC_SPAN_SCRUB_SQL,
     }
 )
 

@@ -57,7 +57,6 @@ CHECK_QUERIES = [
     "embedding_semantic_dedup",
     "embedding_semantic_dedup_km",
     "doc_span_scrub",
-    "doc_span_scrub_hashed",
     # round-5 operators
     "embedding_semantic_dedup_auto",
     "embedding_semantic_decontamination",
