@@ -144,17 +144,49 @@ def decontaminate_auto(
 
     The probe counts the eval side's distinct grams — the small
     relation by contract (the count rides one bounded job; the gram
-    relation is pinned so the bloom path reuses it without recompute).
+    relation is pinned and BOTH branches consume it, so the probe's
+    materialization is never thrown away).
+
+    The bloom branch sizes its bit table from the measured gram count
+    (~10 bits/gram ≈ 1% fpp, next power of two, capped at
+    :data:`BLOOM_MAX_BITS`): a fixed default in the >``dispatch_grams``
+    regime would saturate (65k bits against 5M+ keys ≈ 100% fill), and
+    a saturated filter passes every train gram — still correct through
+    the exact verification join, but paying probe overhead PLUS the
+    full shuffle the dispatch exists to avoid.
     """
     eval_grams = distinct_grams(test, text_col, n).localCheckpoint(eager=True)
-    if eval_grams.count() <= dispatch_grams:
-        return decontaminate(train, test, id_col, text_col, n, max_hits)
+    n_grams = eval_grams.count()
+    if n_grams <= dispatch_grams:
+        return decontaminate_against(
+            train, eval_grams, id_col, text_col, n, max_hits
+        )
     from .bloomjoin import build_spec
 
-    spec = build_spec(eval_grams, "gram", seed="decon", hash="xx")
+    spec = build_spec(
+        eval_grams,
+        "gram",
+        n_bits=sized_bloom_bits(n_grams),
+        seed="decon",
+        hash="xx",
+    )
     return bloom_decontaminate_against(
         train, eval_grams, spec, id_col, text_col, n, max_hits
     )
+
+
+#: bloom bit-table ceiling (256 Mbit = 32 MB of words — still a sane
+#: broadcast/literal size); past ``BLOOM_MAX_BITS / 10`` grams the fpp
+#: degrades gracefully instead of the table growing unboundedly
+BLOOM_MAX_BITS = 1 << 28
+
+
+def sized_bloom_bits(n_keys: int, bits_per_key: int = 10) -> int:
+    """Bit-table size for ``n_keys``: next power of two ≥
+    ``bits_per_key × n_keys`` (~1% fpp at 10 bits/key with k=4),
+    floored at the 65k default and capped at :data:`BLOOM_MAX_BITS`."""
+    want = max(1 << 16, bits_per_key * max(n_keys, 1))
+    return min(BLOOM_MAX_BITS, 1 << (want - 1).bit_length())
 
 
 def decontaminate_bloom(
@@ -202,6 +234,31 @@ def decontaminate_bloom(
     return bloom_decontaminate_against(
         train, eval_grams, spec, id_col, text_col, n, max_hits
     )
+
+
+def decontaminate_against(
+    train: DataFrame,
+    eval_grams: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    max_hits: int = 0,
+) -> DataFrame:
+    """Exact-join twin of :func:`bloom_decontaminate_against`: drop
+    training documents with more than ``max_hits`` grams in a PRE-BUILT
+    (typically pinned) eval gram relation. Identical survivor set to
+    :func:`decontaminate` — same per-doc-distinct gram explosion, same
+    hit count, no bloom probe — without rebuilding the test side's
+    normalize/tokenize/shingle/distinct pipeline the caller already
+    materialized (the :func:`decontaminate_auto` dispatch probe)."""
+    t_grams = gram_rows(train, text_col, n, id_col)
+    flagged = (
+        t_grams.join(eval_grams, "gram")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_hits"))
+        .filter(F.col("n_hits") > max_hits)
+    )
+    return train.join(flagged.select(id_col), id_col, "left_anti")
 
 
 def gram_rows(df: DataFrame, text_col: str, n: int, *keep: str) -> DataFrame:

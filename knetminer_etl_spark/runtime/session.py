@@ -92,3 +92,25 @@ def release_pinned_rdds(spark: SparkSession) -> int:
         jrdd.unpersist(False)
         n += 1
     return n
+
+
+def release_pin(df) -> bool:
+    """Unpersist the checkpoint RDD backing ONE ``localCheckpoint``'d
+    DataFrame — the scoped counterpart of :func:`release_pinned_rdds`.
+
+    A long-lived stream that pins every micro-batch (the per-epoch
+    ``localCheckpoint(eager=True)`` pattern in ``streaming/dedupe``)
+    otherwise accumulates pinned blocks per epoch until executor
+    storage pressure degrades later batches. Call ONLY once the
+    DataFrame's consumers have fully materialized: the pin is the DF's
+    lineage, so touching it afterwards raises
+    ``checkpointRDDBlockIdNotFound``. Returns False when the plan is
+    not a direct ``LogicalRDD`` pin (nothing released)."""
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        if not plan.getClass().getName().endswith(".LogicalRDD"):
+            return False
+        plan.rdd().unpersist(False)
+        return True
+    except Exception:
+        return False

@@ -28,6 +28,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from ..runtime.session import release_pin
 from pyspark.sql import types as T
 
 from ..operators.dedup import incremental_minhash_pairs, minhash_band_rows
@@ -154,6 +156,10 @@ def process_dedup_batch(
         index_path,
     )
     _write_batch_partition(batch, epoch_id, docs_path)
+    # batch scope is over once its partitions are written: release the
+    # per-epoch pin or a long-lived stream accumulates pinned blocks
+    # until executor storage pressure degrades later batches
+    release_pin(batch)
 
 
 def start_dedup_stream(
@@ -285,6 +291,7 @@ def process_semantic_batch(
         index_path,
     )
     _write_batch_partition(batch, epoch_id, vecs_path)
+    release_pin(batch)  # per-epoch pin — see process_dedup_batch
 
 
 def start_semantic_dedup_stream(
@@ -364,6 +371,7 @@ def process_decon_batch(
         seed=seed,
     )
     _write_batch_partition(kept, epoch_id, clean_path)
+    release_pin(batch)  # per-epoch pin — see process_dedup_batch
 
 
 def start_semantic_decon_stream(
@@ -432,6 +440,7 @@ def process_lexical_decon_batch(
         batch, eval_grams, spec, "doc_id", "text", n, max_hits
     )
     _write_batch_partition(kept, epoch_id, clean_path)
+    release_pin(batch)  # per-epoch pin — see process_dedup_batch
 
 
 def start_lexical_decon_stream(
@@ -441,7 +450,7 @@ def start_lexical_decon_stream(
     checkpoint_path: str,
     n: int = 8,
     max_hits: int = 0,
-    n_bits: int = 1 << 16,
+    n_bits: int | None = None,
     k: int = 4,
     query_name: str = "continuous_lexical_decon",
 ):
@@ -451,12 +460,19 @@ def start_lexical_decon_stream(
     enter the corpus). The suite's distinct grams are pinned and its
     bloom bit table built ONCE per stream — each epoch pays only the
     batch-side gram scan, the map-side bloom prune, and the exact
-    verification join over the pruned sliver. Returns the
-    StreamingQuery."""
+    verification join over the pruned sliver.
+
+    ``n_bits`` defaults to sizing from the MEASURED suite gram count
+    (~10 bits/gram ≈ 1% fpp, the ``decontaminate_auto`` formula) — a
+    fixed table saturates against a large suite and the map-side prune
+    degrades to a no-op that still pays its probes. The count rides the
+    pin the stream already builds. Returns the StreamingQuery."""
     from ..operators.bloomjoin import build_spec
-    from ..operators.contamination import distinct_grams
+    from ..operators.contamination import distinct_grams, sized_bloom_bits
 
     eval_grams = distinct_grams(test_docs, "text", n).localCheckpoint(eager=True)
+    if n_bits is None:
+        n_bits = sized_bloom_bits(eval_grams.count())
     spec = build_spec(eval_grams, "gram", n_bits, k, seed="decon", hash="xx")
 
     def on_batch(batch: DataFrame, epoch_id: int) -> None:
