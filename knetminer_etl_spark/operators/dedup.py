@@ -99,7 +99,12 @@ def read_candidate_metrics(label: str) -> dict:
     different physical path)."""
     row = _obs_row(CANDIDATE_METRICS[label])
     out = dict(row) if row else {}
-    if out and f"{label}:out" in CANDIDATE_METRICS:
+    # out_rows is read independently of the candidate-generation probe:
+    # AQE empty-relation propagation can prune the bucket observation
+    # out of a plan whose candidate relation is empty (e.g. a fully
+    # collapsed clone-family corpus) while the output count still rides
+    # the final plan
+    if f"{label}:out" in CANDIDATE_METRICS:
         orow = _obs_row(CANDIDATE_METRICS[f"{label}:out"])
         if orow:
             out["out_rows"] = orow["rows"]
@@ -634,6 +639,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.7,
     verify: bool = True,
     max_bucket_size: int | None = 4096,
+    collapse: bool = True,
 ) -> DataFrame:
     """Near-dup pairs via banded MinHash LSH.
 
@@ -645,15 +651,126 @@ def minhash_lsh_pairs(
     in) so the output has no LSH false positives; without it the
     signature-estimated Jaccard is reported.
 
+    **Content collapse** (``collapse=True``, the default): documents
+    with IDENTICAL text — the exact-clone families that occupy LSH
+    buckets on real web corpora — are exact Jaccard-twins: equal
+    shingle sets, hence equal signatures (so equal band buckets),
+    Jaccard 1 among themselves, and equal true Jaccard to any third
+    document (Jaccard is a function of the set). Banding, candidate
+    generation, and verification therefore run over ONE representative
+    per distinct text (keyed by a 128-bit double-xxhash64 of the raw
+    text — one hash scan, no extra shingle pass, so a clone-free
+    corpus pays only the scan); members rejoin afterwards, inheriting
+    the representative pair's verified Jaccard, and within-group pairs
+    are emitted directly with Jaccard 1.0. The output is EXACTLY equal
+    to the uncollapsed banded path, pair for pair — identical
+    signatures make even the banding miss pattern identical — while
+    the clone families' candidate bill becomes output (which any exact
+    pair enumeration is lower-bounded by) instead of Σ|bucket|²
+    join work.
+
     ``max_bucket_size`` (default ON at 4096) drops band buckets larger
-    than the cap before pair expansion — the Σ|bucket|² backstop against
-    boilerplate corpora where one band value hashes a large fraction of
-    documents (recall is lost only for pairs whose EVERY matching band
-    is such a mega-bucket; see :func:`candidate_pairs_from_buckets`).
-    Candidate-bill metrics ride the plan under the ``minhash_lsh`` label
-    (:data:`CANDIDATE_METRICS`).
+    than the cap before pair expansion — the Σ|bucket|² backstop
+    against boilerplate corpora where one band value hashes a large
+    fraction of DISTINCT contents (recall is lost only for pairs whose
+    EVERY matching band is such a mega-bucket; clone-family pairs are
+    never lost — they are output, not candidates). Candidate-bill
+    metrics ride the plan under the ``minhash_lsh`` label
+    (:data:`CANDIDATE_METRICS`), counted over representatives.
     Output: ``(id_a, id_b, jaccard)``, id_a < id_b.
     """
+    if not collapse:
+        return observe_output(
+            _minhash_lsh_pairs_direct(
+                df, id_col, text_col, num_perm, bands, k, threshold, verify,
+                max_bucket_size,
+            ),
+            "minhash_lsh",
+        )
+    # 128-bit raw-text key; the pinned member relation is narrow (id +
+    # two longs). Empty-normalized documents are excluded exactly as
+    # the banded path excludes them (_with_shingles drops them before
+    # signing), so the within-group emission can never resurrect a
+    # document the uncollapsed path would not pair.
+    members = (
+        df.filter(normalize_text(F.col(text_col)) != F.lit(""))
+        .select(
+            F.col(id_col).alias("_id"),
+            F.xxhash64(F.col(text_col), F.lit(1)).alias("_g1"),
+            F.xxhash64(F.col(text_col), F.lit(2)).alias("_g2"),
+        )
+        .localCheckpoint(eager=True)  # group-by + both expansion sides
+    )
+    groups = members.groupBy("_g1", "_g2").agg(F.min("_id").alias("_rid"))
+    rep_docs = df.join(
+        groups.select(F.col("_rid").alias(id_col)), on=id_col, how="left_semi"
+    )
+    rep_pairs = _minhash_lsh_pairs_direct(
+        rep_docs, id_col, text_col, num_perm, bands, k, threshold, verify,
+        max_bucket_size,
+    )
+    # expand representative pairs to their members (output-linear): map
+    # each rep id back to its group key, then join the member lists
+    ka = groups.select(
+        F.col("_rid").alias("id_a"),
+        F.col("_g1").alias("_a1"),
+        F.col("_g2").alias("_a2"),
+    )
+    kb = groups.select(
+        F.col("_rid").alias("id_b"),
+        F.col("_g1").alias("_b1"),
+        F.col("_g2").alias("_b2"),
+    )
+    ma = members.select(
+        F.col("_g1").alias("_a1"),
+        F.col("_g2").alias("_a2"),
+        F.col("_id").alias("_ma"),
+    )
+    mb = members.select(
+        F.col("_g1").alias("_b1"),
+        F.col("_g2").alias("_b2"),
+        F.col("_id").alias("_mb"),
+    )
+    cross = (
+        rep_pairs.join(ka, on="id_a")
+        .join(kb, on="id_b")
+        .join(ma, on=["_a1", "_a2"])
+        .join(mb, on=["_b1", "_b2"])
+        .select(
+            F.least("_ma", "_mb").alias("id_a"),
+            F.greatest("_ma", "_mb").alias("id_b"),
+            "jaccard",
+        )
+    )
+    out = cross
+    if threshold <= 1.0:
+        # within-group pairs: identical shingle sets, true Jaccard 1.0 —
+        # streamed as a self-join, never a per-group combination array
+        wa = members.select("_g1", "_g2", F.col("_id").alias("id_a"))
+        wb = members.select("_g1", "_g2", F.col("_id").alias("id_b"))
+        within = (
+            wa.join(wb, on=["_g1", "_g2"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", F.lit(1.0).alias("jaccard"))
+        )
+        out = cross.unionByName(within)
+    return observe_output(out, "minhash_lsh")
+
+
+def _minhash_lsh_pairs_direct(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_perm: int,
+    bands: int,
+    k: int,
+    threshold: float,
+    verify: bool,
+    max_bucket_size: int | None,
+) -> DataFrame:
+    """The uncollapsed banded plan (band → bucket-pair → verify) —
+    :func:`minhash_lsh_pairs`'s engine, run over representatives when
+    content collapse is on."""
     banded = minhash_band_rows(df, id_col, text_col, num_perm, bands, k)
 
     cands = candidate_pairs_from_buckets(
@@ -676,19 +793,15 @@ def minhash_lsh_pairs(
             )
             / F.lit(num_perm)
         )
-        return observe_output(
+        return (
             cands.join(sa, on="id_a")
             .join(sb, on="id_b")
             .withColumn("jaccard", F.round(est, 6))
             .filter(F.col("jaccard") >= threshold)
-            .select("id_a", "id_b", "jaccard"),
-            "minhash_lsh",
+            .select("id_a", "id_b", "jaccard")
         )
 
-    return observe_output(
-        verified_jaccard_pairs(cands, df, id_col, text_col, k, threshold),
-        "minhash_lsh",
-    )
+    return verified_jaccard_pairs(cands, df, id_col, text_col, k, threshold)
 
 
 def verified_jaccard_pairs(
@@ -698,6 +811,7 @@ def verified_jaccard_pairs(
     text_col: str = "text",
     k: int = 3,
     threshold: float = 0.7,
+    hash_shingles: bool = True,
 ) -> DataFrame:
     """True-Jaccard verification of an (id_a, id_b) candidate relation
     against ``corpus`` texts.
@@ -707,7 +821,19 @@ def verified_jaccard_pairs(
     full corpus for each join side costs two extra full scans +
     normalization passes; at 100 TB the candidate set is orders of
     magnitude smaller than the corpus (AQE broadcasts the id set when
-    it fits)."""
+    it fits).
+
+    ``hash_shingles`` (default on) verifies over ``xxhash64`` shingle
+    fingerprints instead of the shingle strings: set sizes and
+    intersection sizes — hence the Jaccard value — are preserved barring
+    a ~|sh|²/2⁶⁵ per-document hash collision (the
+    ``doc_span_scrub``/``repeated_span_scrub`` ranking-key argument; the
+    oracle hash-match at every scale factor is the standing evidence),
+    while the pinned relation and the two verification joins carry
+    8 bytes per shingle instead of the k-token text — at corpus scale
+    the candidate join's shuffle weight is THE verification cost
+    (measured: the 100× minhash tier ships millions of candidate pairs
+    with both shingle arrays attached)."""
     cands = cands.localCheckpoint(eager=True)  # pin: reused by id set + joins
     cand_ids = (
         cands.select(F.col("id_a").alias(id_col))
@@ -715,10 +841,14 @@ def verified_jaccard_pairs(
         .distinct()
     )
     cand_docs = corpus.join(cand_ids, on=id_col, how="left_semi")
+    shing = _with_shingles(cand_docs, id_col, text_col, k)
+    if hash_shingles:
+        shing = shing.select(
+            "_id",
+            F.transform(F.col("_sh"), lambda s: F.xxhash64(s)).alias("_sh"),
+        )
     # pin: referenced by both join sides; bounded by the candidate set
-    shing = _with_shingles(cand_docs, id_col, text_col, k).localCheckpoint(
-        eager=True
-    )
+    shing = shing.localCheckpoint(eager=True)
     sa = shing.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"))
     sb = shing.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"))
     return (
@@ -980,29 +1110,42 @@ def hamming_pairs(
     chunk it agrees on is an oversized bucket. ``metrics_label``
     attaches the candidate-bill probe (:data:`CANDIDATE_METRICS`).
 
+    **Identical-fingerprint collapse** (always on, lossless): exact
+    clone families — the degeneracy that actually produces mega-buckets
+    (constant images, template pages; 890M candidates for 550k
+    fingerprints measured at the 100× tier, SCALE_CHECK_100) — share
+    ONE fingerprint value, so the banding and the bucket self-join run
+    over DISTINCT fingerprints only (one representative each). Members
+    rejoin afterwards: cross-group pairs inherit their representatives'
+    verified distance (equal fingerprints ⇒ equal distance to any third
+    fingerprint — distance is a function of the value), and
+    within-group pairs are emitted directly with hamming 0. The
+    expansion is output-linear, and the candidate bill collapses from
+    Σ|bucket|² over rows to Σ|bucket|² over distinct contents — the
+    remaining quadratic term is the OUTPUT itself, which any exact
+    pair enumeration is lower-bounded by.
+
     Corpus-scale boundary (measured, SCALE_CHECK_100): exactness PINS
     the band count at ``max_hamming+1``, so bucket space per band is
-    2^(nbits/(h+1)) and random-hash candidates grow
-    ∝ bands · n²/2^width once n exceeds the bucket space (h=5 → 10-bit
-    chunks → 890M candidates for 550k fingerprints, still verified
-    cheaply but quadratic). At 100 TB choose a small ``max_hamming``
-    (h=1..3 widens chunks to 32/16 bits — 4.3B/65k buckets) or accept
-    the documented recall trade of ``max_bucket_size``; unlike
-    sign-LSH, the band count cannot be auto-scaled without giving up
-    the no-false-negative guarantee.
+    2^(nbits/(h+1)) and DISTINCT-fingerprint candidates still grow
+    ∝ bands · d²/2^width once the distinct count d exceeds the bucket
+    space. At 100 TB choose a small ``max_hamming`` (h=1..3 widens
+    chunks to 32/16 bits — 4.3B/65k buckets) or accept the documented
+    recall trade of ``max_bucket_size`` (now counted over distinct
+    contents); unlike sign-LSH, the band count cannot be auto-scaled
+    without giving up the no-false-negative guarantee.
     Output: (id_a, id_b, hamming).
     """
-    # Pin the tiny (id, fp) table: chunk buckets can be huge on
-    # self-similar corpora, so candidates come from a bucket SELF-JOIN
-    # (row-streamed; AQE splits hot chunks) rather than per-bucket
-    # combination arrays, whose size is quadratic in the bucket and
-    # caused GC-bound 5x swings. The pin keeps the fingerprint pipeline
-    # from running once per join side.
+    # Pin the tiny (id, fp) table: referenced by the group collapse,
+    # both member-expansion sides, and the within-group self-join — the
+    # fingerprint pipeline must not re-run per reference.
     fp = fp.select(
         F.col(id_col).alias("_hid"), F.col(fp_col).alias("_hfp")
     ).localCheckpoint(eager=True)
+    # one representative (min id) per distinct fingerprint value
+    reps = fp.groupBy("_hfp").agg(F.min("_hid").alias("_hid"))
     banded = hamming_band_rows(
-        fp, "_hid", "_hfp", max_hamming, nbits
+        reps, "_hid", "_hfp", max_hamming, nbits
     ).select(
         F.col("doc_id").alias("_hid"),
         F.col("fp").alias("_hfp"),
@@ -1022,6 +1165,9 @@ def hamming_pairs(
         banded = banded.join(
             F.broadcast(oversized), on=["band", "chunk"], how="left_anti"
         )
+    # bucket SELF-JOIN over representatives (row-streamed; AQE splits
+    # hot chunks) rather than per-bucket combination arrays, whose size
+    # is quadratic in the bucket and caused GC-bound 5x swings
     a = banded.select(
         "band", "chunk", F.col("_hid").alias("id_a"), F.col("_hfp").alias("fp_a")
     )
@@ -1032,9 +1178,10 @@ def hamming_pairs(
         F.col("id_a") < F.col("id_b")
     )
     if metrics_label is not None:
-        # candidate bill = id-ordered join matches before verification
-        # (multi-band repeats included: each IS paid for) — a pure
-        # CollectMetrics node on the existing stream, no extra job
+        # candidate bill = id-ordered join matches before verification,
+        # counted over DISTINCT-fingerprint representatives (multi-band
+        # repeats included: each IS paid for) — a pure CollectMetrics
+        # node on the existing stream, no extra job
         from pyspark.sql import Observation
 
         obs = Observation()
@@ -1042,13 +1189,38 @@ def hamming_pairs(
         joined = joined.observe(
             obs, F.count(F.lit(1)).alias("candidates")
         )
-    out = (
+    rep_pairs = (
         joined
         .withColumn("hamming", F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))))
         .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
-        .dropDuplicates(["id_a", "id_b"])
+        .select("fp_a", "fp_b", "hamming")
+        .dropDuplicates(["fp_a", "fp_b"])
     )
+    # expand representatives back to members: every (a ∈ group A,
+    # b ∈ group B) inherits the verified distance; distinct fp pairs ×
+    # unique fp per doc ⇒ no duplicate id pairs possible
+    ma = fp.select(F.col("_hfp").alias("fp_a"), F.col("_hid").alias("_a"))
+    mb = fp.select(F.col("_hfp").alias("fp_b"), F.col("_hid").alias("_b"))
+    cross = (
+        rep_pairs.join(ma, on="fp_a")
+        .join(mb, on="fp_b")
+        .select(
+            F.least("_a", "_b").alias("id_a"),
+            F.greatest("_a", "_b").alias("id_b"),
+            "hamming",
+        )
+    )
+    # within-group pairs: identical fingerprints, hamming 0 — the true
+    # pair set's clone-family core, streamed as a self-join (never a
+    # per-group combination array)
+    wa = fp.select("_hfp", F.col("_hid").alias("id_a"))
+    wb = fp.select("_hfp", F.col("_hid").alias("id_b"))
+    within = (
+        wa.join(wb, on="_hfp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.lit(0).alias("hamming"))
+    )
+    out = cross.unionByName(within)
     return (
         observe_output(out, metrics_label) if metrics_label is not None else out
     )

@@ -1077,15 +1077,23 @@ def video_dup_pairs(
 
     Blocking is the exact pigeonhole band scheme of
     :func:`~knetminer_etl_spark.operators.dedup.hamming_pairs` applied
-    at FRAME granularity (frames agreeing on ≥1 of max_hamming+1 hash
-    bands meet in a band bucket; cross-video only), then verified with
-    ``bit_count`` and aggregated per video pair — candidate volume is
-    band-bucket-linear, never |videos|² or |frames|².
-    ``max_bucket_size`` drops frame-hash band buckets above the cap
-    before the join (the Σ|bucket|² backstop for static/black-frame
-    corpora where one frame hash dominates); candidate-bill metrics
-    ride under the ``video_frames`` label
-    (``dedup.CANDIDATE_METRICS``). Output:
+    over DISTINCT frame hashes: one representative per hash value is
+    banded (frames agreeing on ≥1 of max_hamming+1 hash bands meet in a
+    band bucket), the matching hash PAIRS are verified with
+    ``bit_count``, and frames rejoin by hash value afterwards —
+    identical hashes (the static/black-frame degeneracy that used to
+    fill one bucket with the whole corpus's frames) pair through the
+    diagonal (h, h) at zero candidate cost, so the candidate volume is
+    quadratic only in DISTINCT hashes per bucket while the frame-level
+    expansion is bounded by the true matched-frame volume the vote
+    aggregation must see anyway. Votes are aggregated per video pair,
+    cross-video only, exactly as before (the collapse is lossless).
+    ``max_bucket_size`` drops DISTINCT-hash band buckets above the cap
+    before the join (the Σ|bucket|² backstop for hash-diverse
+    degeneracy; identical-hash matches are never capped — they are
+    output, not candidates); candidate-bill metrics ride under the
+    ``video_frames`` label (``dedup.CANDIDATE_METRICS``), counted over
+    hash representatives. Output:
     ``(id_a, id_b, matched_frames, frac_a, frac_b)``.
     """
     from .dedup import CANDIDATE_METRICS
@@ -1096,7 +1104,14 @@ def video_dup_pairs(
     n_frames = frames.groupBy("media_id").agg(
         F.count("*").alias("n_frames")
     )
-    banded = video_frame_band_rows(frames, max_hamming)
+    # one representative row per distinct hash; banding/bucket-joins run
+    # over these only
+    reps = frames.select("ahash").distinct().select(
+        F.lit(0).alias("media_id"),
+        F.lit(0).alias("frame_ts_ms"),
+        F.col("ahash"),
+    )
+    banded = video_frame_band_rows(reps, max_hamming)
     if max_bucket_size is not None:
         # oversized buckets are tiny in number by definition (> cap rows
         # each), so the anti-join broadcast never grows with the corpus
@@ -1109,31 +1124,47 @@ def video_dup_pairs(
         banded = banded.join(
             F.broadcast(oversized), on=["band", "chunk"], how="left_anti"
         )
-    a = banded.select(
-        "band",
-        "chunk",
-        F.col("media_id").alias("id_a"),
-        F.col("frame_ts_ms").alias("ts_a"),
-        F.col("ahash").alias("h_a"),
-    )
-    b = banded.select(
-        "band",
-        "chunk",
-        F.col("media_id").alias("id_b"),
-        F.col("frame_ts_ms").alias("ts_b"),
-        F.col("ahash").alias("h_b"),
-    )
+    ra = banded.select("band", "chunk", F.col("ahash").alias("h_a"))
+    rb = banded.select("band", "chunk", F.col("ahash").alias("h_b"))
     from pyspark.sql import Observation
 
     _obs = Observation()
     CANDIDATE_METRICS["video_frames"] = _obs
-    matched = (
-        a.join(b, on=["band", "chunk"])
-        .filter(F.col("id_a") < F.col("id_b"))
+    hash_pairs = (
+        ra.join(rb, on=["band", "chunk"])
+        .filter(F.col("h_a") < F.col("h_b"))
         .observe(_obs, F.count(F.lit(1)).alias("candidates"))
         .filter(
             F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))) <= max_hamming
         )
+        .select("h_a", "h_b")
+        .dropDuplicates(["h_a", "h_b"])
+    )
+    # matching hash pairs = verified cross-hash pairs (both
+    # orientations: a frame's hash may sit on either side) plus the
+    # diagonal — identical hashes always match at hamming 0
+    diag = frames.select(F.col("ahash").alias("h_a")).distinct().select(
+        "h_a", F.col("h_a").alias("h_b")
+    )
+    sym = hash_pairs.unionByName(
+        hash_pairs.select(
+            F.col("h_b").alias("h_a"), F.col("h_a").alias("h_b")
+        )
+    ).unionByName(diag)
+    fa = frames.select(
+        F.col("ahash").alias("h_a"),
+        F.col("media_id").alias("id_a"),
+        F.col("frame_ts_ms").alias("ts_a"),
+    )
+    fb = frames.select(
+        F.col("ahash").alias("h_b"),
+        F.col("media_id").alias("id_b"),
+        F.col("frame_ts_ms").alias("ts_b"),
+    )
+    matched = (
+        sym.join(fa, on="h_a")
+        .join(fb, on="h_b")
+        .filter(F.col("id_a") < F.col("id_b"))
         # one vote per (pair, source frame), counted PER SIDE: a frame
         # matching several target frames (or via several bands) still
         # counts once, and each video's fraction is over ITS OWN

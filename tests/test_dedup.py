@@ -105,17 +105,37 @@ class TestBucketCapAndMetrics:
             "doc_id long, text string",
         )
         df = mono.unionByName(extra)
+        full = {(i, j) for i in range(40) for j in range(i + 1, 40)} | {
+            (100, 101)
+        }
+        # content collapse (default): the clone family bands as ONE
+        # representative, so its pairs are OUTPUT, not candidates — the
+        # cap can no longer cost recall on identical-content corpora
         capped = {
             (r["id_a"], r["id_b"])
             for r in DD.minhash_lsh_pairs(
                 df, threshold=0.9, max_bucket_size=10
             ).collect()
         }
-        assert capped == {(100, 101)}  # mega-cluster dropped, pair kept
+        assert capped == full
+        # distinct contents per bucket (AQE may prune the observation
+        # node entirely when the rep-level candidate relation is empty)
+        m = DD.read_candidate_metrics("minhash_lsh")
+        assert m.get("max_bucket", 1) <= 2
+        # legacy uncollapsed engine: the mega-bucket IS dropped by the
+        # cap (the recall trade the cap documents, now confined to
+        # content-diverse buckets)
+        legacy = {
+            (r["id_a"], r["id_b"])
+            for r in DD.minhash_lsh_pairs(
+                df, threshold=0.9, max_bucket_size=10, collapse=False
+            ).collect()
+        }
+        assert legacy == {(100, 101)}
         uncapped = DD.minhash_lsh_pairs(
-            df, threshold=0.9, max_bucket_size=None
+            df, threshold=0.9, max_bucket_size=None, collapse=False
         ).count()
-        assert uncapped == 40 * 39 // 2 + 1
+        assert uncapped == len(full)
 
     def test_minhash_candidate_metrics(self, spark):
         df = self._mono_corpus(spark, n=10)
@@ -123,23 +143,68 @@ class TestBucketCapAndMetrics:
         n_out = out.count()
         m = DD.read_candidate_metrics("minhash_lsh")
         assert m["out_rows"] == n_out == 45
-        assert m["candidates"] >= 45  # every emitted pair was a candidate
-        assert m["max_bucket"] == 10
+        # ten identical docs collapse to one representative: zero
+        # candidate pairs, singleton buckets — the 45 output pairs are
+        # the within-group expansion (AQE may prune the empty candidate
+        # relation's observation entirely)
+        assert m.get("candidates", 0) == 0
+        assert m.get("max_bucket", 1) == 1
+        # uncollapsed engine pays the quadratic bucket bill for the
+        # same output
+        assert (
+            DD.minhash_lsh_pairs(df, threshold=0.9, collapse=False).count()
+            == 45
+        )
+        m2 = DD.read_candidate_metrics("minhash_lsh")
+        assert m2["candidates"] >= 45 and m2["max_bucket"] == 10
 
     def test_hamming_cap_and_metrics(self, spark):
+        import itertools
+
+        # identical-fingerprint clone family: collapsed to one
+        # representative, so the cap can never drop its (hamming 0)
+        # pairs — they are output, not candidate overhead
         rows = [(i, 0) for i in range(30)] + [(100, 255), (101, 255)]
         fp = spark.createDataFrame(rows, "doc_id long, fp long")
+        full = {(i, j) for i in range(30) for j in range(i + 1, 30)} | {
+            (100, 101)
+        }
         capped = {
             (r["id_a"], r["id_b"])
             for r in DD.hamming_pairs(
                 fp, max_hamming=3, max_bucket_size=8, metrics_label="h_t"
             ).collect()
         }
-        assert capped == {(100, 101)}
+        assert capped == full
         m = DD.read_candidate_metrics("h_t")
-        assert m["candidates"] >= 1 and m["out_rows"] == 1
+        assert m["out_rows"] == len(full)
+        # the cap's recall trade now applies only to DIVERSE near-dup
+        # families: 30 distinct fingerprints agreeing on 3 of 4 bands
+        div = spark.createDataFrame(
+            [(i, i << 48) for i in range(30)] + [(100, 255), (101, 255)],
+            "doc_id long, fp long",
+        )
+        div_capped = {
+            (r["id_a"], r["id_b"])
+            for r in DD.hamming_pairs(
+                div, max_hamming=3, max_bucket_size=8
+            ).collect()
+        }
+        # diverse family's shared buckets are oversized -> its pairs are
+        # lost to the cap; the identical-fp pair survives via collapse
+        assert div_capped == {(100, 101)}
         # uncapped default stays the exact brute-force set
-        assert DD.hamming_pairs(fp, max_hamming=3).count() == 30 * 29 // 2 + 1
+        exact = {
+            (i, j)
+            for i, j in itertools.combinations(range(30), 2)
+            if bin(i ^ j).count("1") <= 3
+        } | {(100, 101)}
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in DD.hamming_pairs(div, max_hamming=3).collect()
+        }
+        assert got == exact
+        assert DD.hamming_pairs(fp, max_hamming=3).count() == len(full)
 
     def test_embedding_cap(self, spark):
         rows = [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(30)] + [
@@ -178,20 +243,21 @@ class TestBucketCapAndMetrics:
             df, frame_pixels_fn=fn, max_hamming=0, min_match_frac=0.5
         ).count()
         assert uncapped == 15  # all pairs match everywhere
-        # candidate bill of the static corpus: C(6,2) video pairs x 5x5
-        # frame combos in the single shared bucket (read BEFORE building
-        # the capped plan: AQE empty-relation propagation prunes the
-        # observe node out of a fully-capped plan)
+        # hash collapse: the static corpus has ONE distinct frame hash,
+        # so the candidate bill is zero — every match flows through the
+        # identical-hash diagonal (output, not candidates)
         m = DD.CANDIDATE_METRICS["video_frames"].get
-        assert m["candidates"] == 15 * 25
+        assert m["candidates"] == 0
+        # and the cap can no longer cost recall on identical-hash
+        # corpora: distinct-hash buckets are all singletons
         capped = MM.video_dup_pairs(
             df,
             frame_pixels_fn=fn,
             max_hamming=0,
             min_match_frac=0.5,
-            max_bucket_size=10,  # 6 videos x 5 frames = 30 > 10 per bucket
+            max_bucket_size=10,
         ).count()
-        assert capped == 0
+        assert capped == 15
 
 
 class TestSimHash:
