@@ -120,12 +120,19 @@ def might_contain(
     """Membership test as a pure Column expression over the literal word
     table — evaluates at scan speed, pushes below any downstream
     shuffle. Never false on a key that was inserted."""
-    # single array LITERALS (not a 1024-child CreateArray): one foldable
-    # expression node, so codegen stays small and element_at reads a
-    # constant — a CreateArray with n_bits/64 children bloats the
-    # generated method past JIT-friendly size
-    lut = F.lit([int(w) for w in words])
-    masks = F.lit(list(_BIT_MASKS))
+    # single expr() strings, not F.lit(list): pyspark expands a list
+    # literal into one Py4J literal call PER ELEMENT — ~0.6 s of pure
+    # driver round-trips for the 1024-word table on every invocation
+    # (measured) — while one SQL string parses JVM-side in microseconds
+    # and constant-folds to the same foldable array
+    lut = F.expr(
+        "array(" + ",".join(f"CAST('{int(w)}' AS BIGINT)" for w in words) + ")"
+    )
+    masks = F.expr(
+        "array("
+        + ",".join(f"CAST('{int(m)}' AS BIGINT)" for m in _BIT_MASKS)
+        + ")"
+    )
     cond: Column | None = None
     for p in _positions(key, n_bits, k, seed, hash):
         word = F.element_at(lut, F.shiftright(p, 6).cast("int") + 1)
