@@ -79,7 +79,15 @@ def ngram_contamination(
         .distinct()
     )
     return (
-        t_grams.join(eval_grams, "gram")
+        # explicit broadcast of the eval gram set: the static size
+        # estimate of the train subtree (repartition under an explode)
+        # is unreliable enough that Spark picked BuildLeft — hashing and
+        # broadcasting the TRAIN gram stream, the corpus-sized side
+        # (measured: 1.36 s vs 0.85 s at sf0.1, and an outright OOM
+        # shape at 100 TB). The eval suite is the small side by
+        # contract (past ~5M grams the caller should be on the bloom
+        # path, see decontaminate_auto), so pin the build side to it.
+        t_grams.join(F.broadcast(eval_grams), "gram")
         .groupBy(id_col)
         .agg(
             F.count("*").alias("n_hits"),
@@ -253,7 +261,11 @@ def decontaminate_against(
     materialized (the :func:`decontaminate_auto` dispatch probe)."""
     t_grams = gram_rows(train, text_col, n, id_col)
     flagged = (
-        t_grams.join(eval_grams, "gram")
+        # eval side ≤ dispatch_grams by contract (the auto dispatch
+        # sends anything larger to the bloom path) — broadcast it
+        # explicitly so the planner can never hash the train stream
+        # (see ngram_contamination)
+        t_grams.join(F.broadcast(eval_grams), "gram")
         .groupBy(id_col)
         .agg(F.count("*").alias("n_hits"))
         .filter(F.col("n_hits") > max_hits)
