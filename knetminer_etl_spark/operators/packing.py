@@ -46,7 +46,14 @@ def with_global_offsets(
     ``key_col`` order, without a global single-reducer sort window."""
     n = partitions or df.sparkSession.sparkContext.defaultParallelism
     ranged = (
-        df.repartitionByRange(n, F.col(key_col))
+        # pin the input projection first: the RangePartitioner's
+        # sampling pass executes the child in full, so an expensive
+        # projection under it (per-row tokenization) would be computed
+        # twice — once to sample, once to shuffle. The pinned relation
+        # is (key, len)-narrow for every current caller, so the extra
+        # storage is bytes per row.
+        df.localCheckpoint(eager=False)
+        .repartitionByRange(n, F.col(key_col))
         .withColumn(_PID, F.spark_partition_id())
         # pin: range boundaries are sampled; the totals pass and the
         # final pass must see the identical partition assignment

@@ -279,9 +279,14 @@ def doc_context_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", TX.token_count(F.col("text")).cast("int").alias("n_tokens")
     )
     out = PK.with_pack_windows(docs, "doc_id", "n_tokens", _PACK_W)
+    # no trailing global sort: the values are order-defined already
+    # (exclusive cumsum in doc_id order) and the compare hash is
+    # row-order-insensitive — a presentation orderBy would re-sample and
+    # re-exchange the corpus-sized result for nothing (the oracle keeps
+    # its ORDER BY; on the bounded DuckDB side it is ~free)
     return out.select(
         "doc_id", "n_tokens", "start_offset", "first_window", "last_window", "n_windows"
-    ).transform(lambda d: UT.pinned_sort(d, "doc_id"))
+    )
 
 
 DOC_CONTEXT_WINDOWS_SQL = f"""
