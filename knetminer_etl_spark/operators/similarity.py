@@ -110,18 +110,25 @@ def cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str | None = None,
+    fanned: bool = False,
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector.
 
     Output: ``(query_id, neighbor_id, cosine, rank)``; self-matches (same
     id) are excluded. The query side is broadcast — use for query sets
     that fit in memory (the usual case); otherwise use :func:`lsh_topk`.
+
+    ``fanned=True`` promises the corpus is already well-partitioned
+    (e.g. the caller fan_out'd below its own projection) — skips the
+    partition-count probe, which costs a full plan→RDD conversion on
+    the driver (expensive when the corpus plan carries a large literal
+    codebook expression).
     """
     qid = query_id_col or id_col
     q = queries.select(
         F.col(qid).alias("query_id"), _dvec(F.col(vec_col)).alias("_qv")
     ).withColumn("_qn", _norm(F.col("_qv")))
-    c = fan_out(corpus).select(
+    c = (corpus if fanned else fan_out(corpus)).select(
         F.col(id_col).alias("neighbor_id"), _dvec(F.col(vec_col)).alias("_cv")
     ).withColumn("_cn", _norm(F.col("_cv")))
     # expression-fold scoring, NOT _pair_dots: the brute path exists for
