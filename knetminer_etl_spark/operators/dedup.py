@@ -613,9 +613,14 @@ def minhash_band_rows(
     corpus. Narrow map over the signatures; bands × rows per doc."""
     rows_per_band = num_perm // bands
     sigs = minhash_signatures(df, id_col, text_col, num_perm, k)
+    # bucket = hash of the band's signature lanes AS LONGS (band id as a
+    # hashed column): the previous concat_ws-of-string-casts built and
+    # hashed a ~40-char string per (doc, band) — pure allocation churn.
+    # Equal lane values still collide to equal buckets per band, so the
+    # blocking semantics (and the banding recall bound) are unchanged.
     entries = ", ".join(
         "named_struct('band', {b}, 'bucket', "
-        "xxhash64(concat_ws(',', {cols}), {b}))".format(
+        "xxhash64({cols}, {b}))".format(
             b=b,
             cols=", ".join(
                 f"signature[{b * rows_per_band + r}]"
@@ -692,16 +697,39 @@ def minhash_lsh_pairs(
     # the banded path excludes them (_with_shingles drops them before
     # signing), so the within-group emission can never resurrect a
     # document the uncollapsed path would not pair.
-    members = (
+    from .util import pin_observe
+
+    members, n_members = pin_observe(
         df.filter(normalize_text(F.col(text_col)) != F.lit(""))
         .select(
             F.col(id_col).alias("_id"),
             F.xxhash64(F.col(text_col), F.lit(1)).alias("_g1"),
             F.xxhash64(F.col(text_col), F.lit(2)).alias("_g2"),
-        )
-        .localCheckpoint(eager=True)  # group-by + both expansion sides
+        ),
+        F.count(F.lit(1)).alias("n"),
+    )  # pinned: group-by + both expansion sides
+    # pinned too: the group relation is referenced three times below
+    # (rep semi-join + both expansion key maps) and would re-run its
+    # exchange per reference; the pin also carries the singleton probe
+    groups, n_groups = pin_observe(
+        members.groupBy("_g1", "_g2").agg(F.min("_id").alias("_rid")),
+        F.count(F.lit(1)).alias("n"),
     )
-    groups = members.groupBy("_g1", "_g2").agg(F.min("_id").alias("_rid"))
+    if n_groups["n"] == n_members["n"]:
+        # every group is a singleton — no exact clones, so every doc is
+        # its own representative: the collapsed plan degenerates to the
+        # direct banded plan pair-for-pair (expansion joins are the
+        # identity, the within-group set is empty). Skip the five joins
+        # and the union outright — the common case on deduplicated or
+        # synthetic corpora, and exactly the regime where the collapse
+        # machinery would be pure overhead.
+        return observe_output(
+            _minhash_lsh_pairs_direct(
+                df, id_col, text_col, num_perm, bands, k, threshold,
+                verify, max_bucket_size,
+            ),
+            "minhash_lsh",
+        )
     rep_docs = df.join(
         groups.select(F.col("_rid").alias(id_col)), on=id_col, how="left_semi"
     )

@@ -442,9 +442,13 @@ def doc_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     train = docs.filter(F.col("split") == "train")
     test = docs.filter(F.col("split") == "test")
+    # no trailing presentation sort: the compare hash is row-order-
+    # insensitive and the report is train-corpus-shaped, so a global
+    # orderBy would re-exchange it for display only (the oracle keeps
+    # its ORDER BY — bounded and ~free on the DuckDB side)
     return CT.ngram_contamination(
         train, test, "doc_id", "text", n=_DECON_N
-    ).transform(lambda d: UT.pinned_sort(d, "doc_id"))
+    )
 
 
 DOC_DECONTAMINATION_SQL = f"""
