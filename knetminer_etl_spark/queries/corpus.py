@@ -19,7 +19,6 @@ from ..operators import contamination as CT
 from ..operators import sampling as SP
 from ..operators import packing as PK
 from ..operators import text as TX
-from ..operators import util as UT
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -125,7 +124,7 @@ def doc_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         F.array_join("fail_reasons", "|").alias("fail_reasons"),
         "passes",
-    ).transform(lambda d: UT.pinned_sort(d, "doc_id"))
+    )
 
 
 _TOKS = "list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')"
@@ -164,7 +163,6 @@ SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
        coalesce(array_to_string(fail_reasons, '|'), '') AS fail_reasons,
        len(fail_reasons) = 0 AS passes
 FROM rules
-ORDER BY doc_id
 """
 
 
@@ -214,10 +212,6 @@ def doc_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5(TX.redact_pii(F.col("aug"))).alias("redacted_md5"),
         )
         .filter("n_urls + n_emails + n_ips + n_phones > 0")
-        # presentation_sort, not orderBy: the 8-pass regex chain sits
-        # directly under the sort, and a range exchange's sampling pass
-        # would run it twice (measured ~2x on this query)
-        .transform(lambda d: UT.pinned_sort(d, "doc_id"))
     )
 
 
@@ -259,7 +253,6 @@ SELECT doc_id, CAST(n_urls AS INT) AS n_urls, CAST(n_emails AS INT) AS n_emails,
        md5(t4) AS redacted_md5
 FROM s4
 WHERE n_urls + n_emails + n_ips + n_phones > 0
-ORDER BY doc_id
 """
 
 
@@ -306,7 +299,6 @@ SELECT doc_id, n_tokens, start_offset,
             THEN floor((start_offset + n_tokens - 1) / {_PACK_W}) - floor(start_offset / {_PACK_W}) + 1
             ELSE 0 END AS BIGINT) AS n_windows
 FROM c
-ORDER BY doc_id
 """
 
 
@@ -330,7 +322,7 @@ def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dup_5gram_char_frac",
         F.array_join("fail_reasons", "|").alias("fail_reasons"),
         "passes",
-    ).transform(lambda d: UT.pinned_sort(d, "doc_id"))
+    )
 
 
 _NORM_SQL = (
@@ -421,7 +413,6 @@ SELECT doc_id,
     CASE WHEN top_3gram_char_frac > 0.18 THEN 'x' END
   ], x -> x IS NOT NULL)) = 0 AS passes
 FROM feats
-ORDER BY doc_id
 """
 
 
@@ -478,7 +469,6 @@ SELECT doc_id, count(*) AS n_hits, CAST(any_value(total_ngrams) AS INT) AS total
        round(count(*) * 1.0 / greatest(any_value(total_ngrams), 1), 6) AS contamination
 FROM train_ex JOIN test_g USING (g)
 GROUP BY doc_id
-ORDER BY doc_id
 """
 
 
@@ -500,7 +490,6 @@ def doc_decontamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         CT3.decontaminate_bloom(train, test, "doc_id", "text", n=_DECON_N)
         .select("doc_id", "n_chars")
-        .transform(lambda d: UT.pinned_sort(d, "doc_id"))
     )
 
 
@@ -530,7 +519,6 @@ WITH split AS (
 )
 SELECT doc_id, n_chars FROM sh
 WHERE split = 'train' AND doc_id NOT IN (SELECT doc_id FROM flagged)
-ORDER BY doc_id
 """
 
 
@@ -674,7 +662,7 @@ def doc_rag_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         "chunk_idx",
         "n_tokens",
         F.md5("chunk_text").alias("chunk_md5"),
-    ).transform(lambda d: UT.pinned_sort(d, "doc_id", "chunk_idx"))
+    )
 
 
 DOC_RAG_CHUNKS_SQL = f"""
@@ -701,7 +689,6 @@ SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
        CAST(len(c) AS INT) AS n_tokens,
        md5(array_to_string(c, ' ')) AS chunk_md5
 FROM ch
-ORDER BY doc_id, chunk_idx
 """
 
 
@@ -792,7 +779,7 @@ def doc_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _docs(spark, sf_dir)
     vocab = LM.unigram_train(docs, vocab_size=_LM_VOCAB)
-    return UT.pinned_sort(LM.lm_score(docs, vocab), "doc_id")
+    return LM.lm_score(docs, vocab)
 
 
 def _lm_sql() -> str:
@@ -814,7 +801,6 @@ SELECT toks.doc_id,
                     / (tot.N + tot.V + 1.0))), 6) AS avg_logprob
 FROM toks LEFT JOIN vocab USING (token) CROSS JOIN tot
 GROUP BY toks.doc_id
-ORDER BY doc_id
 """
 
 
@@ -1127,7 +1113,7 @@ def doc_bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     uni = LM.unigram_train(docs, vocab_size=_LM_VOCAB)
     bi = LM.bigram_train(docs, table_size=2000)
-    return UT.pinned_sort(LM.bigram_score(docs, uni, bi), "doc_id")
+    return LM.bigram_score(docs, uni, bi)
 
 
 def _bigram_lm_sql() -> str:
@@ -1159,7 +1145,6 @@ LEFT JOIN bi ON bi.w1 = dp.w1 AND bi.w2 = dp.w2
 LEFT JOIN vocab ON vocab.token = dp.w1
 CROSS JOIN vtot
 GROUP BY dp.doc_id
-ORDER BY doc_id
 """
 
 

@@ -23,7 +23,6 @@ from ..runtime import catalog as CAT
 from ..operators import dedup as DD
 from ..operators import similarity as SIM
 from ..operators import text as TX
-from ..operators import util as UT
 from ..streaming import events as EV
 
 # ---------------------------------------------------------------------------
@@ -1612,7 +1611,6 @@ def doc_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.length(clean).cast("int").alias("n_clean"),
             F.md5(clean).alias("clean_md5"),
         )
-        .transform(lambda d: UT.pinned_sort(d, "doc_id"))
     )
 
 
@@ -1635,7 +1633,7 @@ WITH h AS (SELECT doc_id, {_HTML_WRAP_SQL} AS html FROM documents),
 c AS (SELECT doc_id, html, {TX.html_extract_sql('html')} AS clean FROM h)
 SELECT doc_id, CAST(length(html) AS INT) AS n_raw,
        CAST(length(clean) AS INT) AS n_clean, md5(clean) AS clean_md5
-FROM c ORDER BY doc_id
+FROM c
 """
 
 QUERIES.update({"doc_html_extract": doc_html_extract})
