@@ -84,6 +84,41 @@ class TestMinHash:
         }
         assert est[(1, 2)] == 1.0
 
+    def test_singleton_dispatch_equals_collapse_and_direct(self, spark):
+        # clone-FREE corpus: the singleton-group probe dispatches past
+        # the collapse machinery; its output must equal both the
+        # uncollapsed engine and the collapse path forced to run (by
+        # adding one clone and filtering its pairs back out)
+        rows = [
+            (1, BASE),
+            (3, BASE.replace("today", "tomorrow")),
+            (4, "completely different text about gardening tulips and soil"),
+            (5, "another unrelated document mentioning orchestras violins"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        via_dispatch = {
+            (r["id_a"], r["id_b"], r["jaccard"])
+            for r in DD.minhash_lsh_pairs(df, threshold=0.5).collect()
+        }
+        direct = {
+            (r["id_a"], r["id_b"], r["jaccard"])
+            for r in DD.minhash_lsh_pairs(
+                df, threshold=0.5, collapse=False
+            ).collect()
+        }
+        assert via_dispatch == direct
+        # force the full collapse path: one exact clone of doc 1 keeps
+        # the group count below the member count
+        with_clone = df.unionByName(
+            spark.createDataFrame([(9, BASE)], "doc_id long, text string")
+        )
+        collapsed = {
+            (r["id_a"], r["id_b"], r["jaccard"])
+            for r in DD.minhash_lsh_pairs(with_clone, threshold=0.5).collect()
+            if 9 not in (r["id_a"], r["id_b"])
+        }
+        assert collapsed == via_dispatch
+
 
 class TestBucketCapAndMetrics:
     """The per-band-bucket cap (Σ|bucket|² backstop) and the
