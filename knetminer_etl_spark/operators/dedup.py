@@ -2250,8 +2250,14 @@ def repeated_span_scrub(
     than k tokens pass through untouched.
     """
     from .text import tokens as _tokens
+    from .util import fan_out
 
-    toks = df.select(
+    # fan_out before the window expansion: building |t|-k+1 k-token
+    # windows per document is the CPU-heavy narrow step, and a
+    # single-file input would otherwise expand on ONE task below the
+    # content-keyed exchange (measured 1.26 -> 0.77 s at sf0.1; a no-op
+    # on well-split inputs at scale)
+    toks = fan_out(df).select(
         F.col(id_col).alias("_id"), _tokens(F.col(text_col)).alias("_t")
     )
     n_win = F.greatest(F.size("_t") - F.lit(k - 1), F.lit(0))
