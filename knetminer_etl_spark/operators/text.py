@@ -221,7 +221,9 @@ def tfidf_top_terms(
     """
     from pyspark.sql import Window
 
-    terms = df.select(
+    # fan_out: tokenization + explode is the CPU-heavy narrow step below
+    # the (doc, term) exchange — single-file inputs would run it one-task
+    terms = fan_out(df).select(
         F.col(id_col),
         F.explode_outer(tokens(normalize_text(F.col(text_col)))).alias("term"),
     ).filter(F.col("term").isNotNull())
@@ -310,7 +312,7 @@ def with_pii_redaction(
     codegen subexpression elimination already shares the progressive
     replace chain across columns, and that single-Project form measures
     FASTER than this staged one; prefer it in hot paths."""
-    out = df.withColumn("__r", F.col(text_col))
+    out = fan_out(df).withColumn("__r", F.col(text_col))
     for name, pat, repl in PII_PATTERNS:
         out = out.withColumns(
             {
@@ -589,7 +591,9 @@ def chunk_documents(
         lambda i: F.slice(F.col("_tok"), i * stride + 1, window),
     )
     return (
-        df.select(F.col(id_col), tokens(F.col(text_col)).alias("_tok"))
+        # fan_out: per-doc window slicing is CPU-bound narrow work and
+        # the operator has no exchange of its own to redistribute it
+        fan_out(df).select(F.col(id_col), tokens(F.col(text_col)).alias("_tok"))
         .filter(F.size("_tok") > 0)
         .select(
             id_col, F.posexplode(chunks).alias("chunk_idx", "_chunk")

@@ -196,7 +196,13 @@ def doc_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Typed PII redaction over the (synthetically PII-augmented) corpus:
     per-type match counts plus an md5 of the fully-redacted text, so the
     oracle checks the exact redacted output, not just the counts."""
-    docs = _docs(spark, sf_dir).withColumn("aug", _augmented_text_spark())
+    from ..operators.util import fan_out
+
+    # fan_out: the whole query is one 8-regex narrow projection — on the
+    # single-file bench input it would run on one task end to end
+    docs = fan_out(_docs(spark, sf_dir)).withColumn(
+        "aug", _augmented_text_spark()
+    )
     counts = TX.pii_counts(F.col("aug"))
     # single-Project form: whole-stage codegen subexpression elimination
     # already shares the progressive replace chain across the count and

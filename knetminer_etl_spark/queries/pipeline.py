@@ -1603,8 +1603,12 @@ def doc_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("</p><div>footer&nbsp;&copy;2024</div></body></html>"),
     )
     clean = TX.html_extract(html)
+    from ..operators.util import fan_out
+
+    # fan_out: the multi-regex extraction program is the whole query —
+    # a single-file input would run it on one task
     return (
-        _docs(spark, sf_dir)
+        fan_out(_docs(spark, sf_dir))
         .select(
             "doc_id",
             F.length(html).cast("int").alias("n_raw"),
