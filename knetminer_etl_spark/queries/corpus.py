@@ -537,9 +537,11 @@ def doc_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 TF-IDF terms per document (smoothed idf, deterministic
     tie-break) — the keyword-extraction building block
     (operators/text.py:tfidf_top_terms)."""
+    # no presentation sort (corpus-sized output, order-insensitive
+    # compare hash; the oracle twin drops its ORDER BY symmetrically)
     return TX.tfidf_top_terms(
         _docs(spark, sf_dir).select("doc_id", "text"), "doc_id", "text", k=3
-    ).orderBy("doc_id", "rank")
+    )
 
 
 DOC_TFIDF_TERMS_SQL = f"""
@@ -566,7 +568,6 @@ SELECT doc_id, CAST(rank AS INT) AS rank, term,
        CAST(tf AS INT) AS tf, CAST(df AS INT) AS df,
        round(tfidf, 6) AS tfidf
 FROM ranked WHERE rank <= 3
-ORDER BY doc_id, rank
 """
 
 
