@@ -48,3 +48,26 @@ def test_no_global_single_partition_sort(spark):
     )
     # the scalable scan must not contain a partitionBy-less global window
     assert "Window [" not in plan or "SinglePartition" not in plan
+
+
+def test_offsets_irregular_keys_vs_python_reference(spark):
+    """Seeded irregular case: non-contiguous keys, shuffled arrival
+    order, zero lengths, skewed sizes — offsets must equal a pure-Python
+    exclusive prefix sum in key order at several partition counts."""
+    import random
+
+    rng = random.Random(82)
+    keys = rng.sample(range(0, 100_000), 400)
+    rows = [(k, rng.choice([0, 1, 3, 7, 1000, 25])) for k in keys]
+    rng.shuffle(rows)
+    df = spark.createDataFrame(rows, "id long, n int")
+    acc, want = 0, {}
+    for k, n in sorted(rows):
+        want[k] = acc
+        acc += n
+    for parts in (1, 3, 32):
+        got = {
+            r["id"]: r["start_offset"]
+            for r in PK.with_global_offsets(df, "id", "n", parts).collect()
+        }
+        assert got == want, f"partitions={parts}"
