@@ -244,6 +244,29 @@ class TestContamination:
         assert out[1]["total_ngrams"] == 3
         assert out[1]["contamination"] == round(1 / 3, 6)
 
+    def test_exact_join_builds_on_the_eval_side(self, spark):
+        """The exact contamination join must hash/broadcast the EVAL
+        gram set, never the train gram stream: the planner's static
+        size estimate under the train-side explode once picked
+        BuildLeft — locally 1.6x slower, an out-of-memory shape at
+        corpus scale. Parquet inputs so scan statistics flow exactly as
+        in production."""
+        from knetminer_etl_spark.operators import contamination as CT
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        train = docs.filter("doc_id % 10 < 8")
+        test = docs.filter("doc_id % 10 = 9")
+        out = CT.ngram_contamination(train, test, n=4)
+        out.count()  # finalize the adaptive plan
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        joins = [
+            line for line in plan.splitlines() if "BroadcastHashJoin" in line
+        ]
+        assert joins, f"expected a broadcast join in:\n{plan[:1500]}"
+        # the stream (train) side carries total_ngrams; a BuildLeft on
+        # this join would hash the corpus-sized relation
+        assert all("BuildRight" in line for line in joins), joins
+
     def test_decontaminate_drops_flagged(self, spark):
         from knetminer_etl_spark.operators import contamination as CT
 
