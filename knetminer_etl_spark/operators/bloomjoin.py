@@ -31,6 +31,8 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -109,6 +111,43 @@ def bloom_build(
 _BIT_MASKS = [1 << b for b in range(63)] + [-(1 << 63)]
 
 
+#: word-table size past which the probe stops inlining a literal array
+#: expression: a 2^26-bit table is 1M BIGINT words ≈ 25 MB of SQL text —
+#: re-parsed by the JVM analyzer on every Dataset method and carried in
+#: every task's serialized plan (the "parses in microseconds" property
+#: measured for the 1024-word table does NOT extrapolate). Above this
+#: the probe switches to an Arrow-batched numpy bit test whose table
+#: ships once per executor with the (auto-broadcast) pickled command.
+LITERAL_WORDS_MAX = 1 << 16
+
+
+def _might_contain_arrow(
+    key: Column, words: list[int], n_bits: int, k: int, seed: str, hash: str
+) -> Column:
+    """Membership test for LARGE word tables: bit positions are computed
+    JVM-side by the same :func:`_positions` expressions (so build/probe
+    hashing can never diverge), batched to Python as one int64 array
+    column, and tested against a closure-held numpy uint64 table —
+    vectorized, and the table crosses the wire once per executor instead
+    of riding every plan tree. Bit-identical to the literal-array probe
+    (tests force both paths over the same spec)."""
+    from pyspark.sql.functions import pandas_udf
+
+    table = np.array([w & 0xFFFFFFFFFFFFFFFF for w in words], dtype=np.uint64)
+
+    @pandas_udf("boolean")
+    def _probe(pos: pd.Series) -> pd.Series:
+        arr = np.stack(pos.to_numpy()).astype(np.uint64)  # (batch, k)
+        hit = np.ones(len(arr), dtype=bool)
+        for j in range(arr.shape[1]):
+            p = arr[:, j]
+            w = table[(p >> np.uint64(6)).astype(np.int64)]
+            hit &= ((w >> (p & np.uint64(63))) & np.uint64(1)).astype(bool)
+        return pd.Series(hit)
+
+    return _probe(F.array(*_positions(key, n_bits, k, seed, hash)))
+
+
 def might_contain(
     key: Column,
     words: list[int],
@@ -117,9 +156,15 @@ def might_contain(
     seed: str = "bloom",
     hash: str = "md5",
 ) -> Column:
-    """Membership test as a pure Column expression over the literal word
-    table — evaluates at scan speed, pushes below any downstream
-    shuffle. Never false on a key that was inserted."""
+    """Membership test over the word table — a pure Column expression
+    (literal array, evaluates at scan speed and pushes below any
+    downstream shuffle) up to :data:`LITERAL_WORDS_MAX` words, then the
+    Arrow-batched probe (:func:`_might_contain_arrow` — a 2^26+-bit
+    table as a literal would put tens of MB of SQL text through the
+    analyzer per plan and into every task). Never false on a key that
+    was inserted, whichever probe runs."""
+    if len(words) > LITERAL_WORDS_MAX:
+        return _might_contain_arrow(key, words, n_bits, k, seed, hash)
     # single expr() strings, not F.lit(list): pyspark expands a list
     # literal into one Py4J literal call PER ELEMENT — ~0.6 s of pure
     # driver round-trips for the 1024-word table on every invocation

@@ -390,6 +390,46 @@ def semantic_contamination(
     )
 
 
+def _auto_decon_shape(
+    n_test: int,
+    threshold: float,
+    target_occupancy: int = 2,
+    miss: float = 1e-6,
+) -> tuple[int, int]:
+    """(n_planes, n_bands) for the banded decontamination, sized from
+    the MEASURED evaluation-suite count — the :func:`..dedup._auto_lsh_shape`
+    treatment applied to the decon band shape (VERDICT r8 #3).
+
+    The candidate bill is cross-side: per band, expected bucket
+    collisions ≈ |train|·|test| / 2^planes under uniform occupancy, so
+    a FIXED plane count is corpus-quadratic once the suite outgrows the
+    2^planes bucket space (measured: 462M candidates / ~30× wall at the
+    100× tier with the static 12×48 shape, SCALE_CHECK_100). Planes
+    therefore grow with log2(|test| / target_occupancy) — expected
+    per-train-row collisions stay ~target_occupancy per band — and
+    bands then restore the per-pair tail recall at the threshold:
+    miss(c) = (1 − p(c)^planes)^bands with p(c) = 1 − acos(c)/π, solved
+    for ``miss`` at c = threshold (the hardest admitted pair). Floors
+    keep small suites on the proven 12×48 default shape; the cap keeps
+    the per-vector BLAS projection bounded. False flags remain
+    impossible at any shape (every candidate verifies with the exact
+    cosine), so the shape is purely a physical-plan choice with a
+    bounded-miss recall story."""
+    import math
+
+    planes = 12
+    if n_test > target_occupancy << 12:
+        planes = max(
+            12, min(28, math.ceil(math.log2(n_test / target_occupancy)))
+        )
+    p = 1.0 - math.acos(min(max(threshold, 0.0), 0.999)) / math.pi
+    per_band = p**planes
+    bands = 48
+    if 0 < per_band < 1:
+        bands = max(48, math.ceil(math.log(miss) / math.log(1.0 - per_band)))
+    return planes, bands
+
+
 def semantic_decontaminate(
     train_vecs: DataFrame,
     test_vecs: DataFrame,
@@ -397,8 +437,8 @@ def semantic_decontaminate(
     vec_col: str = "embedding",
     threshold: float = 0.95,
     mode: str = "auto",
-    n_planes: int = 12,
-    n_bands: int = 48,
+    n_planes: int | str = "auto",
+    n_bands: int | None = None,
     seed: int = 0x5EED,
 ) -> DataFrame:
     """Drop training vectors whose nearest evaluation vector is at
@@ -414,9 +454,11 @@ def semantic_decontaminate(
       while the banded path pays a flat ``n_planes × n_bands`` BLAS
       projection plus only bucket-matched verifications, so brute is
       the cheaper plan only while |test| stays under about one band
-      matrix's worth of work. Crossover pinned at
-      ``|test| ≤ n_planes * n_bands`` (576 at the defaults; measured at
-      10× data: brute 8.64×, banded 1.71× — SCALE.md).
+      matrix's worth of work. Crossover pinned at ``|test| ≤ 576``
+      (one default 12×48 band matrix's worth; measured at 10× data:
+      brute 8.64×, banded 1.71× — SCALE.md). The same probe count
+      sizes the banded shape when ``n_planes="auto"`` (default, see
+      :func:`_auto_decon_shape`) — one bounded job, two decisions.
     * ``"banded"`` — force :func:`semantic_decontaminate_banded` (the
       100 TB shape: the corpus never shuffles, the eval side stays
       broadcast however large the corpus grows).
@@ -425,14 +467,20 @@ def semantic_decontaminate(
       the bit-certain reference the banded path is verified against,
       and the right plan ONLY for small fixed suites.
     """
+    n_test = None
     if mode == "auto":
         # bounded probe: the eval relation is the broadcast side by
-        # contract (benchmarks, not corpora) — counting it is cheap
-        mode = (
-            "brute"
-            if test_vecs.count() <= n_planes * n_bands
-            else "banded"
-        )
+        # contract (benchmarks, not corpora) — counting it is cheap.
+        # The measured count also sizes the banded shape below (one
+        # probe, two decisions — the content_groups pattern).
+        n_test = test_vecs.count()
+        mode = "brute" if n_test <= 576 else "banded"
+    if n_planes == "auto":
+        if n_test is None:
+            n_test = test_vecs.count()
+        n_planes, n_bands = _auto_decon_shape(n_test, threshold)
+    elif n_bands is None:
+        n_bands = 48
     if mode == "banded":
         return semantic_decontaminate_banded(
             train_vecs, test_vecs, id_col, vec_col, threshold,
@@ -452,8 +500,8 @@ def semantic_decontaminate_banded(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
-    n_planes: int = 12,
-    n_bands: int = 48,
+    n_planes: int | str = "auto",
+    n_bands: int | None = None,
     seed: int = 0x5EED,
 ) -> DataFrame:
     """:func:`semantic_decontaminate` with sign-LSH candidate blocking —
@@ -477,7 +525,13 @@ def semantic_decontaminate_banded(
     doc_span_scrub_hashed evidence pattern). False positives cannot
     happen: every candidate is verified with the exact cosine.
 
-    The default band shape is AND-heavy (12 planes per band) on purpose:
+    The band shape defaults to ``n_planes="auto"``: 12×48 while the
+    suite fits the 2^12 bucket space, then planes grow with
+    log2(|test|) and bands restore tail recall
+    (:func:`_auto_decon_shape` — the fix for the measured 462M-candidate
+    / ~30× wall at the 100× tier, where the static shape's bucket
+    occupancy went quadratic). The floor shape is AND-heavy (12 planes
+    per band) on purpose:
     decontamination only cares about the far tail (cos ≥ threshold), so
     unlike near-dup clustering there is no recall budget to spend on
     mid-similarity pairs — random-pair collisions fall ~2^planes while
@@ -487,6 +541,14 @@ def semantic_decontaminate_banded(
     dominating."""
     from .dedup import sign_lsh_band_buckets
     from .similarity import _dvec, _norm, _pair_dots
+
+    if n_planes == "auto":
+        # direct entry: one bounded count of the broadcast-side suite
+        # sizes the shape (callers coming through semantic_decontaminate
+        # arrive with ints — the dispatch probe already paid the count)
+        n_planes, n_bands = _auto_decon_shape(test_vecs.count(), threshold)
+    elif n_bands is None:
+        n_bands = 48
 
     c = train_vecs.select(
         F.col(id_col).alias("_id"), _dvec(F.col(vec_col)).alias("_v")

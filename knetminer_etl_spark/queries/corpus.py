@@ -278,11 +278,11 @@ def doc_context_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", TX.token_count(F.col("text")).cast("int").alias("n_tokens")
     )
     out = PK.with_pack_windows(docs, "doc_id", "n_tokens", _PACK_W)
-    # no trailing global sort: the values are order-defined already
-    # (exclusive cumsum in doc_id order) and the compare hash is
-    # row-order-insensitive — a presentation orderBy would re-sample and
-    # re-exchange the corpus-sized result for nothing (the oracle keeps
-    # its ORDER BY; on the bounded DuckDB side it is ~free)
+    # no trailing global sort ON EITHER SIDE: the values are
+    # order-defined already (exclusive cumsum in doc_id order), the
+    # compare hash is row-order-insensitive, and the SQL twin dropped
+    # its ORDER BY in the same change — a presentation orderBy would
+    # re-sample and re-exchange the corpus-sized result for nothing
     return out.select(
         "doc_id", "n_tokens", "start_offset", "first_window", "last_window", "n_windows"
     )
@@ -439,10 +439,10 @@ def doc_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     train = docs.filter(F.col("split") == "train")
     test = docs.filter(F.col("split") == "test")
-    # no trailing presentation sort: the compare hash is row-order-
+    # no trailing presentation sort ON EITHER SIDE (the SQL twin
+    # dropped its ORDER BY too): the compare hash is row-order-
     # insensitive and the report is train-corpus-shaped, so a global
-    # orderBy would re-exchange it for display only (the oracle keeps
-    # its ORDER BY — bounded and ~free on the DuckDB side)
+    # orderBy would re-exchange it for display only
     return CT.ngram_contamination(
         train, test, "doc_id", "text", n=_DECON_N
     )
