@@ -178,8 +178,8 @@ def candidate_pairs_from_buckets(
 # Hamming blocking (VERDICT r8 #4: one implementation, two callers)
 # ---------------------------------------------------------------------------
 
-#: memoized clone-probe verdicts: (applicationId, canonical plan hash,
-#: sorted input files) -> (has_clones, n_groups). File-backed inputs are
+#: memoized clone-probe statistics: (applicationId, canonical plan hash,
+#: sorted input files) -> (n_groups, n_members, f_max, f2_sum). File-backed inputs are
 #: immutable for a session by the same contract runtime/modelcache
 #: relies on; in-memory relations (inputFiles() == []) are never
 #: memoized, so tests and ad-hoc frames re-probe every call.
@@ -204,51 +204,98 @@ def _clone_memo_key(members: DataFrame) -> tuple | None:
         return None
 
 
+#: within-clone candidate bill (bands × Σ(fᵢ² − fᵢ) over clone families)
+#: above which the collapse machinery always runs. Below it the direct
+#: path's clone candidates are output-scale work, while the collapse
+#: path's probe pin + five expansion joins cost a measured ~1.6 s of
+#: plan latency per call at bench scale — a bad trade until the bill is
+#: millions of verifications.
+CLONE_BILL_BUDGET = 2_000_000
+
+
+def collapse_pays(
+    n_groups: int,
+    n_members: int,
+    f_max: int,
+    f2_sum: int,
+    bands: int,
+    max_bucket_size: int | None,
+) -> bool:
+    """Whether the identical-content collapse machinery (rep banding +
+    member-expansion joins) is worth its plan cost, from the probed
+    clone statistics.
+
+    The collapsed and direct plans are PAIR-IDENTICAL whenever no band
+    bucket overflows ``max_bucket_size`` (identical content ⇒ identical
+    keys ⇒ the direct path emits every clone pair as a verified
+    candidate), so this is a physical-plan choice except at the cap
+    boundary. Two rules force collapse:
+
+    * **bill rule** — the direct path would pay ``bands · Σ(fᵢ²−fᵢ)``
+      within-clone candidates (every band bucket holding family i
+      carries its fᵢ² self-join contribution); past
+      :data:`CLONE_BILL_BUDGET` that quadratic term is exactly what
+      collapse exists to delete (the 20-copy clone corpus: 38M × bands
+      — collapses; the sf0.1 bench corpus: 8 duplicate text rows and a
+      few hundred fingerprint twins — goes direct).
+    * **cap rule** — with ``max_bucket_size`` set, any family larger
+      than cap/4 collapses, preserving the cap-exemption contract
+      ("clone pairs are output, never capped candidates") wherever a
+      family could materially contribute to overflowing a bucket. A
+      direct-dispatched family (≤ cap/4) loses pairs only if EVERY band
+      bucket it occupies is ≥ 3/4 filled with distinct near-identical
+      content — the adversarial-template regime where the cap is
+      documented to trade recall even under collapse."""
+    if n_members <= 0 or n_groups == n_members:
+        return False
+    if max_bucket_size is not None and f_max > max(1, max_bucket_size // 4):
+        return True
+    return bands * (f2_sum - n_members) > CLONE_BILL_BUDGET
+
+
 def content_groups(
     members: DataFrame, key_cols: list[str]
-) -> tuple[DataFrame | None, bool, int]:
-    """``(groups, has_clones, n_groups)`` for a keyed member relation
-    ``(_id, *key_cols)`` — the singleton probe + group derivation of the
-    identical-content collapse, in AT MOST ONE eager job.
+) -> tuple[DataFrame | None, int, int, int, int]:
+    """``(groups, n_groups, n_members, f_max, f2_sum)`` for a keyed member
+    relation ``(_id, *key_cols)`` — the clone-statistics probe + group
+    derivation of the identical-content collapse, in AT MOST ONE eager
+    job.
 
-    ``groups`` is the pinned ``(*key_cols, _rid)`` relation (min ``_id``
-    per distinct key), or ``None`` when a memoized no-clones verdict let
-    the probe be skipped entirely. The probe is ONE ``pin_observe`` job:
-    the group-by runs with ``count`` and ``sum`` of the per-group sizes
+    ``groups`` is the pinned ``(*key_cols, _rid, _n)`` relation (min
+    ``_id`` + member count per distinct key), or ``None`` when a
+    memoized verdict let the probe be skipped. The probe is ONE
+    ``pin_observe`` job: the group-by runs with count / Σsize / max-size
     riding the materialization (VERDICT r8 #1 — the previous shape paid
-    two eager jobs, pin members then pin groups, just to discover every
-    group was a singleton). Verdicts are memoized per (application,
-    plan, input files) à la ``runtime/modelcache``, so repeat calls over
-    the same immutable input skip even that one job. The verdict only
-    dispatches between physical plans — collapsed and direct paths are
-    pair-for-pair equal — so a stale memo could never change output,
-    only plan choice."""
+    two eager jobs just to discover every group was a singleton). Stats
+    are memoized per (application, plan, input files) à la
+    ``runtime/modelcache``, so repeat calls over the same immutable
+    input skip even that job (``groups`` comes back ``None``; callers
+    that still need it derive it from the memoized verdict). The stats
+    only pick between physical plans — collapsed and direct paths are
+    pair-for-pair equal (see :func:`collapse_pays`) — so a stale memo
+    could never change output, only plan choice."""
     from .util import pin_observe
 
     key = _clone_memo_key(members)
     cached = _CLONE_VERDICTS.get(key) if key is not None else None
     if cached is not None:
-        has_clones, n_groups = cached
-        if not has_clones:
-            return None, False, n_groups
-        groups = (
-            members.groupBy(*key_cols)
-            .agg(F.min("_id").alias("_rid"))
-            .localCheckpoint(eager=True)
-        )
-        return groups, True, n_groups
+        return (None, *cached)
     groups, m = pin_observe(
         members.groupBy(*key_cols).agg(
             F.min("_id").alias("_rid"), F.count(F.lit(1)).alias("_n")
         ),
         F.count(F.lit(1)).alias("groups"),
         F.sum("_n").alias("members"),
+        F.max("_n").alias("fmax"),
+        F.sum(F.col("_n") * F.col("_n")).alias("f2"),
     )
     n_groups = int(m["groups"] or 0)
-    has_clones = n_groups != int(m["members"] or 0)
+    n_members = int(m["members"] or 0)
+    f_max = int(m["fmax"] or 0)
+    f2_sum = int(m["f2"] or 0)
     if key is not None:
-        _CLONE_VERDICTS[key] = (has_clones, n_groups)
-    return groups, has_clones, n_groups
+        _CLONE_VERDICTS[key] = (n_groups, n_members, f_max, f2_sum)
+    return groups, n_groups, n_members, f_max, f2_sum
 
 
 def expand_group_pairs(
@@ -838,21 +885,33 @@ def minhash_lsh_pairs(
         F.xxhash64(F.col(text_col), F.lit(1)).alias("_g1"),
         F.xxhash64(F.col(text_col), F.lit(2)).alias("_g2"),
     )
-    groups, has_clones, _ = content_groups(keyed, ["_g1", "_g2"])
-    if not has_clones:
-        # every group is a singleton — no exact clones, so every doc is
-        # its own representative: the collapsed plan degenerates to the
-        # direct banded plan pair-for-pair (expansion joins are the
-        # identity, the within-group set is empty). Skip the joins and
-        # the union outright — the common case on deduplicated or
-        # synthetic corpora, and exactly the regime where the collapse
-        # machinery would be pure overhead.
+    groups, n_groups, n_members, f_max, f2_sum = content_groups(
+        keyed, ["_g1", "_g2"]
+    )
+    if not collapse_pays(
+        n_groups, n_members, f_max, f2_sum, bands, max_bucket_size
+    ):
+        # clone-free or sparse-clone corpus: the direct banded plan is
+        # pair-for-pair identical (identical texts band identically and
+        # verify at Jaccard 1.0 as ordinary candidates) and skips the
+        # probe pin, five joins, and the union — the common case on
+        # deduplicated or lightly-duplicated corpora, exactly the regime
+        # where the collapse machinery is pure overhead (see
+        # collapse_pays for the cap-contract boundary).
         return observe_output(
             _minhash_lsh_pairs_direct(
                 df, id_col, text_col, num_perm, bands, k, threshold,
-                verify, max_bucket_size,
+                verify, max_bucket_size, n_docs=n_members or None,
             ),
             "minhash_lsh",
+        )
+    if groups is None:
+        # memoized collapse verdict: re-derive the pinned group relation
+        # (the probe job was skipped)
+        groups = (
+            keyed.groupBy("_g1", "_g2")
+            .agg(F.min("_id").alias("_rid"))
+            .localCheckpoint(eager=True)
         )
     # pinned: both expansion sides + the within self-join reference the
     # member relation; unpinned each would re-run the hash scan
@@ -862,7 +921,7 @@ def minhash_lsh_pairs(
     )
     rep_pairs = _minhash_lsh_pairs_direct(
         rep_docs, id_col, text_col, num_perm, bands, k, threshold, verify,
-        max_bucket_size,
+        max_bucket_size, n_docs=n_groups or None,
     )
     # map each rep id back to its group key, then expand to members
     # (output-linear; see expand_group_pairs)
@@ -906,6 +965,7 @@ def _minhash_lsh_pairs_direct(
     threshold: float,
     verify: bool,
     max_bucket_size: int | None,
+    n_docs: int | None = None,
 ) -> DataFrame:
     """The uncollapsed banded plan (band → bucket-pair → verify) —
     :func:`minhash_lsh_pairs`'s engine, run over representatives when
@@ -940,7 +1000,19 @@ def _minhash_lsh_pairs_direct(
             .select("id_a", "id_b", "jaccard")
         )
 
-    return verified_jaccard_pairs(cands, df, id_col, text_col, k, threshold)
+    return verified_jaccard_pairs(
+        cands, df, id_col, text_col, k, threshold, n_docs=n_docs
+    )
+
+
+#: corpus size under which the verification shingles the WHOLE corpus
+#: instead of semi-joining it down to candidate members first: below it
+#: the semi-join saves less shingling than its two driver-synchronized
+#: jobs cost (the candidate pin + the id-set distinct), and leaving the
+#: candidate relation single-referenced fuses its generation into the
+#: final join action (measured: 2.73 → ~2.1 s for the sf0.1 bench
+#: minhash entry).
+VERIFY_FULL_SHINGLE_MAX = 100_000
 
 
 def verified_jaccard_pairs(
@@ -951,6 +1023,7 @@ def verified_jaccard_pairs(
     k: int = 3,
     threshold: float = 0.7,
     hash_shingles: bool = True,
+    n_docs: int | None = None,
 ) -> DataFrame:
     """True-Jaccard verification of an (id_a, id_b) candidate relation
     against ``corpus`` texts.
@@ -972,14 +1045,27 @@ def verified_jaccard_pairs(
     8 bytes per shingle instead of the k-token text — at corpus scale
     the candidate join's shuffle weight is THE verification cost
     (measured: the 100× minhash tier ships millions of candidate pairs
-    with both shingle arrays attached)."""
-    cands = cands.localCheckpoint(eager=True)  # pin: reused by id set + joins
-    cand_ids = (
-        cands.select(F.col("id_a").alias(id_col))
-        .unionByName(cands.select(F.col("id_b").alias(id_col)))
-        .distinct()
-    )
-    cand_docs = corpus.join(cand_ids, on=id_col, how="left_semi")
+    with both shingle arrays attached).
+
+    ``n_docs`` (when the caller already measured the corpus — the
+    content_groups probe, a memoized count, an observe riding an
+    upstream write) picks between two verification shapes with
+    identical output: corpora ≤ :data:`VERIFY_FULL_SHINGLE_MAX` shingle
+    the whole corpus and keep the candidate relation single-referenced
+    (no pin — candidate generation fuses into the final join action);
+    larger or unmeasured corpora pin the candidates and semi-join the
+    corpus down first, the 100 TB shape (candidates ≪ corpus, so the
+    saved shingling dwarfs the pin)."""
+    if n_docs is not None and n_docs <= VERIFY_FULL_SHINGLE_MAX:
+        cand_docs = corpus
+    else:
+        cands = cands.localCheckpoint(eager=True)  # pin: id set + joins
+        cand_ids = (
+            cands.select(F.col("id_a").alias(id_col))
+            .unionByName(cands.select(F.col("id_b").alias(id_col)))
+            .distinct()
+        )
+        cand_docs = corpus.join(cand_ids, on=id_col, how="left_semi")
     shing = _with_shingles(cand_docs, id_col, text_col, k)
     if hash_shingles:
         shing = shing.select(
@@ -1358,24 +1444,32 @@ def hamming_pairs(
     """
     keyed = fp.select(F.col(id_col).alias("_id"), F.col(fp_col).alias("_hfp"))
     # ONE eager job at most: group-by distinct fingerprint with the
-    # clone verdict + distinct count riding the pin (content_groups); a
-    # memoized no-clones verdict skips even that, pinning the raw keyed
-    # relation instead (no exchange — the r7 plan).
-    groups, has_clones, n_distinct = content_groups(keyed, ["_hfp"])
+    # clone statistics riding the pin (content_groups); a memoized
+    # verdict skips even that.
+    groups, n_groups, n_members, f_max, f2_sum = content_groups(
+        keyed, ["_hfp"]
+    )
     if blocks == "auto":
-        g_blocks = _hamming_blocks_auto(n_distinct, max_hamming, nbits)
+        g_blocks = _hamming_blocks_auto(n_groups, max_hamming, nbits)
     else:
         g_blocks = blocks
-    if not has_clones:
-        # no clones: every fingerprint is its own representative, so the
-        # banded self-join's id pairs ARE the output — no expansion
-        # joins. The probe's pinned group relation doubles as the
-        # (id, fp) table; on a memoized verdict pin the keyed relation
-        # directly (the pin is needed regardless — the bucket self-join
-        # references the fingerprint pipeline twice).
+    from math import comb
+
+    n_bands = comb(g_blocks, max_hamming)
+    if not collapse_pays(
+        n_groups, n_members, f_max, f2_sum, n_bands, max_bucket_size
+    ):
+        # clone-free or sparse-clone corpus: the banded self-join's id
+        # pairs ARE the output (identical fingerprints collide in every
+        # band and verify at hamming 0 as ordinary candidates) — no
+        # expansion joins. When the probe ran AND found no clones, its
+        # pinned group relation doubles as the (id, fp) table; otherwise
+        # pin the keyed relation directly (the pin is needed regardless
+        # — the bucket self-join references the fingerprint pipeline
+        # twice).
         members = (
             groups.select(F.col("_rid").alias("_id"), "_hfp")
-            if groups is not None
+            if groups is not None and n_groups == n_members
             else keyed.localCheckpoint(eager=True)
         )
         out = _hamming_rep_pairs(
@@ -1387,10 +1481,16 @@ def hamming_pairs(
             if metrics_label is not None
             else out
         )
-    # clone families present: pin members (expansion + within sides),
-    # band one representative per distinct fingerprint, map the verified
-    # rep pairs back to their fingerprint keys (bounded groups relation),
-    # and expand to members.
+    # clone families that matter: pin members (expansion + within
+    # sides), band one representative per distinct fingerprint, map the
+    # verified rep pairs back to their fingerprint keys (bounded groups
+    # relation), and expand to members.
+    if groups is None:
+        groups = (
+            keyed.groupBy("_hfp")
+            .agg(F.min("_id").alias("_rid"))
+            .localCheckpoint(eager=True)
+        )
     members = keyed.localCheckpoint(eager=True)
     reps = groups.select(F.col("_rid").alias("_id"), "_hfp")
     rep_pairs = _hamming_rep_pairs(

@@ -173,9 +173,16 @@ class TestBucketCapAndMetrics:
         assert uncapped == len(full)
 
     def test_minhash_candidate_metrics(self, spark):
+        import unittest.mock as mock
+
         df = self._mono_corpus(spark, n=10)
-        out = DD.minhash_lsh_pairs(df, threshold=0.9)
-        n_out = out.count()
+        # force the collapse path: the bill dispatch (round 9) sends a
+        # bill this tiny to the direct plan, whose clone candidates are
+        # output-scale by design — the zero-candidate contract below is
+        # about the COLLAPSE engine, so pin the dispatch to it
+        with mock.patch.object(DD, "CLONE_BILL_BUDGET", -1):
+            out = DD.minhash_lsh_pairs(df, threshold=0.9)
+            n_out = out.count()
         m = DD.read_candidate_metrics("minhash_lsh")
         assert m["out_rows"] == n_out == 45
         # ten identical docs collapse to one representative: zero
@@ -273,10 +280,15 @@ class TestBucketCapAndMetrics:
                  .TestMp4Decode._mp4_bytes(duration=4500))
             for i in range(6)
         ]
+        import unittest.mock as mock
+
         df = spark.createDataFrame(vids, "media_id long, data binary")
-        uncapped = MM.video_dup_pairs(
-            df, frame_pixels_fn=fn, max_hamming=0, min_match_frac=0.5
-        ).count()
+        # pin the collapse engine (the round-9 bill dispatch would send
+        # this output-scale clone bill to the direct plan)
+        with mock.patch.object(DD, "CLONE_BILL_BUDGET", -1):
+            uncapped = MM.video_dup_pairs(
+                df, frame_pixels_fn=fn, max_hamming=0, min_match_frac=0.5
+            ).count()
         assert uncapped == 15  # all pairs match everywhere
         # hash collapse: the static corpus has ONE distinct frame hash,
         # so the candidate bill is zero — every match flows through the

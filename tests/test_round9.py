@@ -136,7 +136,7 @@ class TestCloneVerdictMemo:
         }
         assert len(added) == 1
         (verdict,) = added.values()
-        assert verdict == (False, 50)
+        assert verdict == (50, 50, 1, 50)  # (groups, members, f_max, Σf²)
         # second read over the same files: memo hit (same key, no new
         # entries), identical output
         df2 = spark.read.parquet(p)
@@ -158,9 +158,9 @@ class TestCloneVerdictMemo:
         key = [
             k
             for k, v in DD._CLONE_VERDICTS.items()
-            if v == (True, 6) and p.split("/")[-1] in " ".join(k[2])
+            if v == (6, 10, 5, 30) and p.split("/")[-1] in " ".join(k[2])
         ]
-        assert key, "clone verdict should be memoized for file inputs"
+        assert key, "clone stats should be memoized for file inputs"
 
     def test_in_memory_inputs_not_memoized(self, spark):
         df = spark.createDataFrame(
@@ -404,3 +404,44 @@ class TestExactDropIdsStreaming:
         assert got == {2, 5}
         kept = {r["doc_id"] for r in DD.drop_exact_dups(df).collect()}
         assert kept == {1, 3, 4}
+
+
+class TestCollapseDispatch:
+    def test_bill_and_cap_rules(self):
+        # clone-free / sparse: direct (args: groups, members, f_max,
+        # Σf², bands, cap)
+        assert not DD.collapse_pays(5000, 5000, 1, 5000, 16, 4096)
+        # the sf0.1 bench shape: 8 duplicate rows → tiny bill → direct
+        assert not DD.collapse_pays(4992, 5000, 2, 5016, 32, 4096)
+        # 20-copy clone corpus (100k docs × f=20): bill 16·38M → collapse
+        assert DD.collapse_pays(5000, 100000, 20, 2000000, 16, 4096)
+        # cap-contract boundary: family big vs the cap → collapse
+        assert DD.collapse_pays(4990, 5000, 5, 5040, 4, 16)
+        # same family, uncapped: bill is tiny → direct
+        assert not DD.collapse_pays(4990, 5000, 5, 5040, 4, None)
+        # empty / degenerate
+        assert not DD.collapse_pays(0, 0, 0, 0, 4, None)
+
+    def test_sparse_clone_corpus_direct_equals_collapse(self, spark):
+        """A corpus with a couple of tiny clone families dispatches to
+        the direct plan — its pair set must equal the forced collapse
+        path exactly (pair-identical contract below the cap boundary)."""
+        rows = _fp_rows(n=60, planted=0)
+        rows += [(7000, rows[0][1]), (7001, rows[1][1])]  # two f=2 families
+        df = spark.createDataFrame(rows, "doc_id long, fp long")
+        direct = {
+            tuple(r)
+            for r in DD.hamming_pairs(df, max_hamming=2, nbits=60).collect()
+        }
+        assert direct == _brute_hamming(rows, 2)
+        # same corpus forced through collapse by dropping the thresholds
+        import unittest.mock as mock
+
+        with mock.patch.object(DD, "CLONE_BILL_BUDGET", -1):
+            collapsed = {
+                tuple(r)
+                for r in DD.hamming_pairs(
+                    df, max_hamming=2, nbits=60
+                ).collect()
+            }
+        assert collapsed == direct
