@@ -67,3 +67,35 @@ def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     if df.rdd.getNumPartitions() < want:
         return df.repartition(want)
     return df
+
+
+#: memoized relation counts: (applicationId, canonical plan hash,
+#: sorted input files) -> rows. Same immutable-input contract as
+#: runtime/modelcache and the dedup clone-stat memo.
+_COUNT_MEMO: dict[tuple, int] = {}
+
+
+def memo_count(df: DataFrame) -> int:
+    """``df.count()`` memoized per (application, plan, input files) for
+    file-backed relations — size-adaptive dispatchers (TF-IDF skew
+    split, verification shapes) need the corpus magnitude, not a fresh
+    scan per invocation. In-memory relations (no input files) are
+    counted every call; a memoized count can only switch physical
+    plans, never change output."""
+    key = None
+    try:
+        files = df.inputFiles()
+        if files:
+            key = (
+                df.sparkSession.sparkContext.applicationId,
+                df.semanticHash(),
+                tuple(sorted(files)),
+            )
+    except Exception:
+        key = None
+    if key is not None and key in _COUNT_MEMO:
+        return _COUNT_MEMO[key]
+    n = df.count()
+    if key is not None:
+        _COUNT_MEMO[key] = n
+    return n

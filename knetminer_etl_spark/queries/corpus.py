@@ -544,6 +544,23 @@ def doc_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_tfidf_terms_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """:func:`doc_tfidf_terms` with the heavy-term skew split FORCED
+    (operators/text.py:tfidf_top_terms, split=True): document frequency
+    for the top TFIDF_HEAVY_TERMS terms arrives via a broadcast map (no
+    term-keyed redistribution of their tf rows — the 100 TB stop-word
+    straggler guard) and only tail terms take the per-term window. Same
+    oracle as the auto entry — the hash-match at every scale factor is
+    the proof the split changes the physical plan only."""
+    return TX.tfidf_top_terms(
+        _docs(spark, sf_dir).select("doc_id", "text"),
+        "doc_id",
+        "text",
+        k=3,
+        split=True,
+    )
+
+
 DOC_TFIDF_TERMS_SQL = f"""
 WITH toks AS (
   SELECT doc_id,
@@ -750,6 +767,7 @@ QUERIES = {
     "doc_decontamination": doc_decontamination,
     "doc_decontamination_bloom": doc_decontamination_bloom,
     "doc_tfidf_terms": doc_tfidf_terms,
+    "doc_tfidf_terms_split": doc_tfidf_terms_split,
 }
 
 ORACLES = {
@@ -766,6 +784,7 @@ ORACLES = {
     "doc_decontamination": DOC_DECONTAMINATION_SQL,
     "doc_decontamination_bloom": DOC_DECONTAMINATION_BLOOM_SQL,
     "doc_tfidf_terms": DOC_TFIDF_TERMS_SQL,
+    "doc_tfidf_terms_split": DOC_TFIDF_TERMS_SQL,
 }
 
 
