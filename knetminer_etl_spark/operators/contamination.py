@@ -374,9 +374,16 @@ def semantic_contamination(
         c.join(F.broadcast(t))
         .select(
             "_id",
+            # try_divide: a zero-norm (degenerate) vector on either side
+            # yields a NULL cosine instead of an ANSI DIVIDE_BY_ZERO —
+            # max() skips NULLs, so such pairs simply contribute no
+            # similarity evidence (the banded path treats them
+            # identically; see semantic_decontaminate_banded)
             F.round(
-                _pair_dots(F.col("_v"), F.col("_tv"))
-                / (F.col("_n") * F.col("_tn")),
+                F.try_divide(
+                    _pair_dots(F.col("_v"), F.col("_tv")),
+                    F.col("_n") * F.col("_tn"),
+                ),
                 6,
             ).alias("_cos"),
         )
@@ -470,14 +477,19 @@ def semantic_decontaminate(
     n_test = None
     if mode == "auto":
         # bounded probe: the eval relation is the broadcast side by
-        # contract (benchmarks, not corpora) — counting it is cheap.
-        # The measured count also sizes the banded shape below (one
-        # probe, two decisions — the content_groups pattern).
-        n_test = test_vecs.count()
+        # contract (benchmarks, not corpora) — counting it is cheap,
+        # and memoized per immutable file-backed input. The measured
+        # count also sizes the banded shape below (one probe, two
+        # decisions — the content_groups pattern).
+        from .util import memo_count
+
+        n_test = memo_count(test_vecs)
         mode = "brute" if n_test <= 576 else "banded"
     if n_planes == "auto":
         if n_test is None:
-            n_test = test_vecs.count()
+            from .util import memo_count
+
+            n_test = memo_count(test_vecs)
         n_planes, n_bands = _auto_decon_shape(n_test, threshold)
     elif n_bands is None:
         n_bands = 48
@@ -543,10 +555,13 @@ def semantic_decontaminate_banded(
     from .similarity import _dvec, _norm, _pair_dots
 
     if n_planes == "auto":
-        # direct entry: one bounded count of the broadcast-side suite
-        # sizes the shape (callers coming through semantic_decontaminate
-        # arrive with ints — the dispatch probe already paid the count)
-        n_planes, n_bands = _auto_decon_shape(test_vecs.count(), threshold)
+        # direct entry: one bounded (memoized) count of the broadcast-
+        # side suite sizes the shape (callers coming through
+        # semantic_decontaminate arrive with ints — the dispatch probe
+        # already paid the count)
+        from .util import memo_count
+
+        n_planes, n_bands = _auto_decon_shape(memo_count(test_vecs), threshold)
     elif n_bands is None:
         n_bands = 48
 
@@ -582,13 +597,23 @@ def semantic_decontaminate_banded(
         # candidate bill = train×test bucket collisions (each pays one
         # exact-cosine verification) — CollectMetrics on the stream
         .observe(_obs, F.count(F.lit(1)).alias("candidates"))
-        .filter(
+        # try_divide + isnan: zero-norm pairs give NULL (never an ANSI
+        # error, never a flag); NaN-element vectors give a NaN quotient,
+        # which Spark orders ABOVE every double and would otherwise
+        # flag — masked so a NaN cosine is never contamination evidence
+        # on either physical path (the brute report's max() skips the
+        # NULLs symmetrically)
+        .withColumn(
+            "_bcos",
             F.round(
-                _pair_dots(F.col("_v"), F.col("_tv")) / (F.col("_n") * F.col("_tn")),
+                F.try_divide(
+                    _pair_dots(F.col("_v"), F.col("_tv")),
+                    F.col("_n") * F.col("_tn"),
+                ),
                 6,
-            )
-            >= F.lit(threshold)
+            ),
         )
+        .filter(~F.isnan(F.col("_bcos")) & (F.col("_bcos") >= F.lit(threshold)))
         .select("_id")
         .distinct()
     )

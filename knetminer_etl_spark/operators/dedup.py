@@ -1756,7 +1756,12 @@ def embedding_dup_pairs(
         F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) > 0)
     )
     if n_planes == "auto":
-        n_planes, n_bands = _auto_lsh_shape(filtered.count(), threshold)
+        from .util import memo_count
+
+        # memoized for file-backed inputs: the auto-shape probe is a
+        # plan decision over an immutable corpus — one count job per
+        # input ever, not one per invocation
+        n_planes, n_bands = _auto_lsh_shape(memo_count(filtered), threshold)
     elif n_bands is None:
         n_bands = 24
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))

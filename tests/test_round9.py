@@ -445,3 +445,65 @@ class TestCollapseDispatch:
                 ).collect()
             }
         assert collapsed == direct
+
+
+class TestContaminationDegenerateVectors:
+    """Zero-norm embeddings must neither crash (ANSI DIVIDE_BY_ZERO)
+    nor diverge between the brute and banded decontamination paths: a
+    NULL cosine is never contamination evidence on either side."""
+
+    def _sets(self, spark):
+        import numpy as np
+
+        rng = np.random.default_rng(9)
+        rows = []
+        for i in range(20):
+            v = rng.normal(size=6)
+            rows.append((i, [float(x) for x in v / np.linalg.norm(v)]))
+        rows.append((500, [0.0] * 6))  # degenerate train vector
+        train = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+        test = train.filter("vec_id < 4").selectExpr(
+            "vec_id + 900 AS vec_id",
+            "transform(embedding, x -> x + 0.0005) AS embedding",
+        ).unionByName(
+            spark.createDataFrame(
+                [(950, [0.0] * 6)], "vec_id long, embedding array<double>"
+            )
+        )
+        return train, test
+
+    def test_brute_equals_banded_with_zero_vectors(self, spark):
+        from knetminer_etl_spark.operators import contamination as CT
+
+        train, test = self._sets(spark)
+        brute = {
+            r["vec_id"]
+            for r in CT.semantic_decontaminate(
+                train, test, threshold=0.95, mode="brute"
+            ).collect()
+        }
+        banded = {
+            r["vec_id"]
+            for r in CT.semantic_decontaminate_banded(
+                train, test, threshold=0.95
+            ).collect()
+        }
+        assert brute == banded
+        assert 500 in brute  # the zero vector survives (no evidence)
+        assert brute == {500} | set(range(4, 20))
+
+    def test_report_null_cosine_never_flags(self, spark):
+        from knetminer_etl_spark.operators import contamination as CT
+
+        train, test = self._sets(spark)
+        rows = {
+            r["vec_id"]: r
+            for r in CT.semantic_contamination(
+                train, test, threshold=0.95
+            ).collect()
+        }
+        assert rows[500]["max_test_cos"] is None
+        assert not rows[500]["contaminated"]
+        assert rows[0]["contaminated"]  # the planted leak still flags
