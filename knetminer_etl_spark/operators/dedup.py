@@ -1354,6 +1354,10 @@ def hamming_band_rows(
     g = blocks if blocks is not None else max_hamming + 1
     if g <= max_hamming:
         raise ValueError("blocks must exceed max_hamming (pigeonhole)")
+    if nbits // g < 1:
+        # width-0 blocks would alias every fingerprint into one bucket —
+        # still exact (verification filters), but a silent all-pairs scan
+        raise ValueError("blocks exceeds nbits (zero-width blocks)")
     width = nbits // g
     # width == 64 (max_hamming == 0, exact-match blocking): the all-ones
     # mask doesn't fit an unsigned long literal — it IS -1 in two's

@@ -507,3 +507,9 @@ class TestContaminationDegenerateVectors:
         assert rows[500]["max_test_cos"] is None
         assert not rows[500]["contaminated"]
         assert rows[0]["contaminated"]  # the planted leak still flags
+
+
+def test_zero_width_blocks_rejected(spark):
+    df = spark.createDataFrame([(1, 7)], "doc_id long, fp long")
+    with pytest.raises(ValueError, match="zero-width"):
+        DD.hamming_band_rows(df, max_hamming=3, nbits=60, blocks=61)
