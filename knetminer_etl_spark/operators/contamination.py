@@ -350,9 +350,13 @@ def semantic_contamination(
     brute-force-verify shape; block with :func:`dedup.sign_lsh_band_buckets`
     upstream if the evaluation side ever stops being broadcastable.
     Output: ``(id, max_test_cos, contaminated)``, one row per training
-    vector (max_test_cos is NULL-free: an empty test set yields no
-    output rows rather than fabricated zeros — callers treat "no test
-    set" upstream).
+    vector. An empty test set yields no output rows rather than
+    fabricated zeros — callers treat "no test set" upstream. Degenerate
+    vectors (zero-norm on the train side, or all test cosines masked as
+    NaN/NULL) surface as a NULL ``max_test_cos`` with ``contaminated``
+    coalesced to ``false`` — three-valued-logic-safe for consumers, and
+    the same verdict the banded path gives such rows (no similarity
+    evidence is never a flag).
 
     Debug / oracle-parity role: the full per-row ``max_test_cos`` report
     is inherently |train|×|test| work (the max over NON-candidates is
@@ -377,14 +381,22 @@ def semantic_contamination(
             # try_divide: a zero-norm (degenerate) vector on either side
             # yields a NULL cosine instead of an ANSI DIVIDE_BY_ZERO —
             # max() skips NULLs, so such pairs simply contribute no
-            # similarity evidence (the banded path treats them
-            # identically; see semantic_decontaminate_banded)
-            F.round(
-                F.try_divide(
-                    _pair_dots(F.col("_v"), F.col("_tv")),
-                    F.col("_n") * F.col("_tn"),
+            # similarity evidence. NaN (a NaN-element embedding; only
+            # zero divisors are nulled by try_divide) is masked to NULL
+            # for the same reason: Spark orders NaN ABOVE every double,
+            # so an unmasked NaN would win the max() and flag the row —
+            # the banded path filters ~isnan identically, keeping the
+            # two auto-dispatched physical paths in exact agreement
+            # (see semantic_decontaminate_banded).
+            F.nanvl(
+                F.round(
+                    F.try_divide(
+                        _pair_dots(F.col("_v"), F.col("_tv")),
+                        F.col("_n") * F.col("_tn"),
+                    ),
+                    6,
                 ),
-                6,
+                F.lit(None).cast("double"),
             ).alias("_cos"),
         )
         .groupBy("_id")
@@ -392,7 +404,12 @@ def semantic_contamination(
         .select(
             F.col("_id").alias(id_col),
             "max_test_cos",
-            (F.col("max_test_cos") >= F.lit(threshold)).alias("contaminated"),
+            # coalesce: an all-NULL cosine row (degenerate vector) reads
+            # as "not contaminated", never NULL — matching the banded
+            # path's survivor verdict for the same row
+            F.coalesce(
+                F.col("max_test_cos") >= F.lit(threshold), F.lit(False)
+            ).alias("contaminated"),
         )
     )
 
@@ -417,24 +434,49 @@ def _auto_decon_shape(
     bands then restore the per-pair tail recall at the threshold:
     miss(c) = (1 − p(c)^planes)^bands with p(c) = 1 − acos(c)/π, solved
     for ``miss`` at c = threshold (the hardest admitted pair). Floors
-    keep small suites on the proven 12×48 default shape; the cap keeps
-    the per-vector BLAS projection bounded. False flags remain
-    impossible at any shape (every candidate verifies with the exact
-    cosine), so the shape is purely a physical-plan choice with a
+    keep small suites on the proven 12×48 default shape.
+
+    BOTH axes are capped so the per-vector BLAS projection stays
+    bounded (planes ≤ 28, bands ≤ 384 → ≤ 10,752 projections): at low
+    thresholds p(threshold)^planes collapses and the solved band count
+    otherwise explodes (e.g. threshold 0.8 at 28 planes solves to
+    ~8,500 bands — orders of magnitude past the 12×48 floor). The two
+    knobs are optimized JOINTLY under that budget: planes start at the
+    occupancy-sized value and step DOWN until the band count that
+    restores the miss bound fits the cap — fewer planes mean more
+    random bucket collisions (verification cost, never correctness)
+    but an intact recall bound, which is the right trade for a filter
+    whose misses are silent. Only if even the 12-plane floor cannot
+    reach ``miss`` within 384 bands does the cap bind; the residual
+    bound is then miss(threshold) = (1 − p^12)^384 — e.g. threshold
+    0.6 gives p ≈ 0.705, per-band 0.0151, residual ≈ 3e-3. False flags
+    remain impossible at any shape (every candidate verifies with the
+    exact cosine), so the shape is purely a physical-plan choice with a
     bounded-miss recall story."""
     import math
 
+    max_planes, max_bands = 28, 384
     planes = 12
     if n_test > target_occupancy << 12:
         planes = max(
-            12, min(28, math.ceil(math.log2(n_test / target_occupancy)))
+            12,
+            min(max_planes, math.ceil(math.log2(n_test / target_occupancy))),
         )
     p = 1.0 - math.acos(min(max(threshold, 0.0), 0.999)) / math.pi
-    per_band = p**planes
-    bands = 48
-    if 0 < per_band < 1:
-        bands = max(48, math.ceil(math.log(miss) / math.log(1.0 - per_band)))
-    return planes, bands
+
+    def _bands_for(n_planes: int) -> int:
+        per_band = p**n_planes
+        if not 0 < per_band < 1:
+            return 48
+        return max(
+            48, math.ceil(math.log(miss) / math.log(1.0 - per_band))
+        )
+
+    bands = _bands_for(planes)
+    while bands > max_bands and planes > 12:
+        planes -= 1
+        bands = _bands_for(planes)
+    return planes, min(bands, max_bands)
 
 
 def semantic_decontaminate(

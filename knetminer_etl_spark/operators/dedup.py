@@ -1455,6 +1455,10 @@ def hamming_pairs(
     )
     if blocks == "auto":
         g_blocks = _hamming_blocks_auto(n_groups, max_hamming, nbits)
+    elif blocks is None:
+        # the classic static layout (hamming_band_rows' None contract):
+        # max_hamming+1 single-block bands
+        g_blocks = max_hamming + 1
     else:
         g_blocks = blocks
     from math import comb
