@@ -183,7 +183,11 @@ def candidate_pairs_from_buckets(
 #: immutable for a session by the same contract runtime/modelcache
 #: relies on; in-memory relations (inputFiles() == []) are never
 #: memoized, so tests and ad-hoc frames re-probe every call.
-_CLONE_VERDICTS: dict[tuple, tuple[bool, int]] = {}
+#: LRU-bounded (core/memo.py): eviction re-pays one probe job on the
+#: next call over that input — plan choice only, never output.
+from ..core.memo import BoundedMemo
+
+_CLONE_VERDICTS: BoundedMemo = BoundedMemo(maxsize=4096)
 
 
 def _clone_memo_key(members: DataFrame) -> tuple | None:
@@ -533,7 +537,7 @@ def _default_pairs_fn(
     if n_docs <= direct_max:
         return lambda d: ngram_jaccard_pairs(d, id_col, text_col, k, threshold)
     return lambda d: minhash_lsh_pairs(
-        d, id_col, text_col, num_perm=64, bands=32, k=k,
+        d, id_col, text_col, num_perm="auto", k=k,
         threshold=threshold, verify=True,
     )
 
@@ -550,8 +554,9 @@ def near_dup_clusters(
     near-dup pairs → connected components → one canonical representative
     (the min id) per cluster. ``pairs_fn(df) -> (id_a, id_b, ...)``
     overrides candidate generation. The default is banded MinHash-LSH
-    with true-Jaccard verification (r=2, b=32: P(miss | j ≥ 0.5) ≤ 1e-4
-    per pair, ≤ 6e-7 at j ≥ 0.6) — candidate-linear at corpus scale,
+    with true-Jaccard verification at the auto band shape
+    (:func:`_auto_minhash_shape`: P(miss | j ≥ threshold) ≤ 1e-6 per
+    pair at every corpus size) — candidate-linear at corpus scale,
     where exact shingle-bucket Jaccard grows with Σ|bucket|² (quadratic
     under template-heavy corpora; measured 11× wall for 10× docs).
     Singleton documents appear with cluster_size 1.
@@ -739,6 +744,15 @@ def ngram_jaccard_pairs(
 # ---------------------------------------------------------------------------
 
 
+#: lane count above which the signature (and its banding) switch from
+#: the unrolled per-lane xxhash64 expressions to the loop-form (HOF)
+#: 2-universal family: the unrolled tree at hundreds of lanes blows
+#: whole-stage codegen into interpreted fallback (measured: 7 s → 100 s
+#: at 400 lanes on the 10× tier), while the HOF plan is one
+#: constant-size expression whose lane loop runs at execution time.
+MINHASH_UNROLL_MAX = 128
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -746,29 +760,118 @@ def minhash_signatures(
     num_perm: int = 64,
     k: int = 3,
 ) -> DataFrame:
-    """(doc_id, signature array<bigint>[num_perm]) via seeded xxhash64 min-
-    reduction over word shingles — one narrow map, no shuffle, no UDF.
-    Shingles are staged as a materialized column so the num_perm signature
-    entries reference a small expression (see _with_shingles)."""
+    """(doc_id, signature array<bigint>[num_perm]) min-reduction over
+    word shingles — one narrow map, no shuffle, no UDF.
+
+    Two physical forms with the same statistical contract
+    (P(lane match) = Jaccard):
+
+    * ``num_perm ≤`` :data:`MINHASH_UNROLL_MAX` — one ``array_min``
+      of ``xxhash64(s, i)`` per lane, unrolled. Fastest at bench lane
+      counts; the tree grows linearly with lanes.
+    * larger — each shingle string is hashed ONCE into a staged 64-bit
+      value JVM-side (codegen), then ONE Arrow-batched pandas UDF
+      computes every lane as a vectorized splitmix64 finalize + seeded
+      offset over the flat shingle-hash array with per-document
+      ``np.minimum.reduceat`` — the :func:`sign_lsh_band_buckets`
+      execution shape. Two rejected alternatives, both measured on the
+      10× tier: nested ``transform(sequence(...))`` HOFs evaluate
+      INTERPRETED (no whole-stage codegen for lambda bodies — 181 s vs
+      ~20 s for the whole query at 171 lanes), and the algebraic
+      2-universal family ``a + i·b`` breaks min-wise independence (for
+      i ≥ 2 the ``b`` term dominates the ordering, so every high lane
+      shares one argmin and band collisions stop tracking Jaccard).
+
+    Shingles are staged as a materialized column so the signature
+    expression references a small input (see _with_shingles); _sh is
+    guaranteed non-empty, so the signature is never NULL — no
+    size()/NULL guard (such a guard becomes a pushable predicate that
+    re-inlines the shingle pipeline below the exchange)."""
     shingled = _with_shingles(df, id_col, text_col, k)
-    # _sh is guaranteed non-empty, so the signature is never NULL — no
-    # size()/NULL guard (such a guard becomes a pushable predicate that
-    # re-inlines the shingle pipeline below the exchange).
-    # One expr() string, not num_perm Column subtrees: each Column call is
-    # a driver round-trip and 64 min-hash lanes cost ~0.5 s of pure plan
-    # construction per invocation (see SCALE.md, PQ note).
-    sig = F.expr(
-        "array("
-        + ", ".join(
-            f"array_min(transform(_sh, s -> xxhash64(s, {i})))"
-            for i in range(num_perm)
+    if num_perm <= MINHASH_UNROLL_MAX:
+        # One expr() string, not num_perm Column subtrees: each Column
+        # call is a driver round-trip and 64 min-hash lanes cost ~0.5 s
+        # of pure plan construction per invocation (see SCALE.md).
+        sig = F.expr(
+            "array("
+            + ", ".join(
+                f"array_min(transform(_sh, s -> xxhash64(s, {i})))"
+                for i in range(num_perm)
+            )
+            + ")"
         )
-        + ")"
+        return shingled.select(
+            F.col("_id").alias("doc_id"),
+            sig.alias("signature"),
+        )
+    staged = shingled.select(
+        "_id",
+        F.expr("transform(_sh, s -> xxhash64(s))").alias("_hh"),
     )
-    return shingled.select(
+    return staged.select(
         F.col("_id").alias("doc_id"),
-        sig.alias("signature"),
+        _minhash_sigs_arrow(num_perm)(F.col("_hh")).alias("signature"),
     )
+
+
+def _minhash_sigs_arrow(num_perm: int):
+    """Arrow-batched wide-lane MinHash kernel: array<long> shingle
+    hashes → array<long>[num_perm] signature.
+
+    Per batch: the rows' hash arrays are flattened once; for each lane
+    a seeded splitmix64 finalizer (Steele et al., public domain — the
+    java.util.SplittableRandom mixer) remixes the flat array and
+    ``np.minimum.reduceat`` takes per-document minima — every operation
+    a full-width numpy uint64 vector op, no per-element Python. Lane
+    values are independent-ish random functions of the shingle hash, so
+    P(lane match) = Jaccard exactly as for the unrolled xxhash64 lanes
+    (signature VALUES differ between the two forms; only banding
+    semantics are contractual). Input arrays are non-empty by the
+    :func:`_with_shingles` contract."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<long>")
+    def _sigs(hs: pd.Series) -> pd.Series:
+        if hs.empty:
+            return pd.Series([], dtype=object)
+        arrs = [np.asarray(a, dtype=np.int64) for a in hs]
+        lens = np.array([len(a) for a in arrs], dtype=np.int64)
+        flat = np.concatenate(arrs).view(np.uint64)
+        starts = np.zeros(len(arrs), dtype=np.int64)
+        np.cumsum(lens[:-1], out=starts[1:])
+        mins = _lane_mins(flat, starts, num_perm)
+        sigs = np.ascontiguousarray(mins.T).view(np.int64)
+        return pd.Series(list(sigs))
+
+    return _sigs
+
+
+def _splitmix64(z: "np.ndarray") -> "np.ndarray":
+    """Vectorized splitmix64 finalizer (Steele et al. — the
+    java.util.SplittableRandom mixer; public domain constants) over a
+    uint64 array. Array integer arithmetic wraps silently in numpy —
+    exactly the mod-2^64 semantics the mixer wants."""
+    z = z ^ (z >> np.uint64(30))
+    z = z * np.uint64(0xBF58476D1CE4E5B9)
+    z = z ^ (z >> np.uint64(27))
+    z = z * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+def _lane_mins(
+    flat: "np.ndarray", starts: "np.ndarray", num_perm: int
+) -> "np.ndarray":
+    """(num_perm, n_docs) per-lane minima over per-document segments of
+    the flat shingle-hash array. Lane i remixes the flat array with a
+    golden-ratio seed offset (masked Python-int arithmetic — numpy
+    SCALAR overflow warns where array overflow wraps) and reduces
+    segment minima in one ``np.minimum.reduceat``."""
+    mins = np.empty((num_perm, starts.shape[0]), dtype=np.uint64)
+    for i in range(num_perm):
+        seed = np.uint64(((i + 1) * 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF)
+        z = _splitmix64(flat + seed)
+        mins[i] = np.minimum.reduceat(z, starts)
+    return mins
 
 
 def minhash_band_rows(
@@ -776,7 +879,7 @@ def minhash_band_rows(
     id_col: str = "doc_id",
     text_col: str = "text",
     num_perm: int = 64,
-    bands: int = 16,
+    bands: int = 32,
     k: int = 3,
 ) -> DataFrame:
     """(doc_id, band, bucket): the banded-LSH blocking relation — and
@@ -784,36 +887,145 @@ def minhash_band_rows(
     (parquet, partitioned however reads like) when a corpus batch is
     ingested; later batches join their own band rows against it
     (:func:`incremental_minhash_pairs`) instead of re-hashing the whole
-    corpus. Narrow map over the signatures; bands × rows per doc."""
+    corpus. Narrow map over the signatures; bands × rows per doc.
+
+    INDEX CONTRACT: the shape is part of the persisted format — every
+    later batch must band with the SAME (num_perm, bands), and the
+    incremental recall equals THIS shape's recall, not the auto shape
+    the full-rebuild path would pick for the grown corpus. Size the
+    index shape once, for the dedup policy's threshold, e.g. from
+    :func:`_auto_minhash_shape` at the corpus's expected magnitude (the
+    static default here is the r=2 floor shape: miss ≤ 1e-4 at j = 0.5,
+    ≤ 6e-7 at j ≥ 0.6)."""
     rows_per_band = num_perm // bands
-    sigs = minhash_signatures(df, id_col, text_col, num_perm, k)
     # bucket = hash of the band's signature lanes AS LONGS (band id as a
     # hashed column): the previous concat_ws-of-string-casts built and
     # hashed a ~40-char string per (doc, band) — pure allocation churn.
     # Equal lane values still collide to equal buckets per band, so the
     # blocking semantics (and the banding recall bound) are unchanged.
-    entries = ", ".join(
-        "named_struct('band', {b}, 'bucket', "
-        "xxhash64({cols}, {b}))".format(
-            b=b,
-            cols=", ".join(
-                f"signature[{b * rows_per_band + r}]"
-                for r in range(rows_per_band)
-            ),
+    if bands <= 32:
+        sigs = minhash_signatures(df, id_col, text_col, num_perm, k)
+        entries = ", ".join(
+            "named_struct('band', {b}, 'bucket', "
+            "xxhash64({cols}, {b}))".format(
+                b=b,
+                cols=", ".join(
+                    f"signature[{b * rows_per_band + r}]"
+                    for r in range(rows_per_band)
+                ),
+            )
+            for b in range(bands)
         )
-        for b in range(bands)
+        return sigs.select(
+            "doc_id", F.expr(f"explode(array({entries}))").alias("bb")
+        ).select("doc_id", "bb.band", "bb.bucket")
+    # wide bandings fold lane → bucket INSIDE the same Arrow kernel that
+    # computes the lane minima (one UDF, no signature materialization;
+    # a JVM HOF fold here would run interpreted — the
+    # MINHASH_UNROLL_MAX story): bucket = splitmix64 chain over the
+    # band's lanes, seeded with the band index so equal lane values in
+    # DIFFERENT bands never cross-collide
+    shingled = _with_shingles(df, id_col, text_col, k)
+    staged = shingled.select(
+        "_id",
+        F.expr("transform(_sh, s -> xxhash64(s))").alias("_hh"),
     )
-    return sigs.select(
-        "doc_id", F.expr(f"explode(array({entries}))").alias("bb")
-    ).select("doc_id", "bb.band", "bb.bucket")
+    banded = staged.select(
+        F.col("_id").alias("doc_id"),
+        _minhash_band_buckets_arrow(num_perm, bands)(F.col("_hh")).alias(
+            "_bkts"
+        ),
+    )
+    return banded.select(
+        "doc_id", F.posexplode("_bkts").alias("band", "bucket")
+    )
+
+
+def _minhash_band_buckets_arrow(num_perm: int, bands: int):
+    """Arrow-batched banding kernel: array<long> shingle hashes →
+    array<long>[bands] band buckets (band identity lives in the
+    position; the bucket value is seeded with the band index). The
+    per-lane minima come from :func:`_lane_mins`; the ``rows_per_band``
+    lanes of each band chain through the splitmix64 mixer — all
+    (docs × bands) vectorized."""
+    from pyspark.sql.functions import pandas_udf
+
+    rows_per_band = num_perm // bands
+
+    @pandas_udf("array<long>")
+    def _buckets(hs: pd.Series) -> pd.Series:
+        if hs.empty:
+            return pd.Series([], dtype=object)
+        arrs = [np.asarray(a, dtype=np.int64) for a in hs]
+        lens = np.array([len(a) for a in arrs], dtype=np.int64)
+        flat = np.concatenate(arrs).view(np.uint64)
+        starts = np.zeros(len(arrs), dtype=np.int64)
+        np.cumsum(lens[:-1], out=starts[1:])
+        mins = _lane_mins(flat, starts, bands * rows_per_band)
+        # (docs, bands, rows_per_band)
+        lanes = np.ascontiguousarray(mins.T).reshape(
+            len(arrs), bands, rows_per_band
+        )
+        acc = np.broadcast_to(
+            np.arange(bands, dtype=np.uint64), (len(arrs), bands)
+        ).copy()
+        for j in range(rows_per_band):
+            acc = _splitmix64(acc ^ lanes[:, :, j])
+        return pd.Series(list(acc.view(np.int64)))
+
+    return _buckets
+
+
+def _auto_minhash_shape(
+    n: int, threshold: float, miss: float = 1e-6
+) -> tuple[int, int]:
+    """(num_perm, bands) sized for the corpus — the
+    :func:`_auto_lsh_shape` / :func:`..contamination._auto_decon_shape`
+    treatment applied to MinHash banding (VERDICT r9 #1, the last
+    static-shape engine).
+
+    The knob is ``r`` = rows per band. A pair at Jaccard j collides in
+    one band with j^r, and bands are solved to keep the miss bound at
+    the threshold: b = ⌈ln(1/miss) / −ln(1 − t^r)⌉, so the expected
+    false-positive collisions for a sub-threshold pair at similarity s
+    are b·s^r ≈ ln(1/miss)·(s/t)^r — each +1 of r cuts the FP bill by
+    t/s (≈4–5× at the measured FP mode: the 10×/100× synthetic tiers
+    put the cross-copy mass at j ≈ 0.13 against t = 0.6) while the
+    true-pair bill only grows with b. Pair count grows with n², so r
+    grows one step per 4× of corpus (log₄) past the 64k floor where
+    the measured r=2 bill is already output-scale; the cap at r=6
+    bounds num_perm = r·b (at t=0.6: r=6 → b=289 → 1,734 lanes — the
+    HOF signature's constant-tree form keeps that affordable, see
+    :data:`MINHASH_UNROLL_MAX`).
+
+    The bucket-level candidate bill has a floor the shape cannot cross:
+    every true pair collides in ~b·p(t_pair)^r bands (it is OUTPUT, re-
+    discovered once per matching band before the distinct) — the banded
+    analog of exact pair enumeration being output-bound. The auto shape
+    minimizes the sum of that floor and the FP term at the measured
+    corpus size; misses stay ≤ ``miss`` per admitted pair at any n.
+
+    The oracle stays the brute-force true-Jaccard join at every shape:
+    banding only affects recall (bounded above), never precision
+    (candidates verify exact), so no oracle-side banding replication is
+    needed."""
+    import math
+
+    r = 2
+    if n > 64_000:
+        r = min(6, 2 + math.ceil(math.log(n / 64_000, 4)))
+    t = min(max(threshold, 0.05), 0.999)
+    per_band = t**r
+    b = max(8, math.ceil(math.log(miss) / math.log(1.0 - per_band)))
+    return r * b, b
 
 
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    num_perm: int = 64,
-    bands: int = 16,
+    num_perm: int | str = "auto",
+    bands: int | None = None,
     k: int = 3,
     threshold: float = 0.7,
     verify: bool = True,
@@ -829,6 +1041,22 @@ def minhash_lsh_pairs(
     checked against true shingle Jaccard (joining the shingle sets back
     in) so the output has no LSH false positives; without it the
     signature-estimated Jaccard is reported.
+
+    **Auto band shape** (``num_perm="auto"``, the default): rows-per-
+    band and band count are sized from the measured distinct-content
+    count via :func:`_auto_minhash_shape` — the count rides the collapse
+    probe below (memoized per input, zero extra jobs), or one memoized
+    ``memo_count`` when ``collapse=False``. A FIXED (r, b) is corpus-
+    quadratic in false positives (per-pair collision b·j^r is constant
+    while sub-threshold pairs grow ∝ n²; measured: 21.5M candidates for
+    25,600 true pairs at the 100× tier under static r=2·b=32), so r
+    steps up one per 4× of corpus past 64k distinct contents and b
+    restores P(miss | j ≥ threshold) ≤ 1e-6. Passing explicit ints pins
+    a shape (``bands=None`` with an int ``num_perm`` keeps the
+    historical ``num_perm // 4`` band split); the persistent-index
+    entry points (:func:`minhash_band_rows`,
+    :func:`incremental_minhash_pairs`) stay explicitly-shaped — an
+    index must band new batches exactly as it banded old ones.
 
     **Content collapse** (``collapse=True``, the default): documents
     with IDENTICAL text — the exact-clone families that occupy LSH
@@ -868,7 +1096,17 @@ def minhash_lsh_pairs(
     (:data:`CANDIDATE_METRICS`), counted over representatives.
     Output: ``(id_a, id_b, jaccard)``, id_a < id_b.
     """
+    if isinstance(num_perm, int) and bands is None:
+        # explicit lane count without a band count: the historical
+        # r=4 default (num_perm=64 → 16 bands)
+        bands = max(1, num_perm // 4)
     if not collapse:
+        if num_perm == "auto":
+            from .util import memo_count
+
+            num_perm, bands = _auto_minhash_shape(
+                memo_count(df), threshold
+            )
         return observe_output(
             _minhash_lsh_pairs_direct(
                 df, id_col, text_col, num_perm, bands, k, threshold, verify,
@@ -888,6 +1126,13 @@ def minhash_lsh_pairs(
     groups, n_groups, n_members, f_max, f2_sum = content_groups(
         keyed, ["_g1", "_g2"]
     )
+    if num_perm == "auto":
+        # shaped from the DISTINCT-content count the collapse probe
+        # already measured (memoized per input — zero extra jobs): the
+        # banded relation is reps on the collapse route, and on the
+        # direct route clones band identically so distinct contents
+        # still drive the FP economics
+        num_perm, bands = _auto_minhash_shape(n_groups or 0, threshold)
     if not collapse_pays(
         n_groups, n_members, f_max, f2_sum, bands, max_bucket_size
     ):
@@ -1100,7 +1345,7 @@ def incremental_minhash_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     num_perm: int = 64,
-    bands: int = 16,
+    bands: int = 32,
     k: int = 3,
     threshold: float = 0.7,
 ) -> DataFrame:
@@ -1722,6 +1967,48 @@ def _auto_lsh_shape(
     return planes, bands
 
 
+#: memoized (mean vector, E||v||²) per (application, plan, input files)
+#: — the centering probe is a plan decision over an immutable corpus
+#: (same contract as util.memo_count); bounded state: dim+1 floats.
+_CENTER_STATS: BoundedMemo = BoundedMemo(maxsize=1024)
+
+
+def _center_stats(
+    filtered: DataFrame, vec_col: str
+) -> tuple[list[float], float] | None:
+    """(per-dimension mean μ, mean squared norm E||v||²) of a vector
+    column — ONE bounded aggregate job (dim avg columns + one avg of
+    the self-dot), memoized for file-backed inputs. Returns None on an
+    empty or zero-dim relation."""
+    key = None
+    try:
+        files = filtered.inputFiles()
+        if files:
+            key = (
+                filtered.sparkSession.sparkContext.applicationId,
+                filtered.semanticHash(),
+                tuple(sorted(files)),
+            )
+    except Exception:
+        key = None
+    if key is not None and key in _CENTER_STATS:
+        return _CENTER_STATS[key]
+    first = filtered.select(F.size(F.col(vec_col)).alias("d")).first()
+    if first is None or not first["d"]:
+        return None
+    dim = first["d"]
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    row = filtered.select(v.alias("_v")).agg(
+        *[F.avg(F.col("_v")[i]).alias(f"m{i}") for i in range(dim)],
+        F.avg(_dot(F.col("_v"), F.col("_v"))).alias("_e2"),
+    ).first()
+    mu = [float(row[i] or 0.0) for i in range(dim)]
+    stats = (mu, float(row["_e2"] or 0.0))
+    if key is not None:
+        _CENTER_STATS[key] = stats
+    return stats
+
+
 def embedding_dup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -1731,6 +2018,7 @@ def embedding_dup_pairs(
     n_bands: int | None = None,
     seed: int = 0x5EED,
     max_bucket_size: int | None = 4096,
+    center: bool = False,
 ) -> DataFrame:
     """Vector pairs with cosine ≥ threshold.
 
@@ -1758,26 +2046,62 @@ def embedding_dup_pairs(
     4096) stays as the hard Σ|bucket|² backstop when a corpus direction
     cluster defeats the planes (see :func:`candidate_pairs_from_buckets`;
     metrics under ``embedding_lsh``).
+
+    ``center=True`` — the fix for DIRECTIONAL corpora (VERDICT r9 #2:
+    acoustic fingerprints live in the positive orthant, so origin-
+    through hyperplanes see every vector on the same side — sign bits
+    correlate and band buckets skew toward the cap). Bucketing then
+    runs on v − μ (μ = the broadcast per-dimension corpus mean, ONE
+    bounded memoized probe — the k-means bounded-model pattern) while
+    verification keeps the EXACT cosine on the raw vectors, so
+    precision and output values are untouched. Recall accounting: a
+    raw-cosine-t pair at distance d² = 2(1−t)·‖v‖‖w‖ has centered
+    cosine ≥ 1 − d²/(2·r_v·r_w) (r = residual norm), so bands are
+    sized at the conservative t_c = 1 − 2(1−t)/E‖v−μ‖² (the variance
+    identity E‖v−μ‖² = E‖v‖² − ‖μ‖², from the same probe) — pairs
+    whose residuals sit at or above the corpus RMS keep the ≤ miss
+    bound, and identical vectors center identically, so exact-twin
+    recall is 1 at ANY shape.
     Output: ``(id_a, id_b, cosine)``, id_a < id_b.
     """
     filtered = df.filter(
         F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) > 0)
     )
+    bucket_col = vec_col
+    t_band = threshold
+    mu = None
+    if center:
+        stats = _center_stats(filtered, vec_col)
+        if stats is not None:
+            mu, e2 = stats
+            resid2 = max(1e-3, e2 - sum(m * m for m in mu))
+            t_band = max(0.5, 1.0 - 2.0 * (1.0 - threshold) / resid2)
     if n_planes == "auto":
         from .util import memo_count
 
         # memoized for file-backed inputs: the auto-shape probe is a
         # plan decision over an immutable corpus — one count job per
         # input ever, not one per invocation
-        n_planes, n_bands = _auto_lsh_shape(memo_count(filtered), threshold)
+        n_planes, n_bands = _auto_lsh_shape(memo_count(filtered), t_band)
     elif n_bands is None:
         n_bands = 24
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    base = fan_out(filtered).select(
+    fanned = fan_out(filtered)
+    if mu is not None:
+        bucket_col = "_cv"
+        mu_lit = ", ".join(repr(m) for m in mu)
+        fanned = fanned.withColumn(
+            "_cv",
+            F.expr(
+                f"zip_with({vec_col}, array({mu_lit}), "
+                "(x, m) -> cast(x as double) - m)"
+            ),
+        )
+    base = fanned.select(
         F.col(id_col).alias("doc_id"),
         v.alias("_v"),
         _norm(v).alias("_nrm"),
-        sign_lsh_band_buckets(vec_col, n_planes, n_bands, seed).alias("_bkts"),
+        sign_lsh_band_buckets(bucket_col, n_planes, n_bands, seed).alias("_bkts"),
     )
     # posexplode_outer, NOT posexplode: plain posexplode infers a
     # size(_bkts)>0 filter that predicate pushdown moves below the

@@ -963,7 +963,15 @@ def audio_dup_pairs(
     fp = fp.filter(F.col("fingerprint").isNotNull()).localCheckpoint(
         eager=True
     )
-    return embedding_dup_pairs(fp, "media_id", "fingerprint", threshold)
+    # center=True: acoustic fingerprints are positive-orthant (rms
+    # block and zcr levels are non-negative), so uncentered sign-LSH
+    # band buckets skew toward the cap (measured at 10×: max bucket
+    # 3080 of 4096, 65M candidates for 1,250 pairs — VERDICT r9 #2);
+    # bucketing on v − μ rebalances the sign bits while verification
+    # keeps the exact cosine on the raw fingerprints
+    return embedding_dup_pairs(
+        fp, "media_id", "fingerprint", threshold, center=True
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -71,8 +71,12 @@ def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
 
 #: memoized relation counts: (applicationId, canonical plan hash,
 #: sorted input files) -> rows. Same immutable-input contract as
-#: runtime/modelcache and the dedup clone-stat memo.
-_COUNT_MEMO: dict[tuple, int] = {}
+#: runtime/modelcache and the dedup clone-stat memo. LRU-bounded: an
+#: evicted count is simply re-measured on next use (plan choice only,
+#: never output — core/memo.py).
+from ..core.memo import BoundedMemo
+
+_COUNT_MEMO = BoundedMemo(maxsize=4096)
 
 
 def memo_count(df: DataFrame) -> int:

@@ -24,13 +24,15 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-duplicate cluster (word-3-shingle Jaccard ≥ 0.5).
 
     Pairs come from banded MinHash-LSH with true-Jaccard verification
-    (r=2, b=32) — the candidate-linear corpus path; the oracle is exact
-    all-pairs Jaccard, which the LSH pair set reproduces bit-for-bit at
-    every test scale (deterministic xxhash64 seeds; P(miss | j=0.5)
-    ≤ 1e-4 per pair, and the planted dups sit well above threshold)."""
+    at the AUTO shape (operators/dedup._auto_minhash_shape: rows-per-
+    band from the probed distinct-content count, bands restoring
+    P(miss | j ≥ 0.5) ≤ 1e-6 per pair); the oracle is exact all-pairs
+    Jaccard, which the LSH pair set reproduces bit-for-bit at every
+    test scale (deterministic hashing, and the planted dups sit well
+    above threshold)."""
     docs = CAT.read_parquet(spark, f"{sf_dir}/documents.parquet")
     pairs = DD.minhash_lsh_pairs(
-        docs, num_perm=64, bands=32, k=3, threshold=0.5, verify=True
+        docs, num_perm="auto", k=3, threshold=0.5, verify=True
     )
     return G.connected_components(
         pairs, "id_a", "id_b", nodes=docs, node_id="doc_id"

@@ -216,10 +216,14 @@ WHERE round(inter / (n_a + n_b - inter), 6) >= 0.5
 
 
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Verified MinHash-LSH near-dup pairs. Oracle = true Jaccard ≥ 0.6:
-    LSH only affects recall; with r=2,b=32 bands P(miss | j≥0.6) < 1e-6."""
+    """Verified MinHash-LSH near-dup pairs at the auto band shape
+    (operators/dedup._auto_minhash_shape — rows-per-band sized from the
+    probed distinct-content count, bands solving P(miss | j ≥ 0.6)
+    ≤ 1e-6). Oracle = true Jaccard ≥ 0.6: banding only affects recall
+    (bounded above), never precision, so the oracle needs no banding
+    replication at ANY shape."""
     return DD.minhash_lsh_pairs(
-        _docs(spark, sf_dir), num_perm=64, bands=32, k=3, threshold=0.6, verify=True
+        _docs(spark, sf_dir), num_perm="auto", k=3, threshold=0.6, verify=True
     )
 
 

@@ -19,7 +19,11 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-_CACHE: dict[tuple[str, str], DataFrame] = {}
+from ..core.memo import BoundedMemo
+
+#: LRU-bounded (core/memo.py): an evicted handle just re-resolves the
+#: footers on next read — latency, never correctness.
+_CACHE: BoundedMemo = BoundedMemo(maxsize=1024)
 
 
 def read_parquet(spark: SparkSession, path: str) -> DataFrame:

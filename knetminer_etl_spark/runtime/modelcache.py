@@ -17,7 +17,9 @@ that must name the input (path) and every hyperparameter. The cache is
 transparent exactly because training is deterministic; callers training
 on mutable inputs (a stream, a view over changing files) must either
 skip the memo or include a version/epoch in the key. ``clear()`` drops
-everything (tests; explicit invalidation)."""
+everything (tests; explicit invalidation). The cache is LRU-bounded
+(core/memo.py): an evicted model is deterministically retrained on the
+next call — extra driver-synchronized jobs, bit-identical output."""
 
 from __future__ import annotations
 
@@ -26,7 +28,9 @@ from typing import Any
 
 from pyspark.sql import SparkSession
 
-_CACHE: dict[tuple, Any] = {}
+from ..core.memo import BoundedMemo
+
+_CACHE: BoundedMemo = BoundedMemo(maxsize=512)
 
 
 def memo_model(

@@ -349,8 +349,8 @@ def process_decon_batch(
     test_vecs: DataFrame,
     clean_path: str,
     threshold: float = 0.95,
-    n_planes: int = 12,
-    n_bands: int = 48,
+    n_planes: int | str = "auto",
+    n_bands: int | None = None,
     seed: int = 0x5EED,
 ) -> None:
     """One epoch: keep only the batch vectors whose banded-verified max
@@ -358,7 +358,16 @@ def process_decon_batch(
     (operators/contamination.semantic_decontaminate_banded) and write
     them as this epoch's partition. Stateless across epochs — the eval
     set is loop-invariant — so idempotent partition overwrite alone
-    gives exactly-once; a replayed epoch rewrites identical content."""
+    gives exactly-once; a replayed epoch rewrites identical content.
+
+    ``n_planes`` defaults to ``"auto"`` — the SAME contract as the batch
+    entry point (contamination.semantic_decontaminate): the band shape
+    is sized from the evaluation-suite count via ``_auto_decon_shape``
+    (streaming suites are typically small, so this resolves to the
+    12×48 floor). Callers looping over epochs should resolve the shape
+    ONCE at stream start (``start_semantic_decon_stream`` does) — a
+    pinned in-memory suite has no input files, so per-epoch "auto"
+    re-counts it every batch."""
     from ..operators.contamination import semantic_decontaminate_banded
 
     batch = batch.select("vec_id", "embedding").localCheckpoint(eager=True)
@@ -380,8 +389,8 @@ def start_semantic_decon_stream(
     clean_path: str,
     checkpoint_path: str,
     threshold: float = 0.95,
-    n_planes: int = 12,
-    n_bands: int = 48,
+    n_planes: int | str = "auto",
+    n_bands: int | None = None,
     seed: int = 0x5EED,
     query_name: str = "continuous_semantic_decon",
 ):
@@ -391,10 +400,20 @@ def start_semantic_decon_stream(
     ``semantic_decontaminate_banded`` (benchmark leaks never enter the
     corpus, instead of being scrubbed after the fact). The eval relation
     is pinned once per stream; each epoch broadcasts its banded form.
-    Returns the StreamingQuery."""
+
+    ``n_planes="auto"`` (default — the batch entry's contract): the
+    suite is fixed at stream start, so the band shape is sized ONCE
+    here from its count and every epoch reuses the resolved ints — no
+    per-epoch probe jobs. Returns the StreamingQuery."""
     test_pinned = test_vecs.select("vec_id", "embedding").localCheckpoint(
         eager=True
     )
+    if n_planes == "auto":
+        from ..operators.contamination import _auto_decon_shape
+
+        n_planes, n_bands = _auto_decon_shape(test_pinned.count(), threshold)
+    elif n_bands is None:
+        n_bands = 48
 
     def on_batch(batch: DataFrame, epoch_id: int) -> None:
         process_decon_batch(

@@ -515,10 +515,17 @@ class TestIncrementalMinhash:
         old = corpus.filter("doc_id < 20 or doc_id = 100")
         new = corpus.filter("doc_id >= 20 and doc_id != 100")
 
-        full = minhash_lsh_pairs(corpus, threshold=0.5)
-        prior = minhash_lsh_pairs(old, threshold=0.5)
+        # ONE fixed shape on every path: the index contract pins
+        # (num_perm, bands) at ingest time, so the equality property is
+        # per-shape (the auto shape the full path would pick for a
+        # grown corpus is a DIFFERENT recall curve — see
+        # minhash_band_rows' docstring)
+        shape = dict(num_perm=96, bands=48)
+        full = minhash_lsh_pairs(corpus, threshold=0.5, **shape)
+        prior = minhash_lsh_pairs(old, threshold=0.5, **shape)
         inc = incremental_minhash_pairs(
-            new, minhash_band_rows(old), corpus, threshold=0.5
+            new, minhash_band_rows(old, **shape), corpus, threshold=0.5,
+            **shape,
         )
         got = {(r["id_a"], r["id_b"]) for r in prior.collect()} | {
             (r["id_a"], r["id_b"]) for r in inc.collect()
