@@ -903,7 +903,14 @@ def minhash_band_rows(
     # hashed a ~40-char string per (doc, band) — pure allocation churn.
     # Equal lane values still collide to equal buckets per band, so the
     # blocking semantics (and the banding recall bound) are unchanged.
-    if bands <= 32:
+    # Gate on TOTAL lane count, not band count: the unrolled entries
+    # reference each signature lane exactly once, so the expression tree
+    # is num_perm terms whatever the (r, b) split — the same budget as
+    # the unrolled signature itself. Gating on bands alone sent the
+    # bench-scale auto shape (98 lanes, 49 bands at t=0.5) through the
+    # Arrow kernel and its JVM↔Python hop: measured 10.8 s vs 2.6 s
+    # best-of-4 for dedup_components at sf0.1 (plans/r10).
+    if num_perm <= MINHASH_UNROLL_MAX:
         sigs = minhash_signatures(df, id_col, text_col, num_perm, k)
         entries = ", ".join(
             "named_struct('band', {b}, 'bucket', "
@@ -1008,15 +1015,32 @@ def _auto_minhash_shape(
     The oracle stays the brute-force true-Jaccard join at every shape:
     banding only affects recall (bounded above), never precision
     (candidates verify exact), so no oracle-side banding replication is
-    needed."""
+    needed.
+
+    At the r=2 FLOOR (n ≤ 64k) bands solve the ``miss`` bound but are
+    capped at ``max(32, b(1e-4))``: at t = 0.5 the solved b = 49 costs
+    53% more banding than the b = 32 shape six rounds of three-sf
+    sweeps and the 10×/100× tiers validated hash-equal, for an FP bill
+    that is already negligible at floor corpus sizes (measured sf0.1:
+    3.21 s vs 2.58 s best-of-5 at IDENTICAL 256-pair output — see
+    OPTIMIZATION_r10.md). The cap never weakens the per-pair miss past
+    1e-4 (the proven floor figure; at t ≥ 0.6 the uncapped ≤32-band
+    solution already meets 1e-6 and is kept). Past the knee the solved
+    b restores ≤ ``miss`` uncapped — the at-threshold pair population
+    grows ∝ n², so the tighter bound binds exactly where it matters."""
     import math
+
+    def solve_b(per_band: float, m: float) -> int:
+        return max(8, math.ceil(math.log(m) / math.log(1.0 - per_band)))
 
     r = 2
     if n > 64_000:
         r = min(6, 2 + math.ceil(math.log(n / 64_000, 4)))
     t = min(max(threshold, 0.05), 0.999)
     per_band = t**r
-    b = max(8, math.ceil(math.log(miss) / math.log(1.0 - per_band)))
+    b = solve_b(per_band, miss)
+    if r == 2:
+        b = min(b, max(32, solve_b(per_band, 1e-4)))
     return r * b, b
 
 
