@@ -787,7 +787,35 @@ def minhash_signatures(
     guaranteed non-empty, so the signature is never NULL — no
     size()/NULL guard (such a guard becomes a pushable predicate that
     re-inlines the shingle pipeline below the exchange)."""
-    shingled = _with_shingles(df, id_col, text_col, k)
+    return _sigs_from_hashes(
+        _hashed_shingles(df, id_col, text_col, k), num_perm
+    )
+
+
+def _hashed_shingles(
+    df: DataFrame, id_col: str, text_col: str, k: int
+) -> DataFrame:
+    """(_id, _hh): each document's DISTINCT shingles as 64-bit
+    ``xxhash64`` fingerprints — the lightweight proxy every MinHash
+    consumer works from. Each shingle STRING is hashed exactly once
+    (staged so CollapseProject cannot inline the hash into every lane
+    of a downstream signature); banding lanes remix the 8-byte hash,
+    and true-Jaccard verification intersects the same fingerprints
+    (set/intersection sizes preserved barring ~|sh|²/2⁶⁵ per-document
+    collisions — the standing ``hash_shingles`` argument)."""
+    return _with_shingles(df, id_col, text_col, k).select(
+        "_id", F.expr("transform(_sh, s -> xxhash64(s))").alias("_hh")
+    )
+
+
+def _sigs_from_hashes(hh: DataFrame, num_perm: int) -> DataFrame:
+    """(doc_id, signature) from a hashed-shingle relation
+    (:func:`_hashed_shingles`). Lane i takes the per-document min of
+    ``xxhash64(h, i)`` over the base hashes — mix(i, mix(s)) is a
+    pseudorandom function of the shingle for each fixed i, so
+    P(lane match) = Jaccard exactly as when each lane re-hashed the
+    shingle string (which paid ~num_perm× the variable-length hashing
+    cost for identical banding semantics)."""
     if num_perm <= MINHASH_UNROLL_MAX:
         # One expr() string, not num_perm Column subtrees: each Column
         # call is a driver round-trip and 64 min-hash lanes cost ~0.5 s
@@ -795,23 +823,14 @@ def minhash_signatures(
         sig = F.expr(
             "array("
             + ", ".join(
-                f"array_min(transform(_sh, s -> xxhash64(s, {i})))"
+                f"array_min(transform(_hh, h -> xxhash64(h, {i})))"
                 for i in range(num_perm)
             )
             + ")"
         )
-        return shingled.select(
-            F.col("_id").alias("doc_id"),
-            sig.alias("signature"),
-        )
-    staged = shingled.select(
-        "_id",
-        F.expr("transform(_sh, s -> xxhash64(s))").alias("_hh"),
-    )
-    return staged.select(
-        F.col("_id").alias("doc_id"),
-        _minhash_sigs_arrow(num_perm)(F.col("_hh")).alias("signature"),
-    )
+    else:
+        sig = _minhash_sigs_arrow(num_perm)(F.col("_hh"))
+    return hh.select(F.col("_id").alias("doc_id"), sig.alias("signature"))
 
 
 def _minhash_sigs_arrow(num_perm: int):
@@ -897,21 +916,33 @@ def minhash_band_rows(
     :func:`_auto_minhash_shape` at the corpus's expected magnitude (the
     static default here is the r=2 floor shape: miss ≤ 1e-4 at j = 0.5,
     ≤ 6e-7 at j ≥ 0.6)."""
+    return _band_rows_from_hashes(
+        _hashed_shingles(df, id_col, text_col, k), num_perm, bands
+    )
+
+
+def _band_rows_from_hashes(
+    hh: DataFrame, num_perm: int, bands: int
+) -> DataFrame:
+    """(doc_id, band, bucket) from a hashed-shingle relation — the
+    banding engine behind :func:`minhash_band_rows`, split out so a
+    caller that ALSO needs the fingerprints for verification
+    (:func:`_minhash_lsh_pairs_direct`) can pin one relation and feed
+    both consumers instead of tokenizing + shingling the corpus twice.
+
+    bucket = hash of the band's signature lanes AS LONGS (band id as a
+    hashed column) — equal lane values collide to equal buckets per
+    band, so blocking semantics and the banding recall bound are those
+    of classic banded MinHash. The JVM/Arrow gate tests TOTAL lane
+    count, not band count: the unrolled entries reference each lane
+    exactly once, so the expression tree is num_perm terms whatever the
+    (r, b) split. Gating on bands alone sent the bench-scale auto shape
+    (98 lanes, 49 bands at t=0.5) through the Arrow kernel and its
+    JVM↔Python hop: measured 10.8 s vs 2.6 s best-of-4 for
+    dedup_components at sf0.1 (plans/r10)."""
     rows_per_band = num_perm // bands
-    # bucket = hash of the band's signature lanes AS LONGS (band id as a
-    # hashed column): the previous concat_ws-of-string-casts built and
-    # hashed a ~40-char string per (doc, band) — pure allocation churn.
-    # Equal lane values still collide to equal buckets per band, so the
-    # blocking semantics (and the banding recall bound) are unchanged.
-    # Gate on TOTAL lane count, not band count: the unrolled entries
-    # reference each signature lane exactly once, so the expression tree
-    # is num_perm terms whatever the (r, b) split — the same budget as
-    # the unrolled signature itself. Gating on bands alone sent the
-    # bench-scale auto shape (98 lanes, 49 bands at t=0.5) through the
-    # Arrow kernel and its JVM↔Python hop: measured 10.8 s vs 2.6 s
-    # best-of-4 for dedup_components at sf0.1 (plans/r10).
     if num_perm <= MINHASH_UNROLL_MAX:
-        sigs = minhash_signatures(df, id_col, text_col, num_perm, k)
+        sigs = _sigs_from_hashes(hh, num_perm)
         entries = ", ".join(
             "named_struct('band', {b}, 'bucket', "
             "xxhash64({cols}, {b}))".format(
@@ -932,12 +963,7 @@ def minhash_band_rows(
     # MINHASH_UNROLL_MAX story): bucket = splitmix64 chain over the
     # band's lanes, seeded with the band index so equal lane values in
     # DIFFERENT bands never cross-collide
-    shingled = _with_shingles(df, id_col, text_col, k)
-    staged = shingled.select(
-        "_id",
-        F.expr("transform(_sh, s -> xxhash64(s))").alias("_hh"),
-    )
-    banded = staged.select(
+    banded = hh.select(
         F.col("_id").alias("doc_id"),
         _minhash_band_buckets_arrow(num_perm, bands)(F.col("_hh")).alias(
             "_bkts"
@@ -1238,8 +1264,26 @@ def _minhash_lsh_pairs_direct(
 ) -> DataFrame:
     """The uncollapsed banded plan (band → bucket-pair → verify) —
     :func:`minhash_lsh_pairs`'s engine, run over representatives when
-    content collapse is on."""
-    banded = minhash_band_rows(df, id_col, text_col, num_perm, bands, k)
+    content collapse is on.
+
+    On the measured-small verify path (n_docs ≤
+    :data:`VERIFY_FULL_SHINGLE_MAX`) the hashed-shingle relation is
+    pinned ONCE and feeds banding AND both verification join sides:
+    unshared, the corpus was tokenized + shingled twice — once by the
+    verification pin, once again inside the banding pipeline of the
+    final action (measured 2.75 → 2.51 s best-of-4 for the sf0.1 bench
+    minhash entry, with the staged base-hash lanes landing the same
+    commit)."""
+    shared = (
+        verify and n_docs is not None and n_docs <= VERIFY_FULL_SHINGLE_MAX
+    )
+    if shared:
+        hh = _hashed_shingles(df, id_col, text_col, k).localCheckpoint(
+            eager=True
+        )
+        banded = _band_rows_from_hashes(hh, num_perm, bands)
+    else:
+        banded = minhash_band_rows(df, id_col, text_col, num_perm, bands, k)
 
     cands = candidate_pairs_from_buckets(
         banded,
@@ -1247,6 +1291,12 @@ def _minhash_lsh_pairs_direct(
         max_bucket_size=max_bucket_size,
         metrics_label="minhash_lsh",
     )
+
+    if shared:
+        return verified_jaccard_pairs(
+            cands, df, id_col, text_col, k, threshold, n_docs=n_docs,
+            shingles=hh,
+        )
 
     if not verify:
         sigs = minhash_signatures(df, id_col, text_col, num_perm, k)
@@ -1293,9 +1343,16 @@ def verified_jaccard_pairs(
     threshold: float = 0.7,
     hash_shingles: bool = True,
     n_docs: int | None = None,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """True-Jaccard verification of an (id_a, id_b) candidate relation
     against ``corpus`` texts.
+
+    ``shingles``: an already-materialized (pinned) hashed-shingle
+    relation ``(_id, _hh)`` (:func:`_hashed_shingles`) covering every
+    document that can appear in ``cands`` — when given, the corpus is
+    not re-tokenized at all; both join sides read the caller's pin
+    (the caller typically derived the banding from the same relation).
 
     Shingles only documents that appear in a candidate pair — semi-join
     the corpus down FIRST, then shingle the survivors. Re-shingling the
@@ -1325,24 +1382,29 @@ def verified_jaccard_pairs(
     larger or unmeasured corpora pin the candidates and semi-join the
     corpus down first, the 100 TB shape (candidates ≪ corpus, so the
     saved shingling dwarfs the pin)."""
-    if n_docs is not None and n_docs <= VERIFY_FULL_SHINGLE_MAX:
-        cand_docs = corpus
+    if shingles is not None:
+        shing = shingles.select("_id", F.col("_hh").alias("_sh"))
     else:
-        cands = cands.localCheckpoint(eager=True)  # pin: id set + joins
-        cand_ids = (
-            cands.select(F.col("id_a").alias(id_col))
-            .unionByName(cands.select(F.col("id_b").alias(id_col)))
-            .distinct()
-        )
-        cand_docs = corpus.join(cand_ids, on=id_col, how="left_semi")
-    shing = _with_shingles(cand_docs, id_col, text_col, k)
-    if hash_shingles:
-        shing = shing.select(
-            "_id",
-            F.transform(F.col("_sh"), lambda s: F.xxhash64(s)).alias("_sh"),
-        )
-    # pin: referenced by both join sides; bounded by the candidate set
-    shing = shing.localCheckpoint(eager=True)
+        if n_docs is not None and n_docs <= VERIFY_FULL_SHINGLE_MAX:
+            cand_docs = corpus
+        else:
+            cands = cands.localCheckpoint(eager=True)  # pin: id set + joins
+            cand_ids = (
+                cands.select(F.col("id_a").alias(id_col))
+                .unionByName(cands.select(F.col("id_b").alias(id_col)))
+                .distinct()
+            )
+            cand_docs = corpus.join(cand_ids, on=id_col, how="left_semi")
+        shing = _with_shingles(cand_docs, id_col, text_col, k)
+        if hash_shingles:
+            shing = shing.select(
+                "_id",
+                F.transform(F.col("_sh"), lambda s: F.xxhash64(s)).alias(
+                    "_sh"
+                ),
+            )
+        # pin: referenced by both join sides; bounded by the candidate set
+        shing = shing.localCheckpoint(eager=True)
     sa = shing.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"))
     sb = shing.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"))
     return (

@@ -183,13 +183,15 @@ def quality_rules(
             F.array(*[F.when(cond, F.lit(name)) for name, cond in rules])
         )
     )
+    # `passes` references the computed fail_reasons column instead of a
+    # second copy of the `reasons` tree, so the rule conditions (each a
+    # regex/tokenize pass over the text) evaluate once per row.
     return df.withColumns(
         {
             "n_tokens": n_tokens.cast("int"),
             "fail_reasons": reasons,
-            "passes": F.size(reasons) == 0,
         }
-    )
+    ).withColumn("passes", F.size(F.col("fail_reasons")) == 0)
 
 
 def quality_filter(df: DataFrame, text_col: str = "text", **thresholds) -> DataFrame:
@@ -532,23 +534,31 @@ def repetition_stats(
         "top_3gram_char_frac": _top_gram_chars(F.col("__g3")) / wc,
         "dup_5gram_char_frac": _dup_gram_chars(F.col("__g5")) / wc,
     }
+    # Stage the raw feature values once: the threshold conditions and the
+    # rounded outputs both reference the SAME computed column, so each
+    # O(g log g) sort+fold runs once per row. Building the conditions from
+    # fresh `feats[...]` expressions re-instantiated the folds inside
+    # fail_reasons AND passes — the plan carried every fold 3x per row
+    # (output column, fail_reasons CASE, passes CASE; see
+    # plans/r10/doc_repetition_stats_before.txt). Thresholds still compare
+    # the UNROUNDED value, as before.
+    staged = staged.withColumns({f"__f_{k}": v for k, v in feats.items()})
     reasons = F.array_sort(
         F.array_compact(
             F.array(
                 *[
-                    F.when(feats[name] > th[name], F.lit(name))
+                    F.when(F.col(f"__f_{name}") > th[name], F.lit(name))
                     for name in sorted(feats)
                 ]
             )
         )
     )
     out = staged.withColumns(
-        {**{k: F.round(v, 4) for k, v in feats.items()},
-         "fail_reasons": reasons,
-         "passes": F.size(reasons) == 0}
-    )
+        {**{k: F.round(F.col(f"__f_{k}"), 4) for k in feats},
+         "fail_reasons": reasons}
+    ).withColumn("passes", F.size(F.col("fail_reasons")) == 0)
     return out.drop("__lines", "__paras", "__toks", "__g2", "__g3", "__g5",
-                    "__word_chars")
+                    "__word_chars", *[f"__f_{k}" for k in feats])
 
 
 def repetition_filter(
