@@ -566,7 +566,8 @@ def near_dup_clusters(
     gen = pairs_fn or _default_pairs_fn(df, id_col, text_col, k, threshold)
     pairs = gen(df)
     comp = connected_components(
-        pairs, "id_a", "id_b", nodes=df, node_id=id_col
+        pairs, "id_a", "id_b", nodes=df, node_id=id_col,
+        edges_canonical=True,
     )
     return (
         comp.groupBy("component")
@@ -606,7 +607,8 @@ def dedup_keep_best(
 
     gen = pairs_fn or _default_pairs_fn(df, id_col, text_col, k, threshold)
     comp = connected_components(
-        gen(df), "id_a", "id_b", nodes=df, node_id=id_col
+        gen(df), "id_a", "id_b", nodes=df, node_id=id_col,
+        edges_canonical=True,
     ).withColumnRenamed("id", id_col)
     score_col = score if score is not None else token_count(F.col(text_col))
     scored = df.select(F.col(id_col), score_col.alias("score")).join(
@@ -634,6 +636,7 @@ def drop_near_dups(
     threshold: float = 0.5,
     pairs_fn=None,
     n_docs: int | None = None,
+    _stats: dict | None = None,
 ) -> DataFrame:
     """The near-dup-filtered corpus: one representative per cluster.
 
@@ -646,13 +649,23 @@ def drop_near_dups(
     where duplicates are a small fraction). Output rows are identical
     to the keep-set formulation. ``n_docs``, when the caller already
     holds the corpus count, skips the size-dispatch probe job.
+
+    ``_stats`` (optional dict) receives the component solver's run
+    record (``edges``, ``rounds``, and — on the driver union-find path —
+    ``non_root``, the exact drop-set size): callers can read
+    ``rounds == 0`` to learn the drop relation is DRIVER-LOCAL data,
+    i.e. this frame is a cheap broadcast anti-join over ``df`` with no
+    expensive upstream left in its plan (plan-shape information only;
+    the rows are identical either way).
     """
     from .graph import connected_components  # local: avoid cycle at import
 
     gen = pairs_fn or _default_pairs_fn(
         df, id_col, text_col, k, threshold, n_docs=n_docs
     )
-    comp = connected_components(gen(df), "id_a", "id_b")
+    comp = connected_components(
+        gen(df), "id_a", "id_b", edges_canonical=True, _stats=_stats
+    )
     drop = comp.filter(F.col("id") != F.col("component")).select(
         F.col("id").alias(id_col)
     )

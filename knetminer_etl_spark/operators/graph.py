@@ -84,6 +84,7 @@ def connected_components(
     max_iterations: int = 50,
     rounds_per_check: int = 1,
     small_graph_threshold: int = 100_000,
+    edges_canonical: bool = False,
     _stats: dict | None = None,
 ) -> DataFrame:
     """(id, component) — component = min node id reachable (undirected).
@@ -137,34 +138,83 @@ def connected_components(
     # The edge count rides the pin job (observe) — free attribution data
     # for scale sweeps: a super-linear runtime is explainable only if the
     # input edge volume is recorded alongside it.
-    e, em = _pin_observe(
-        _sym_edges(edges, src, dst).select(
-            F.greatest("src", "dst").alias("u"), F.least("src", "dst").alias("v")
-        ).distinct(),
-        F.count(F.lit(1)).alias("n"),
-    )
+    #
+    # Canonicalization is ONE narrow greatest/least projection + one
+    # distinct: the previous _sym_edges composition doubled the edge set
+    # (fwd ∪ rev), distinct'd the doubled set, THEN re-canonicalized with
+    # a second distinct — two full edge exchanges for a set this single
+    # distinct reproduces exactly ({(max(a,b), min(a,b)) : a ≠ b} either
+    # way). ``edges_canonical`` (callers whose pair generators already
+    # emit unique id-ordered, loop-free pairs — every near-dup engine
+    # here) skips even that exchange: duplicates would be harmless to
+    # the star rounds and the union-find alike, so the flag is a
+    # physical-plan promise, not a correctness one.
+    canon = edges.select(
+        F.greatest(F.col(src), F.col(dst)).alias("u"),
+        F.least(F.col(src), F.col(dst)).alias("v"),
+    ).filter(F.col("u") != F.col("v"))
+    if not edges_canonical:
+        canon = canon.distinct()
+    e, em = _pin_observe(canon, F.count(F.lit(1)).alias("n"))
     n_edges = int(em["n"])
     _record("edges", n_edges)
-    ids = e.select(F.col("u").alias("id")).unionByName(
-        e.select(F.col("v").alias("id"))
-    )
-    if nodes is not None:
-        ids = ids.unionByName(nodes.select(F.col(node_id).alias("id")))
-    # lazy: ids is referenced exactly once (the final label join) in
-    # both branches, and it derives from the PINNED edge relation plus
-    # the caller's node scan — an eager pin here was one extra job +
-    # block write per call with nothing to protect from recompute
-    ids = ids.distinct()
 
     if small_graph_threshold and n_edges <= small_graph_threshold:
-        child = _driver_union_find(e)
+        labels = _union_find_min_labels(
+            (r["u"], r["v"]) for r in e.collect()
+        )
         _record("rounds", 0)
+        # non_root = |{id : label ≠ id}| — the exact size of a
+        # min-representative drop set. Callers that filter by
+        # `id != component` (drop_near_dups) read it from ``_stats`` to
+        # compute survivor counts with driver arithmetic instead of a
+        # counting pass (the labels are already driver-resident here).
+        _record(
+            "non_root", sum(1 for k, v in labels.items() if k != v)
+        )
+        schema = T.StructType(
+            [
+                T.StructField("id", e.schema["u"].dataType),
+                T.StructField("component", e.schema["v"].dataType),
+            ]
+        )
+        child = e.sparkSession.createDataFrame(
+            sorted(labels.items()), schema
+        )
+        if nodes is None:
+            # With no `nodes`, the contract output is exactly the
+            # distinct edge endpoints with their labels — which the
+            # driver relation already holds verbatim. The previous plan
+            # re-derived that id set from the pinned edges and
+            # broadcast-joined the labels back: one distinct exchange +
+            # one broadcast build per call for rows the driver computed
+            # anyway (measured 7.06 → 6.55 s best-of-4 on
+            # doc_pipeline_stages, whose near-dup stage anti-joins this
+            # relation).
+            return child
+        ids = (
+            e.select(F.col("u").alias("id"))
+            .unionByName(e.select(F.col("v").alias("id")))
+            .unionByName(nodes.select(F.col(node_id).alias("id")))
+            .distinct()
+        )
         return (
             ids.join(F.broadcast(child), on="id", how="left")
             .select(
                 "id", F.coalesce("component", F.col("id")).alias("component")
             )
         )
+
+    ids = e.select(F.col("u").alias("id")).unionByName(
+        e.select(F.col("v").alias("id"))
+    )
+    if nodes is not None:
+        ids = ids.unionByName(nodes.select(F.col(node_id).alias("id")))
+    # lazy: ids is referenced exactly once (the final label join) and it
+    # derives from the PINNED edge relation plus the caller's node scan —
+    # an eager pin here was one extra job + block write per call with
+    # nothing to protect from recompute
+    ids = ids.distinct()
 
     prev_fp = None
     rounds = 0
@@ -222,24 +272,6 @@ def _union_find_min_labels(pairs) -> dict:
         if m is None or x < m:
             comp_min[r] = x
     return {x: comp_min[find(x)] for x in parent}
-
-
-def _driver_union_find(e: DataFrame) -> DataFrame:
-    """(id, component) for every node appearing in the (bounded,
-    already-pinned) edge relation ``e`` — union-find on the driver,
-    component = min member id, bit-identical to the star contraction's
-    fixpoint labels. The collect is bounded by the caller's
-    ``small_graph_threshold``."""
-    labels = _union_find_min_labels(
-        (r["u"], r["v"]) for r in e.collect()
-    )
-    schema = T.StructType(
-        [
-            T.StructField("id", e.schema["u"].dataType),
-            T.StructField("component", e.schema["v"].dataType),
-        ]
-    )
-    return e.sparkSession.createDataFrame(sorted(labels.items()), schema)
 
 
 def connected_components_label(

@@ -287,7 +287,8 @@ def leakage_safe_split(
 
     gen = pairs_fn or _default_pairs_fn(df, id_col, text_col, k, threshold)
     comp = connected_components(
-        gen(df), "id_a", "id_b", nodes=df, node_id=id_col
+        gen(df), "id_a", "id_b", nodes=df, node_id=id_col,
+        edges_canonical=True,
     )
     return comp.select(
         F.col("id").alias(id_col),

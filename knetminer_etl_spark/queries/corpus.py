@@ -1002,14 +1002,34 @@ def doc_pipeline_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     CK.save(exact, f"{ck}/exact")
     exact = CK.load(f"{ck}/exact", spark)
-    obs_near = Observation()
+    n_exact = int(obs_e.get["n"])
     # the exact-survivor count rides the staging write just done — hand
     # it to the size dispatcher so it never runs its own probe job
+    cc_stats: dict = {}
     near = DD2.drop_near_dups(
-        exact, k=3, threshold=0.5, n_docs=int(obs_e.get["n"])
-    ).observe(obs_near, _n)
-    CK.save(near, f"{ck}/near")
-    near = CK.load(f"{ck}/near", spark)
+        exact, k=3, threshold=0.5, n_docs=n_exact, _stats=cc_stats
+    )
+    if cc_stats.get("rounds") == 0:
+        # components were solved on the driver (every test/bench scale):
+        # `near`'s remaining plan is one scan of the staged exact parquet
+        # anti-joined against DRIVER-LOCAL drop ids — the expensive pair
+        # pipeline already ran inside the component solver and is not in
+        # this plan anymore. Staging `near` to parquet (the distributed-
+        # path shape below) would re-write the whole survivor corpus
+        # just to save re-scanning it, and the near-survivor count is
+        # pure driver arithmetic (exact − non-roots), not a counting
+        # pass.
+        n_near = n_exact - int(cc_stats["non_root"])
+    else:
+        # distributed components: the drop relation still hangs off the
+        # pinned edge set, so each downstream consumer (train count, two
+        # decontamination sides) would redo the drop anti-join shuffle —
+        # stage once, count riding the write.
+        obs_near = Observation()
+        near = near.observe(obs_near, _n)
+        CK.save(near, f"{ck}/near")
+        near = CK.load(f"{ck}/near", spark)
+        n_near = int(obs_near.get["n"])
     split = SP3.hash_split(near, "doc_id", _SPLIT_WEIGHTS, seed=_SPLIT_SEED)
     train = split.filter(F.col("split") == "train")
     test = split.filter(F.col("split") == "test")
@@ -1018,8 +1038,8 @@ def doc_pipeline_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
     observed = [
         (0, "raw", obs_raw.get["n"]),
         (1, "quality", obs_q.get["n"]),
-        (2, "exact_dedup", obs_e.get["n"]),
-        (3, "near_dedup", obs_near.get["n"]),
+        (2, "exact_dedup", n_exact),
+        (3, "near_dedup", n_near),
     ]
     counts = spark.createDataFrame(
         observed, "stage_no int, stage string, n_docs long"

@@ -35,7 +35,8 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, num_perm="auto", k=3, threshold=0.5, verify=True
     )
     return G.connected_components(
-        pairs, "id_a", "id_b", nodes=docs, node_id="doc_id"
+        pairs, "id_a", "id_b", nodes=docs, node_id="doc_id",
+        edges_canonical=True,
     )
 
 
