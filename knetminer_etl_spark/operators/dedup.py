@@ -1298,9 +1298,22 @@ def _minhash_lsh_pairs_direct(
     else:
         banded = minhash_band_rows(df, id_col, text_col, num_perm, bands, k)
 
+    # the banding relation's cardinality is KNOWN when n_docs is
+    # (n_docs × bands rows of ~28 B: id, band, bucket) — size the
+    # bucket-grouping exchange from it instead of letting
+    # candidate_pairs_from_buckets probe optimizer stats + df.rdd,
+    # two driver planning passes per invocation over the banding tree
+    nparts = None
+    if n_docs is not None:
+        from ..runtime.checkpoint import sized_agg_partitions
+
+        nparts = sized_agg_partitions(
+            df.sparkSession, n_docs * bands * 28
+        )
     cands = candidate_pairs_from_buckets(
         banded,
         ["band", "bucket"],
+        num_partitions=nparts,
         max_bucket_size=max_bucket_size,
         metrics_label="minhash_lsh",
     )

@@ -62,9 +62,35 @@ def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     small *bytes* do not mean small *compute*. At real scale inputs
     arrive well-split and this is a no-op; the round-robin shuffle on the
     small under-split input is cheap relative to the compute it unlocks.
+
+    The split-count probe (``df.rdd.getNumPartitions()``) is a FULL
+    physical-planning pass plus RDD-DAG construction on the driver —
+    measured 0.15–0.2 s per call on the bench plans, paid by every
+    invocation of every shingling operator. It is memoized per
+    (application, canonical plan, input files) for file-backed inputs —
+    scan split counts are a pure function of (files, session conf), both
+    fixed for an application — so repeat calls cost a cheap analysis
+    pass only. In-memory relations (no input files) keep the direct
+    probe. Plan-choice state only, never results (core/memo.py).
     """
     want = min_partitions or df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < want:
+    key = None
+    try:
+        files = df.inputFiles()
+        if files:
+            key = (
+                df.sparkSession.sparkContext.applicationId,
+                df.semanticHash(),
+                tuple(sorted(files)),
+            )
+    except Exception:
+        key = None
+    have = _PARTS_MEMO.get(key) if key is not None else None
+    if have is None:
+        have = df.rdd.getNumPartitions()
+        if key is not None:
+            _PARTS_MEMO[key] = have
+    if have < want:
         return df.repartition(want)
     return df
 
@@ -77,6 +103,10 @@ def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
 from ..core.memo import BoundedMemo
 
 _COUNT_MEMO = BoundedMemo(maxsize=4096)
+
+#: memoized scan split counts for fan_out — same immutable-file contract
+#: as _COUNT_MEMO; an evicted entry re-pays one planning pass.
+_PARTS_MEMO = BoundedMemo(maxsize=4096)
 
 
 def memo_count(df: DataFrame) -> int:
