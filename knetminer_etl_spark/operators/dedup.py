@@ -351,6 +351,15 @@ def expand_group_pairs(
     return cross.unionByName(within)
 
 
+def _has_content(text: Column) -> Column:
+    """True iff ``normalize_text(text) != ''`` — i.e. the text contains
+    at least one letter or digit (everything else normalizes to
+    whitespace and trims away). A single short-circuiting RLIKE scan,
+    not a full normalization pass; NULL text yields NULL (filtered),
+    matching the normalize-compare form exactly."""
+    return text.rlike(r"[\p{L}\p{N}]")
+
+
 def _with_shingles(
     df: DataFrame, id_col: str, text_col: str, k: int
 ) -> DataFrame:
@@ -372,9 +381,14 @@ def _with_shingles(
     """
     return (
         df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
-        # cheap pre-shuffle emptiness filter (one regex pass) so no
-        # expensive post-shuffle predicate is ever needed
-        .filter(normalize_text(F.col("_t")) != F.lit(""))
+        # cheap pre-shuffle emptiness filter: normalize_text yields ""
+        # exactly when the text has NO letter/digit (every other char
+        # maps to whitespace and is collapsed/trimmed away), so one
+        # short-circuiting character-class search replaces the two full
+        # regex rewrites the old `normalize_text(_t) != ''` paid — on a
+        # single-file scan this filter runs on the one pre-fan_out task
+        # (measured 0.33 s serial per minhash invocation at sf0.1)
+        .filter(_has_content(F.col("_t")))
         .transform(fan_out)
         .select("_id", tokens(normalize_text(F.col("_t"))).alias("_tok"))
         .select("_id", shingles_from_tokens(F.col("_tok"), k).alias("_sh"))
@@ -553,13 +567,20 @@ def near_dup_clusters(
     """(keep_id, cluster_size): the end-to-end corpus-dedup composition —
     near-dup pairs → connected components → one canonical representative
     (the min id) per cluster. ``pairs_fn(df) -> (id_a, id_b, ...)``
-    overrides candidate generation. The default is banded MinHash-LSH
-    with true-Jaccard verification at the auto band shape
-    (:func:`_auto_minhash_shape`: P(miss | j ≥ threshold) ≤ 1e-6 per
-    pair at every corpus size) — candidate-linear at corpus scale,
-    where exact shingle-bucket Jaccard grows with Σ|bucket|² (quadratic
-    under template-heavy corpora; measured 11× wall for 10× docs).
-    Singleton documents appear with cluster_size 1.
+    overrides candidate generation; a custom generator SHOULD emit
+    distinct id-ordered (id_a < id_b), loop-free pairs — the component
+    solver canonicalizes and tolerates duplicates/reversals, but they
+    inflate the small-graph dispatch count and the driver collect volume
+    (the ``edges_canonical`` plan promise these call sites make). The
+    default is banded MinHash-LSH with true-Jaccard verification at the
+    auto band shape (:func:`_auto_minhash_shape`: P(miss | j ≥
+    threshold) ≤ 1e-6 per pair past the 64k-distinct-content knee; at
+    floor corpus sizes (n ≤ 64k) the capped r=2 floor shape bounds it
+    at ≤ 1e-4 for thresholds below ~0.6, ≤ 1e-6 at j ≥ 0.6) —
+    candidate-linear at corpus scale, where exact shingle-bucket
+    Jaccard grows with Σ|bucket|² (quadratic under template-heavy
+    corpora; measured 11× wall for 10× docs). Singleton documents
+    appear with cluster_size 1.
     """
     from .graph import connected_components  # local: avoid cycle at import
 
@@ -600,7 +621,10 @@ def dedup_keep_best(
     survivor selection is ONE extra shuffle on the component key — both
     window functions (rank, cluster size) share its partitioning, and
     per-reducer state is bounded by the largest cluster, the same bound
-    the clustering itself must satisfy.
+    the clustering itself must satisfy. A custom ``pairs_fn`` SHOULD
+    emit distinct id-ordered loop-free pairs (see
+    :func:`near_dup_clusters` — duplicates stay correct but inflate the
+    dispatch count and driver collect volume).
     """
     from .graph import connected_components  # local: avoid cycle at import
     from .text import token_count
@@ -656,7 +680,9 @@ def drop_near_dups(
     ``rounds == 0`` to learn the drop relation is DRIVER-LOCAL data,
     i.e. this frame is a cheap broadcast anti-join over ``df`` with no
     expensive upstream left in its plan (plan-shape information only;
-    the rows are identical either way).
+    the rows are identical either way). A custom ``pairs_fn`` SHOULD
+    emit distinct id-ordered loop-free pairs (see
+    :func:`near_dup_clusters`).
     """
     from .graph import connected_components  # local: avoid cycle at import
 
@@ -1114,7 +1140,10 @@ def minhash_lsh_pairs(
     while sub-threshold pairs grow ∝ n²; measured: 21.5M candidates for
     25,600 true pairs at the 100× tier under static r=2·b=32), so r
     steps up one per 4× of corpus past 64k distinct contents and b
-    restores P(miss | j ≥ threshold) ≤ 1e-6. Passing explicit ints pins
+    restores P(miss | j ≥ threshold) ≤ 1e-6 — except at the r=2 floor
+    (n ≤ 64k), where the band-count cap trades the bound to ≤ 1e-4 for
+    thresholds below ~0.6 (see :func:`_auto_minhash_shape`; at j ≥ 0.6
+    the uncapped solution already meets 1e-6). Passing explicit ints pins
     a shape (``bands=None`` with an int ``num_perm`` keeps the
     historical ``num_perm // 4`` band split); the persistent-index
     entry points (:func:`minhash_band_rows`,
@@ -1181,7 +1210,7 @@ def minhash_lsh_pairs(
     # exactly as the banded path excludes them (_with_shingles drops
     # them before signing), so the within-group emission can never
     # resurrect a document the uncollapsed path would not pair.
-    keyed = df.filter(normalize_text(F.col(text_col)) != F.lit("")).select(
+    keyed = df.filter(_has_content(F.col(text_col))).select(
         F.col(id_col).alias("_id"),
         F.xxhash64(F.col(text_col), F.lit(1)).alias("_g1"),
         F.xxhash64(F.col(text_col), F.lit(2)).alias("_g2"),
@@ -1475,7 +1504,18 @@ def incremental_minhash_pairs(
     became a candidate — semi-joined down before shingling).
     ``old_index`` rows for ids also present in ``new_docs`` are ignored
     (re-ingestion safe). At 100 TB the per-refresh cost is
-    O(batch + matched buckets), not O(corpus)."""
+    O(batch + matched buckets), not O(corpus).
+
+    INDEX FORMAT BREAK (round 10): the lane scheme changed from
+    ``xxhash64(shingle, i)`` to ``xxhash64(xxhash64(shingle), i)``
+    (hash each shingle string once, remix the 64-bit value per lane —
+    same banding statistics, ~num_perm× less variable-length hashing).
+    Signatures and band buckets therefore differ from indexes persisted
+    by earlier builds: joining an OLD index against NEW batches silently
+    stops matching (missed new-vs-old pairs) — there is no version
+    marker in the band-row format. Rebuild persisted indexes with
+    :func:`minhash_band_rows` at the current scheme before resuming
+    incremental ingestion."""
     new_bands = minhash_band_rows(
         new_docs, id_col, text_col, num_perm, bands, k
     ).localCheckpoint(eager=True)  # reused by both candidate branches

@@ -280,7 +280,11 @@ def leakage_safe_split(
     assignment degrades to a plain per-document hash split. Expected
     split fractions hold over components (weighted by cluster size the
     skew is bounded by the largest cluster — by construction the thing
-    you must not split).
+    you must not split). A custom ``pairs_fn`` SHOULD emit distinct
+    id-ordered loop-free pairs (see
+    :func:`~knetminer_etl_spark.operators.dedup.near_dup_clusters` —
+    duplicates stay correct but inflate the component solver's dispatch
+    count and driver collect volume).
     """
     from .dedup import _default_pairs_fn
     from .graph import connected_components  # local: avoid cycle at import

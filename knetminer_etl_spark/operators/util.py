@@ -67,10 +67,15 @@ def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     physical-planning pass plus RDD-DAG construction on the driver —
     measured 0.15–0.2 s per call on the bench plans, paid by every
     invocation of every shingling operator. It is memoized per
-    (application, canonical plan, input files) for file-backed inputs —
-    scan split counts are a pure function of (files, session conf), both
-    fixed for an application — so repeat calls cost a cheap analysis
-    pass only. In-memory relations (no input files) keep the direct
+    (application, input files) for file-backed inputs: fan_out is
+    called on pre-exchange scan/filter/project chains by design, and a
+    narrow chain's partition count is the SCAN's split count — a pure
+    function of (files, session conf), both fixed for an application
+    and INDEPENDENT of the projection on top. (Keying on the canonical
+    plan hash too, as the count/plan-bytes memos must, made every
+    differently-projected consumer of the same files re-pay the
+    planning pass — e.g. the three gram/count branches over one staging
+    directory.) In-memory relations (no input files) keep the direct
     probe. Plan-choice state only, never results (core/memo.py).
     """
     want = min_partitions or df.sparkSession.sparkContext.defaultParallelism
@@ -80,7 +85,6 @@ def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
         if files:
             key = (
                 df.sparkSession.sparkContext.applicationId,
-                df.semanticHash(),
                 tuple(sorted(files)),
             )
     except Exception:

@@ -428,6 +428,15 @@ FROM feats
 
 _DECON_N = 4
 
+#: near-dedup survivor count above which doc_pipeline_stages' final
+#: decontamination-count join stops shuffling the RAW train gram stream
+#: and bloom-prunes it map-side first (the decontaminate_auto dispatch
+#: applied at the pipeline's split sizes: a 10% test split of ≥ ~200k
+#: docs holds ≥ ~5M distinct grams — contamination.BLOOM_DISPATCH_GRAMS
+#: territory). Conservative: below it the gram shuffle is small and the
+#: bloom build's extra eager job would cost more than it prunes.
+_DECON_MERGE_MAX = 200_000
+
 
 def doc_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contamination report: training documents (of the deterministic
@@ -996,11 +1005,34 @@ def doc_pipeline_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
     # duplicated observed subtree rests on unspecified duplicate-
     # observation semantics if a future plan executes only one copy).
     drop = DD2.exact_drop_ids(docs)
-    quality_seen = docs.observe(obs_raw, _n).filter(gate).observe(obs_q, _n)
+    # fan_out BEFORE the raw-count observe: on a few-file input the scan
+    # is one partition, and with the old shape the gate's tokenization +
+    # digit regex (the write job's dominant compute) ran serially on that
+    # one task (measured: a 0.36 s single-task write stage at sf0.1).
+    # The gate filter cannot be pushed below the fan-out exchange because
+    # the CollectMetrics (observe) node sits between them — pushing a
+    # predicate through an observation would change its metrics, which
+    # Catalyst refuses to do; at real scale the scan arrives well-split
+    # and fan_out is a no-op.
+    from ..operators.util import fan_out
+
+    quality_seen = (
+        fan_out(docs).observe(obs_raw, _n).filter(gate).observe(obs_q, _n)
+    )
     exact = quality_seen.join(drop, on="doc_id", how="left_anti").observe(
         obs_e, _n
     )
-    CK.save(exact, f"{ck}/exact")
+    # target_partition_bytes=None: the default sizing estimates this
+    # filtered scan as sub-file-sized and coalesces to ONE partition —
+    # and coalesce is a narrow dependency, so the whole gate+anti-join
+    # chain would collapse back onto a single task (undoing the fan_out),
+    # and every downstream scan of the staging would read one file
+    # serially. The staging inherits the write plan's parallelism
+    # instead: this is engine-internal scratch re-read within the same
+    # job, not a published table — file-size targets belong to the
+    # pipeline's final output, and at corpus scale the write parallelism
+    # tracks the input splits (~scan-sized files) anyway.
+    CK.save(exact, f"{ck}/exact", target_partition_bytes=None)
     exact = CK.load(f"{ck}/exact", spark)
     n_exact = int(obs_e.get["n"])
     # the exact-survivor count rides the staging write just done — hand
@@ -1033,7 +1065,74 @@ def doc_pipeline_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
     split = SP3.hash_split(near, "doc_id", _SPLIT_WEIGHTS, seed=_SPLIT_SEED)
     train = split.filter(F.col("split") == "train")
     test = split.filter(F.col("split") == "test")
-    clean = CT2.decontaminate(train, test, "doc_id", "text", n=_DECON_N)
+
+    # decontaminated count WITHOUT materializing the decontaminated
+    # corpus: decontaminate(train, test, max_hits=0) anti-joins train
+    # against the flagged ids, and the flagged set is by construction a
+    # subset of train's ids (it comes from train's own gram stream), so
+    # count(clean) ≡ count(train) − count(flagged). The old tail unioned
+    # THREE branches over the staged corpus — train count, train grams
+    # (inside the anti-join's build side), and the anti-join's own full
+    # train re-scan; the arithmetic form keeps two (count + grams) and
+    # deletes the third scan and the anti-join (guide §2.1/§2.4). The
+    # flagged count itself is one count_distinct over the gram join —
+    # ngram_contamination's `filter(n_hits > 0)` is vacuous at
+    # max_hits=0 (a grouped doc has ≥ 1 joined row by construction), so
+    # the flagged ids are exactly the distinct doc_ids of the join.
+    eval_grams = CT2.distinct_grams(test, "text", _DECON_N)
+    t_grams = CT2.gram_rows(train, "text", _DECON_N, "doc_id")
+    # Join strategy: UNLIKE the decontaminate() operator — whose eval
+    # side is a contractually small benchmark suite and therefore
+    # broadcasts — this pipeline's eval side is the TEST SPLIT, a fixed
+    # fraction of the corpus. Broadcasting it serializes the two gram
+    # tokenization passes (the train side's shingling sits above the
+    # broadcast join and cannot start until the eval broadcast is
+    # built — measured ~0.9 s + ~0.9 s back-to-back at sf0.1) and stops
+    # scaling outright once the split outgrows the broadcast cap. A
+    # sort-merge join lets AQE run both gram map stages CONCURRENTLY
+    # (guide §2.6 — the map sides are independent query stages) and
+    # shuffles grams, which scales with the corpus; past
+    # _DECON_MERGE_MAX survivors the train gram stream is first pruned
+    # map-side with a bloom filter over the eval grams before paying
+    # that shuffle (decontaminate_auto's bloom branch, identical
+    # survivor semantics: the filter has no false negatives and every
+    # survivor still passes the exact gram join).
+    if n_near <= _DECON_MERGE_MAX:
+        flagged = t_grams.join(eval_grams.hint("merge"), "gram")
+    else:
+        from ..operators.bloomjoin import build_spec, spec_contains
+        from ..operators.contamination import sized_bloom_bits
+
+        eval_pin = eval_grams.localCheckpoint(eager=True)
+        spec = build_spec(
+            eval_pin,
+            "gram",
+            n_bits=sized_bloom_bits(eval_pin.count()),
+            seed="decon",
+            hash="xx",
+        )
+        flagged = t_grams.filter(
+            spec_contains(F.col("gram"), spec)
+        ).join(eval_pin, "gram")
+    tf = train.agg(F.count("*").alias("_nt")).crossJoin(
+        flagged.agg(F.count_distinct("doc_id").alias("_nf"))
+    )
+    tail = tf.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(4).cast("int").alias("stage_no"),
+                    F.lit("train_split").alias("stage"),
+                    F.col("_nt").cast("long").alias("n_docs"),
+                ),
+                F.struct(
+                    F.lit(5).cast("int").alias("stage_no"),
+                    F.lit("decontaminated").alias("stage"),
+                    (F.col("_nt") - F.col("_nf")).cast("long").alias("n_docs"),
+                ),
+            )
+        ).alias("_s")
+    ).select("_s.*")
 
     observed = [
         (0, "raw", obs_raw.get["n"]),
@@ -1044,12 +1143,7 @@ def doc_pipeline_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = spark.createDataFrame(
         observed, "stage_no int, stage string, n_docs long"
     )
-    for no, name, frame in [(4, "train_split", train), (5, "decontaminated", clean)]:
-        c = frame.agg(F.count("*").alias("n_docs")).select(
-            F.lit(no).alias("stage_no"), F.lit(name).alias("stage"), "n_docs"
-        )
-        counts = counts.unionByName(c)
-    return counts.orderBy("stage_no")
+    return counts.unionByName(tail).orderBy("stage_no")
 
 
 DOC_PIPELINE_SQL = f"""
