@@ -373,7 +373,17 @@ def main() -> None:
         if rec2 is None:
             continue
         first = dict(entry)
-        second = {k: rec2[k] for k in ("sf0.1_sec", "x10_sec", "ratio")}
+        # carry the candidate-bill metrics through the merge: they are
+        # the attribution evidence the artifact exists for, and each
+        # run's metrics travel with that run's seconds (dropping them
+        # when the re-measure won — the old behavior — lost the banded
+        # engines' candidate counts from the committed artifact)
+        second = {
+            k: rec2[k]
+            for k in ("sf0.1_sec", "x10_sec", "ratio", "metrics_base",
+                      "metrics_big")
+            if k in rec2
+        }
         best, other = (
             (second, first)
             if (second["ratio"] or 1e9) < (first["ratio"] or 1e9)
